@@ -1,0 +1,76 @@
+"""Local mirror of the driver's t2 gate: every registered query with an
+oracle is run on Spark and on DuckDB over the same parquet, and
+compared row-count + schema-names + values (rows sorted, columns
+sorted by name) — the same shape as the driver's order-insensitive
+value-hash, but with readable diffs.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from sparkifydb_datawarehouse_spark import registry
+from sparkifydb_datawarehouse_spark.tables import TABLE_NAMES, table_path
+
+from conftest import SF_SMOKE
+
+registry.load_all_modules()
+
+ORACLE_QUERY_IDS = sorted(registry.ORACLE)
+
+
+def _duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # timestamps → int ns so tz/unit quirks don't leak into comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("query_id", ORACLE_QUERY_IDS)
+def test_oracle_parity(spark, query_id):
+    sf_dir = SF_SMOKE
+    spark_df = registry.QUERIES[query_id](spark, sf_dir).toPandas()
+    with _duck_connection(sf_dir) as con:
+        duck_df = con.sql(registry.ORACLE[query_id]).df()
+
+    assert sorted(spark_df.columns) == sorted(duck_df.columns), (
+        f"{query_id}: column mismatch {sorted(spark_df.columns)} vs {sorted(duck_df.columns)}"
+    )
+    assert len(spark_df) == len(duck_df), (
+        f"{query_id}: row count {len(spark_df)} vs {len(duck_df)}"
+    )
+
+    s, d = _normalize(spark_df), _normalize(duck_df)
+    for col in s.columns:
+        sv, dv = s[col].to_numpy(), d[col].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv = sv.astype(float)
+            dv = dv.astype(float)
+            both_nan = np.isnan(sv) & np.isnan(dv)
+            close = np.isclose(sv, dv, rtol=1e-9, atol=1e-9) | both_nan
+            assert close.all(), (
+                f"{query_id}.{col}: max abs diff "
+                f"{np.nanmax(np.abs(sv - dv))}, first mismatch at row "
+                f"{int(np.argmin(close))}: {sv[~close][:5]} vs {dv[~close][:5]}"
+            )
+        else:
+            mismatch = sv != dv
+            # tolerate None-vs-NaN representation differences
+            mismatch &= ~(pd.isna(s[col]).to_numpy() & pd.isna(d[col]).to_numpy())
+            assert not mismatch.any(), (
+                f"{query_id}.{col}: {sv[mismatch][:5]} vs {dv[mismatch][:5]}"
+            )
