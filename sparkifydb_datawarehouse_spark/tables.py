@@ -18,6 +18,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = (
     "region",
@@ -45,6 +46,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (/root/reference/sql_queries.py:19-97)."""
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLE_NAMES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
+        # ([PARQUET_TYPE_ILLEGAL]). Read nanos as long, then integer-div
+        # to microseconds (integer `div`, NOT `/1000` — float division
+        # loses precision at 1e18 ns) to match DuckDB's ns→us truncation.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

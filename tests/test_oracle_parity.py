@@ -36,7 +36,7 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     # timestamps → int ns so tz/unit quirks don't leak into comparison
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].astype("int64")
+            df[c] = df[c].astype("datetime64[ns]").astype("int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
 
 
