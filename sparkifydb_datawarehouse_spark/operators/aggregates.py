@@ -1,1 +1,181 @@
-"""(placeholder — populated in this round)"""
+"""B3-B5: hash aggregation, distinct aggregation, rollup/cube.
+
+The reference deliberately avoids aggregations (/root/reference/
+README.md:13-15 — the star schema exists so analysts "execute queries
+... without aggregations at all"); the engine provides the full
+surface anyway (SURVEY §2 Part B, mandated by BASELINE.json).
+
+Scale notes:
+- groupBy compiles to partial (map-side) + final hash aggregation —
+  one shuffle keyed on the group columns. Low-cardinality keys
+  (returnflag × linestatus = 6 groups) make the shuffle tiny.
+- COUNT(DISTINCT x) rewrites to a two-phase expand + aggregation;
+  for 100 TB dashboards prefer approx_count_distinct (HLL++, no
+  second shuffle, tunable rsd) — both are exposed below.
+- rollup/cube compile to Expand (one input row fans out to one row
+  per grouping set) — at scale prefer rollup over cube: cube over n
+  columns fans out 2^n.
+
+Cross-engine notes: DuckDB SUM over integer columns returns INT128 —
+oracles cast to BIGINT; Spark integer counts/ranks cast to long.
+Money sums round(2) on both sides (float summation-order ulp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# B3 — hash aggregation with the full accumulator set (TPC-H Q1 shape).
+# ---------------------------------------------------------------------------
+
+_ORACLE_B3 = """
+SELECT l_returnflag AS return_flag,
+       l_linestatus AS line_status,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price,
+       ROUND(MIN(l_extendedprice), 2) AS min_price,
+       ROUND(MAX(l_extendedprice), 2) AS max_price,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY return_flag, line_status
+"""
+
+
+@query("q_agg_groupby", oracle=_ORACLE_B3)
+def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("return_flag", "line_status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4 — exact distinct aggregation (two-phase expand under the hood).
+# ---------------------------------------------------------------------------
+
+_ORACLE_B4 = """
+SELECT o_orderstatus AS order_status,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY order_status
+"""
+
+
+@query("q_agg_count_distinct", oracle=_ORACLE_B4)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("order_status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B4b — approximate distinct (HLL++). Estimate is engine-specific →
+# rows-only check; the 100 TB path for cardinality dashboards.
+# ---------------------------------------------------------------------------
+
+
+@query("q_agg_approx_distinct")  # rows-only: HLL estimates differ per engine
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+        .orderBy("order_status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B5 — rollup + cube (multi-level totals via Expand).
+# ---------------------------------------------------------------------------
+
+_ORACLE_B5_ROLLUP = """
+SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+       o_orderstatus AS order_status,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (EXTRACT(year FROM o_orderdate), o_orderstatus)
+ORDER BY order_year NULLS FIRST, order_status NULLS FIRST
+"""
+
+
+@query("q_agg_rollup", oracle=_ORACLE_B5_ROLLUP)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.col("o_orderstatus").alias("order_status"),
+            "o_totalprice",
+        )
+        .rollup("order_year", "order_status")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(F.col("order_year").asc_nulls_first(), F.col("order_status").asc_nulls_first())
+    )
+
+
+_ORACLE_B5_CUBE = """
+SELECT o_orderstatus AS order_status,
+       o_orderpriority AS order_priority,
+       ROUND(SUM(o_totalprice), 2) AS total_price,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+ORDER BY order_status NULLS FIRST, order_priority NULLS FIRST
+"""
+
+
+@query("q_agg_cube", oracle=_ORACLE_B5_CUBE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("order_priority"),
+            "o_totalprice",
+        )
+        .cube("order_status", "order_priority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("order_status").asc_nulls_first(),
+            F.col("order_priority").asc_nulls_first(),
+        )
+    )

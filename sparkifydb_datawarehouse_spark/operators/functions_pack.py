@@ -1,1 +1,176 @@
-"""(placeholder — populated in this round)"""
+"""B12-B14: scalar function packs — string, date/math, JSON, array.
+
+The reference's only scalar expressions are `=`, `!=` and CASE WHEN
+(SURVEY §2 A7/A11); the engine exposes the standard analytics
+function surface. All functions below are built-in pyspark.sql.functions
+(JVM-side, whole-stage-codegen'd) — no Python UDFs in these paths.
+
+Cross-engine notes:
+- substring is 1-based in both Spark and DuckDB.
+- regexp_extract exists under the same name/semantics in both.
+- Spark get_json_object('$.k') ≡ DuckDB json_extract_string(props,'$.k').
+- collect_set order is nondeterministic → wrap in sort_array before
+  concat (DuckDB: list_sort(list(DISTINCT ...))).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# B12 — string functions over part names/types.
+# ---------------------------------------------------------------------------
+
+_ORACLE_STRING = """
+SELECT p_partkey AS part_key,
+       UPPER(p_name) AS name_upper,
+       LOWER(p_brand) AS brand_lower,
+       SUBSTRING(p_type, 1, 5) AS type_prefix,
+       CONCAT(p_brand, '#', p_type) AS brand_type,
+       LENGTH(p_name) AS name_len,
+       CAST(p_type LIKE '%BRASS%' AS BOOLEAN) AS is_brass,
+       regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+       REPLACE(p_brand, 'Brand', 'B') AS brand_short,
+       TRIM(CONCAT(' ', p_brand, ' ')) AS brand_trim
+FROM part
+ORDER BY part_key
+"""
+
+
+@query("q_string_funcs", oracle=_ORACLE_STRING)
+def string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("part_key"),
+        F.upper("p_name").alias("name_upper"),
+        F.lower("p_brand").alias("brand_lower"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.col("p_type").like("%BRASS%").alias("is_brass"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_brand", "Brand", "B").alias("brand_short"),
+        F.trim(F.concat(F.lit(" "), F.col("p_brand"), F.lit(" "))).alias("brand_trim"),
+    ).orderBy("part_key")
+
+
+# ---------------------------------------------------------------------------
+# B13 — date + math functions over orders/lineitem.
+# ---------------------------------------------------------------------------
+
+_ORACLE_DATE_MATH = """
+SELECT l_orderkey AS order_key,
+       l_linenumber AS line_number,
+       date_trunc('month', l_shipdate) AS ship_month,
+       strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+       ROUND(ABS(l_discount - 0.05), 6) AS disc_dev,
+       CAST(CEIL(l_quantity) AS BIGINT) AS qty_ceil,
+       CAST(FLOOR(l_quantity) AS BIGINT) AS qty_floor,
+       ROUND(SQRT(l_extendedprice), 4) AS price_sqrt,
+       ROUND(LN(l_extendedprice + 1), 6) AS price_ln,
+       CAST(l_partkey % 10 AS BIGINT) AS pk_mod
+FROM lineitem
+ORDER BY order_key, line_number
+"""
+
+
+@query("q_date_math_funcs", oracle=_ORACLE_DATE_MATH)
+def date_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_orderkey").alias("order_key"),
+        F.col("l_linenumber").alias("line_number"),
+        F.date_trunc("month", "l_shipdate").alias("ship_month"),
+        # string, not DATE: Spark DateType → python date objects while
+        # DuckDB → datetime64; a formatted string hashes identically
+        F.date_format("l_shipdate", "yyyy-MM-dd").alias("ship_date"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil("l_quantity").alias("qty_ceil"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.round(F.sqrt("l_extendedprice"), 4).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        (F.col("l_partkey") % 10).alias("pk_mod"),
+    ).orderBy("order_key", "line_number")
+
+
+# ---------------------------------------------------------------------------
+# B14 — JSON extraction from the events.props payload.
+# ---------------------------------------------------------------------------
+
+_ORACLE_JSON = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value,
+       event_type
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("q_json_extract", oracle=_ORACLE_JSON)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_value"),
+        "event_type",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# B14 — array explode + ordered re-collect (embeddings + event-type sets).
+# ---------------------------------------------------------------------------
+
+_ORACLE_EXPLODE = """
+SELECT vec_id,
+       CAST(pos - 1 AS BIGINT) AS pos,
+       ROUND(CAST(val AS DOUBLE), 4) AS component
+FROM (
+    SELECT vec_id, UNNEST(embedding) AS val,
+           generate_subscripts(embedding, 1) AS pos
+    FROM embeddings
+)
+WHERE pos <= 8
+ORDER BY vec_id, pos
+"""
+
+
+@query("q_explode_collect", oracle=_ORACLE_EXPLODE)
+def explode_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "val"))
+        .filter(F.col("pos") < 8)
+        .select(
+            "vec_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.round(F.col("val").cast("double"), 4).alias("component"),
+        )
+        .orderBy("vec_id", "pos")
+    )
+
+
+_ORACLE_COLLECT = """
+SELECT user_id,
+       array_to_string(list_sort(list(DISTINCT event_type)), ',') AS event_types,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@query("q_collect_set", oracle=_ORACLE_COLLECT)
+def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("event_types"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )

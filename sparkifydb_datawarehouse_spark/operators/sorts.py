@@ -1,1 +1,153 @@
-"""(placeholder — populated in this round)"""
+"""B10-B11: sort / limit / top-k, set operations.
+
+Scale notes:
+- Global ORDER BY is a range-partitioned sort (sampling pass to pick
+  range bounds, then one shuffle). ORDER BY + LIMIT n is optimized to
+  TakeOrderedAndProject: each partition keeps its local top-n, the
+  driver merges — no full sort materialized. This is the 100 TB-safe
+  top-k.
+- Top-k per group: window row_number + filter — one shuffle on the
+  group key; never collect-and-sort per group driver-side.
+- UNION ALL is free (no shuffle, just plan concatenation); INTERSECT /
+  EXCEPT compile to semi/anti joins with dedup — each one shuffle.
+- Spark union() is positional (SURVEY §7 sharp edge) — columns are
+  aligned explicitly before the union below.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# B10 — global sort + limit (TakeOrderedAndProject).
+# ---------------------------------------------------------------------------
+
+_ORACLE_SORT_LIMIT = """
+SELECT o_orderkey AS order_key,
+       o_custkey AS cust_key,
+       o_totalprice AS total_price
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q_sort_limit", oracle=_ORACLE_SORT_LIMIT)
+def sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_totalprice").alias("total_price"),
+        )
+        .orderBy(F.col("total_price").desc(), F.col("order_key"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# B10 — top-k per group (window + rank filter; DuckDB QUALIFY oracle).
+# ---------------------------------------------------------------------------
+
+_ORACLE_TOPK = """
+SELECT cust_key, order_key, total_price, rn
+FROM (
+    SELECT o_custkey AS cust_key,
+           o_orderkey AS order_key,
+           o_totalprice AS total_price,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+           ) AS rn
+    FROM orders
+)
+WHERE rn <= 3
+ORDER BY cust_key, rn
+"""
+
+
+@query("q_topk_per_group", oracle=_ORACLE_TOPK)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("cust_key", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B11 — UNION ALL (positional; columns aligned explicitly).
+# ---------------------------------------------------------------------------
+
+_ORACLE_UNION_ALL = """
+SELECT event_id, user_id, 'purchase' AS kind FROM events WHERE event_type = 'purchase'
+UNION ALL
+SELECT event_id, user_id, 'signup' AS kind FROM events WHERE event_type = 'signup'
+ORDER BY event_id
+"""
+
+
+@query("q_union_all", oracle=_ORACLE_UNION_ALL)
+def union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.lit("purchase").alias("kind")
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "event_id", "user_id", F.lit("signup").alias("kind")
+    )
+    return purchases.unionAll(signups).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# B11 — INTERSECT (distinct semantics; compiles to left-semi + dedup).
+# ---------------------------------------------------------------------------
+
+_ORACLE_INTERSECT = """
+SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+ORDER BY cust_key
+"""
+
+
+@query("q_intersect", oracle=_ORACLE_INTERSECT)
+def intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("cust_key"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("cust_key"))
+    return f.intersect(op).orderBy("cust_key")
+
+
+# ---------------------------------------------------------------------------
+# B11 — EXCEPT (distinct semantics; compiles to left-anti + dedup).
+# ---------------------------------------------------------------------------
+
+_ORACLE_EXCEPT = """
+SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey AS cust_key FROM orders WHERE o_orderstatus = 'O'
+ORDER BY cust_key
+"""
+
+
+@query("q_except", oracle=_ORACLE_EXCEPT)
+def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    f = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("cust_key"))
+    op = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("cust_key"))
+    # subtract == EXCEPT DISTINCT (exceptAll().distinct() would be wrong:
+    # a key on both sides but duplicated on the left would survive it)
+    return f.subtract(op).orderBy("cust_key")

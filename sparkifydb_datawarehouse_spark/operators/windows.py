@@ -1,1 +1,134 @@
-"""(placeholder — populated in this round)"""
+"""B8-B9: window functions — ranking, lag/lead, running frames.
+
+Not present in the reference (SURVEY §2 "operators NOT present");
+part of the engine's general surface.
+
+Scale notes:
+- A window over PARTITION BY k ORDER BY s is one shuffle on k plus a
+  per-partition sort. Skewed partition keys (one user with 10^9
+  events) serialize into one task — salt or pre-aggregate first.
+- Unbounded-preceding running frames stream in sort order (O(n));
+  sliding ROW frames keep only the frame buffer. Avoid RANGE frames
+  over high-duplicate orderings at scale (frame recompute per peer
+  group).
+- Ties: every ORDER BY below includes a unique tiebreaker column so
+  row_number/lag results are deterministic and oracle-comparable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# B8 — ranking trio per partition.
+# ---------------------------------------------------------------------------
+
+_ORACLE_RANK = """
+SELECT o_custkey AS cust_key,
+       o_orderkey AS order_key,
+       o_totalprice AS total_price,
+       ROW_NUMBER() OVER w AS rn,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+ORDER BY cust_key, rn
+"""
+
+
+@query("q_window_rank", oracle=_ORACLE_RANK)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_totalprice").alias("total_price"),
+            F.row_number().over(w).cast("long").alias("rn"),
+            F.rank().over(w).cast("long").alias("rnk"),
+            F.dense_rank().over(w).cast("long").alias("drnk"),
+        )
+        .orderBy("cust_key", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9 — lag/lead analytics over an event stream.
+# ---------------------------------------------------------------------------
+
+_ORACLE_LAG_LEAD = """
+SELECT user_id,
+       event_id,
+       value,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       ROUND(value - COALESCE(LAG(value) OVER w, value), 6) AS delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+ORDER BY user_id, event_id
+"""
+
+
+@query("q_window_lag_lead", oracle=_ORACLE_LAG_LEAD)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            prev.alias("prev_value"),
+            F.lead("value").over(w).alias("next_value"),
+            F.round(F.col("value") - F.coalesce(prev, F.col("value")), 6).alias("delta"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9 — running sum with an explicit ROWS frame (identical accumulation
+# order in both engines → bit-stable without rounding; rounded anyway
+# for defense in depth).
+# ---------------------------------------------------------------------------
+
+_ORACLE_RUNNING = """
+SELECT user_id,
+       event_id,
+       ROUND(SUM(value) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 4) AS running_value,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS running_count
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@query("q_window_running_sum", oracle=_ORACLE_RUNNING)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.round(F.sum("value").over(w), 4).alias("running_value"),
+            F.count(F.lit(1)).over(w).alias("running_count"),
+        )
+        .orderBy("user_id", "event_id")
+    )

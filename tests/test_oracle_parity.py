@@ -32,9 +32,15 @@ def _duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    import datetime
+
     df = df.reindex(sorted(df.columns), axis=1)
-    # timestamps → int ns so tz/unit quirks don't leak into comparison
+    # timestamps/dates → int ns so tz/unit/object-dtype quirks don't leak
     for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c])
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]").astype("int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)
