@@ -1,1 +1,200 @@
-"""(placeholder — populated in this round)"""
+"""B19 — similarity search over the `embeddings` table.
+
+Two tiers, per SURVEY §2 B19:
+- brute-force cosine top-k: the correctness baseline. Dot products
+  are expression-level (zip_with + aggregate fold — JVM codegen, no
+  Python), the query vector is a broadcast single-row join, and top-k
+  is TakeOrderedAndProject. Cost is one full scan per query vector:
+  fine for 1 query, wrong for q queries × 100 TB.
+- sign-LSH bucketed: deterministic random-hyperplane-style bucketing
+  using the sign bits of the leading components (a fixed, data-
+  independent projection — at production scale you'd use hashed
+  hyperplanes; sign-of-component keeps it oracle-checkable). The
+  scan is restricted to the query's bucket: the index path.
+
+Both tiers are oracle-checked — cosine is spelled out identically
+(dot/(|a||b|), double math, round 6) in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+from .dedup import cosine
+
+_QUERY_VEC_ID = 0
+_TOP_K = 10
+
+_DUCK_COS = (
+    "list_dot_product(a.emb, q.emb)"
+    " / (SQRT(list_dot_product(a.emb, a.emb)) * SQRT(list_dot_product(q.emb, q.emb)))"
+)
+
+_ORACLE_TOPK = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+     q AS (SELECT emb FROM e WHERE vec_id = {_QUERY_VEC_ID})
+SELECT a.vec_id AS vec_id,
+       a.label AS label,
+       ROUND({_DUCK_COS}, 6) AS cos_sim
+FROM e a, q
+WHERE a.vec_id <> {_QUERY_VEC_ID}
+ORDER BY cos_sim DESC, vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@query("q_similarity_topk", oracle=_ORACLE_TOPK)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a broadcast query vector."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qvec))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucket index: bucket = 8 sign bits of components 0..7.
+# Search touches only the query's bucket (~1/256 of the corpus for
+# centered data). Recall < 1 by construction — that's the trade; the
+# oracle applies the identical bucketing so correctness still checks.
+# ---------------------------------------------------------------------------
+
+_N_SIGN_BITS = 8
+
+
+def sign_bucket(emb_col_name: str) -> Column:
+    """Deterministic LSH bucket from the sign pattern of the leading
+    components (int in [0, 2^8)). Built with F.expr because pyspark's
+    shiftleft() wrapper only takes a literal int for numBits, while the
+    SQL function accepts any expression."""
+    return F.expr(
+        f"aggregate(sequence(0, {_N_SIGN_BITS - 1}), 0, "
+        f"(acc, i) -> acc + IF(element_at({emb_col_name}, i + 1) > cast(0 as float), "
+        "shiftleft(1, i), 0))"
+    )
+
+
+_DUCK_BUCKET = (
+    "list_sum(list_transform(range(8), i -> CASE WHEN emb[i + 1] > 0 THEN 1 << i ELSE 0 END))"
+)
+
+_ORACLE_BUCKETED = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+           {_DUCK_BUCKET} AS bucket
+    FROM embeddings
+),
+q AS (SELECT emb, bucket FROM e WHERE vec_id = {_QUERY_VEC_ID})
+SELECT a.vec_id AS vec_id,
+       a.label AS label,
+       CAST(a.bucket AS BIGINT) AS bucket,
+       ROUND({_DUCK_COS}, 6) AS cos_sim
+FROM e a, q
+WHERE a.vec_id <> {_QUERY_VEC_ID} AND a.bucket = q.bucket
+ORDER BY cos_sim DESC, vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@query("q_similarity_topk_lsh", oracle=_ORACLE_BUCKETED)
+def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: same top-k but scanning only the query's sign-LSH
+    bucket. At 100 TB the bucket column is a partition/cluster key, so
+    the scan prunes to one bucket's files instead of the full corpus."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sign_bucket("embedding")
+    )
+    qvec = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket").alias("q_bucket")
+    )
+    return (
+        emb.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(qvec), F.col("bucket") == F.col("q_bucket"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("bucket").cast("long").alias("bucket"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch kNN: top-3 neighbors for EVERY vector of one label class via
+# bucketed self-join + window top-k — the all-pairs production shape
+# (bucket join keeps it off O(n²); window picks per-query top-k).
+# ---------------------------------------------------------------------------
+
+_ORACLE_BATCH_KNN = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+           {_DUCK_BUCKET} AS bucket
+    FROM embeddings
+)
+SELECT query_id, neighbor_id, cos_sim, rn
+FROM (
+    SELECT q.vec_id AS query_id,
+           a.vec_id AS neighbor_id,
+           ROUND({_DUCK_COS}, 6) AS cos_sim,
+           ROW_NUMBER() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY ROUND({_DUCK_COS}, 6) DESC, a.vec_id
+           ) AS rn
+    FROM e q
+    JOIN e a ON a.bucket = q.bucket AND a.vec_id <> q.vec_id
+    WHERE q.label = 0
+)
+WHERE rn <= 3
+ORDER BY query_id, rn
+"""
+
+
+@query("q_similarity_batch_knn", oracle=_ORACLE_BATCH_KNN)
+def similarity_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", sign_bucket("embedding")
+    )
+    queries_df = emb.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    cand = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("n_emb"),
+        "bucket",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("neighbor_id"))
+    return (
+        queries_df.join(
+            cand,
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("neighbor_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("n_emb"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("query_id", "rn")
+    )

@@ -1,1 +1,214 @@
-"""(placeholder — populated in this round)"""
+"""B20 — text analysis over the `documents` corpus: term frequency,
+quality scoring, language ID, token counting, fingerprinting.
+
+Everything here is expression-level (whole-stage codegen, no Python
+UDFs): tokenization is split/regexp, counts are size/regexp_count,
+fingerprints are md5 — all with exact DuckDB equivalents, so every
+query is oracle-checked.
+
+Scale notes:
+- Per-document expressions are embarrassingly parallel — no shuffle
+  at all except the term-frequency groupBy (shuffle keyed on term;
+  Zipf-skewed terms are handled by partial aggregation map-side, the
+  classic word-count combiner).
+- At 100 TB, term frequency over raw text should additionally cap
+  per-doc token explosion (slice long docs) — documents here are
+  short; noted rather than implemented.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_TOKEN_SPLIT = r"\s+"
+
+# ---------------------------------------------------------------------------
+# Term frequency (the canonical word count, Zipf-skew-aware).
+# ---------------------------------------------------------------------------
+
+_ORACLE_TERMFREQ = """
+SELECT term, CAST(COUNT(*) AS BIGINT) AS n
+FROM (
+    SELECT UNNEST(string_split_regex(LOWER(text), '\\s+')) AS term
+    FROM documents
+)
+WHERE term <> ''
+GROUP BY term
+ORDER BY n DESC, term
+LIMIT 100
+"""
+
+
+@query("q_text_termfreq", oracle=_ORACLE_TERMFREQ)
+def text_termfreq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length / punctuation / stopword-ratio heuristics
+# (the C4/Gopher-style filters, reduced to deterministic arithmetic).
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_ORACLE_QUALITY = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS text_len,
+       CAST(len(list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '')) AS BIGINT)
+           AS n_tokens,
+       ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+       ROUND(CAST(len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                  t -> t IN {_STOPWORDS!r})) AS DOUBLE)
+             / GREATEST(len(list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '')), 1),
+             6) AS stopword_ratio
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q_text_quality", oracle=_ORACLE_QUALITY)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    n_tokens = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    punct = F.length("text") - F.length(F.regexp_replace("text", "[^a-zA-Z0-9 ]", ""))
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("text_len"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(punct.cast("double") / F.greatest(F.length("text"), F.lit(1)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias(
+            "stopword_ratio"
+        ),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-word n-gram heuristic with a deterministic
+# argmax tie-break (en > de > es > fr). The `lang` label column stays
+# untouched — this classifies from text alone.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS = {
+    "en": r"\b(the|and|is)\b",
+    "de": r"\b(der|und|ist)\b",
+    "es": r"\b(el|que|es)\b",
+    "fr": r"\b(le|et|est)\b",
+}
+
+
+def _duck_marker(pattern: str) -> str:
+    return f"array_length(regexp_extract_all(LOWER(text), '{pattern}'))"
+
+
+_ORACLE_LANGID = f"""
+SELECT doc_id,
+       CAST({_duck_marker(_LANG_MARKERS["en"])} AS BIGINT) AS score_en,
+       CAST({_duck_marker(_LANG_MARKERS["de"])} AS BIGINT) AS score_de,
+       CASE
+           WHEN {_duck_marker(_LANG_MARKERS["en"])} >= {_duck_marker(_LANG_MARKERS["de"])}
+            AND {_duck_marker(_LANG_MARKERS["en"])} >= {_duck_marker(_LANG_MARKERS["es"])}
+            AND {_duck_marker(_LANG_MARKERS["en"])} >= {_duck_marker(_LANG_MARKERS["fr"])}
+               THEN 'en'
+           WHEN {_duck_marker(_LANG_MARKERS["de"])} >= {_duck_marker(_LANG_MARKERS["es"])}
+            AND {_duck_marker(_LANG_MARKERS["de"])} >= {_duck_marker(_LANG_MARKERS["fr"])}
+               THEN 'de'
+           WHEN {_duck_marker(_LANG_MARKERS["es"])} >= {_duck_marker(_LANG_MARKERS["fr"])}
+               THEN 'es'
+           ELSE 'fr'
+       END AS lang_pred
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q_text_langid", oracle=_ORACLE_LANGID)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scores = {
+        lang: F.regexp_count(F.lower("text"), F.lit(pat))
+        for lang, pat in _LANG_MARKERS.items()
+    }
+    en, de, es, fr = scores["en"], scores["de"], scores["es"], scores["fr"]
+    pred = (
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr")
+    )
+    return docs.select(
+        "doc_id",
+        en.cast("long").alias("score_en"),
+        de.cast("long").alias("score_de"),
+        pred.alias("lang_pred"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + a BPE-ish regex segmentation
+# (alpha runs | digit runs | single non-space symbols — the usual
+# pre-tokenizer shape).
+# ---------------------------------------------------------------------------
+
+_BPEISH = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+_ORACLE_TOKENS = """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT)
+           AS ws_tokens,
+       CAST(array_length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+           AS bpeish_tokens,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS byte_estimate_tokens
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q_text_tokens", oracle=_ORACLE_TOKENS)
+def text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split("text", _TOKEN_SPLIT), lambda t: t != ""))
+    return docs.select(
+        "doc_id",
+        ws.cast("long").alias("ws_tokens"),
+        F.regexp_count("text", F.lit(_BPEISH)).cast("long").alias("bpeish_tokens"),
+        F.ceil(F.length("text") / 4.0).alias("byte_estimate_tokens"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: md5 over whitespace-normalized lowercase
+# text — the exact-dedup key. (A rolling/shingled variant lives in
+# llm/dedup.py as the minhash pipeline.)
+# ---------------------------------------------------------------------------
+
+_ORACLE_FINGERPRINT = """
+SELECT doc_id,
+       md5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS fingerprint
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("q_text_fingerprint", oracle=_ORACLE_FINGERPRINT)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fingerprint")).orderBy("doc_id")

@@ -1,0 +1,61 @@
+"""Behavioral tests for the rows-only (non-oracle) LLM ops: the
+sketch-based dedup queries must actually FIND planted near-duplicates
+and must NOT pair unrelated docs.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkifydb_datawarehouse_spark.llm import dedup
+
+
+@pytest.fixture(scope="module")
+def planted_dir(spark, tmp_path_factory):
+    """A documents table with planted duplicate structure:
+    - docs 0 and 1: identical long text (near-dup by any measure)
+    - docs 2 and 3: one word changed out of 40 (high-jaccard near-dup)
+    - doc 4: unrelated text
+    """
+    base = " ".join(f"token{i} filler common word{i % 7}" for i in range(10))
+    variant = base.replace("token3", "tokenX", 1)
+    unrelated = " ".join(f"zebra{i} qux{i * 3} other" for i in range(12))
+    rows = [
+        (0, base, "en", "srcA", len(base)),
+        (1, base, "en", "srcA", len(base)),
+        (2, base + " tail extra", "en", "srcA", len(base) + 11),
+        (3, variant + " tail extra", "en", "srcA", len(variant) + 11),
+        (4, unrelated, "en", "srcB", len(unrelated)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = tmp_path_factory.mktemp("planted")
+    df.coalesce(1).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+def _pairs(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_finds_planted_dups(spark, planted_dir):
+    pairs = _pairs(dedup.dedup_fuzzy_minhash(spark, planted_dir))
+    assert (0, 1) in pairs, "identical docs must share every band"
+    assert (2, 3) in pairs, "1-word-out-of-40 variant must collide in some band"
+    assert not any(4 in p for p in pairs), "unrelated doc must not pair"
+
+
+def test_simhash_finds_planted_dups(spark, planted_dir):
+    df = dedup.dedup_simhash(spark, planted_dir)
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in df.collect()}
+    assert pairs.get((0, 1)) == 0, "identical docs → identical simhash"
+    assert (2, 3) in pairs, "near-identical docs within hamming threshold"
+    assert not any(4 in p for p in pairs), "unrelated doc must not pair"
+
+
+def test_minhash_smoke_on_fixture(spark, sf_dir):
+    # runs on the real corpus without error; pair list is deterministic
+    df = dedup.dedup_fuzzy_minhash(spark, sf_dir)
+    assert df.columns == ["doc_a", "doc_b"]
+    df.collect()
