@@ -1,1 +1,1 @@
-"""(placeholder — populated in this round)"""
+"""Source connectors (mapped JSON, parquet fixtures)."""

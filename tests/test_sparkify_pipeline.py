@@ -1,0 +1,36 @@
+"""End-to-end test of the Sparkify ETL replica (A17 orchestration)."""
+
+from __future__ import annotations
+
+from sparkifydb_datawarehouse_spark.pipelines import sparkify
+
+
+def test_run_pipeline(spark, tmp_path):
+    counts = sparkify.run_pipeline(spark, str(tmp_path / "warehouse"))
+    assert set(counts) == {"songplays", "users", "songs", "artists", "time"}
+    assert counts["songs"] == 12
+    assert counts["songplays"] > 0, "fixture must contain join hits"
+    assert counts["users"] == 300, "duplicates kept — one row per staging event"
+    # time is DISTINCT ts over ALL NextSong events (join misses included,
+    # like the reference's time_table_insert) → at least the join hits
+    assert counts["time"] >= counts["songplays"]
+
+
+def test_songplays_join_semantics(spark):
+    sp = sparkify.songplays(spark).collect()
+    se = sparkify.load_staging_events(spark)
+    n_next_song = se.filter("page = 'NextSong'").count()
+    assert 0 < len(sp) < n_next_song, "some NextSong events must miss the join"
+    assert all(r["song_id"].startswith("SO") for r in sp)
+
+
+def test_songs_year_nullif(spark):
+    rows = sparkify.songs_dim(spark).collect()
+    assert any(r["year"] is None for r in rows), "year==0 songs must become NULL"
+    assert all(r["year"] != 0 for r in rows)
+
+
+def test_surrogate_key_unique(spark, tmp_path):
+    sparkify.run_pipeline(spark, str(tmp_path / "wh"))
+    sp = spark.read.parquet(str(tmp_path / "wh" / "songplays"))
+    assert sp.select("songplay_id").distinct().count() == sp.count()
