@@ -41,6 +41,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
             sample = df[c].dropna()
             if len(sample) and isinstance(sample.iloc[0], (datetime.date, datetime.datetime)):
                 df[c] = pd.to_datetime(df[c])
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[ns]").astype("int64")
     return df.sort_values(by=list(df.columns), ignore_index=True)

@@ -1,0 +1,47 @@
+"""Real Structured Streaming runs (availableNow → memory sink),
+checked against the batch plan of the SAME transformation — the
+batch==stream unification is the point under test.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkifydb_datawarehouse_spark.streaming import windows as sw
+from sparkifydb_datawarehouse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def _as_sorted_tuples(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, batch_events):
+    stream_result = sw.run_stream_to_memory(
+        spark, sw.tumbling_counts(sw.event_stream(spark, sf_dir)), "t_tumbling"
+    )
+    batch_result = sw.tumbling_counts(batch_events)
+    cols = ["window_start", "event_type", "n_events", "sum_value"]
+    assert _as_sorted_tuples(stream_result, cols) == _as_sorted_tuples(batch_result, cols)
+
+
+def test_stream_session_matches_batch(spark, sf_dir, batch_events):
+    stream_result = sw.run_stream_to_memory(
+        spark, sw.session_counts(sw.event_stream(spark, sf_dir)), "t_session"
+    )
+    batch_result = sw.session_counts(batch_events)
+    cols = ["session_start", "session_end", "user_id", "n_events"]
+    assert _as_sorted_tuples(stream_result, cols) == _as_sorted_tuples(batch_result, cols)
+
+
+def test_stream_dedup_runs(spark, sf_dir):
+    stream_result = sw.run_stream_to_memory(
+        spark, sw.dedup_stream(sw.event_stream(spark, sf_dir)), "t_dedup"
+    )
+    n = stream_result.count()
+    n_batch = sw.dedup_stream(load_table(spark, sf_dir, "events")).count()
+    assert n == n_batch > 0
