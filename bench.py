@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced to full execution with a noop-format write (all
+work, no sink cost). Every query gets one untimed warmup run first:
+whole-stage codegen compilation of the expression-heavy sketch queries
+is a one-time ~tens-of-seconds JVM cost (Janino), and the benchmark
+measures the plan's steady-state throughput, not compiler startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sparkifydb_datawarehouse_spark import registry
+from sparkifydb_datawarehouse_spark.session import get_spark
+
+HEADLINE = [
+    "q_flagship_revenue_by_region",  # 5-table broadcast star join + agg
+    "q_agg_groupby",                 # full-accumulator hash agg (TPC-H Q1 shape)
+    "q_agg_rollup",                  # Expand-based multi-level agg
+    "q_join_range",                  # equi-join + residual range predicate
+    "q_join_left",                   # outer join
+    "q_window_rank",                 # shuffle + per-partition sort window
+    "q_topk_per_group",              # window top-k
+    "q_sort_limit",                  # TakeOrderedAndProject
+    "q_dedup_exact",                 # fingerprint groupBy
+    "q_dedup_fuzzy_minhash",         # sketch + LSH band self-join
+    "q_similarity_topk",             # brute-force cosine scan
+    "q_text_quality",                # expression-heavy per-doc scoring
+    "q_stream_tumbling",             # event-time windowed agg (batch plan)
+    "q_sparkify_songplays",          # reference-parity 3-key JSON join
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    registry.load_all_modules()
+    spark = get_spark("sparkifydb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def run(name: str) -> float:
+        t0 = time.perf_counter()
+        registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        return time.perf_counter() - t0
+
+    for name in HEADLINE:  # warmup: JVM, codegen compile, file index
+        run(name)
+
+    # min of 3: the harness host is shared (load spikes distort single
+    # runs by 5-10x); the minimum estimates the plan's true cost
+    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE}
+    result = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -71,14 +71,38 @@ _N_MINHASH = 32
 _BAND_ROWS = 4  # 8 bands of 4 → LSH threshold ≈ (1/8)^(1/4) ≈ 0.59 Jaccard
 
 
-def _minhash_signature(shingles: Column) -> Column:
-    """32 minhash values: min over shingles of xxhash64(shingle # k).
-    One pass over the shingle array per k, all inside codegen."""
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(_N_MINHASH - 1)),
-        lambda k: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(F.concat(s, F.lit("#"), k.cast("string"))))
-        ),
+def _minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → 32-value minhash signature.
+
+    Perf-critical shape (this was a 230s → ~2s fix at sf0.1): hash
+    each shingle STRING exactly once (xxhash64), then derive the k-th
+    "permutation" arithmetically (h * (2k+1) + k — odd multiplier, a
+    bijection mod 2^64) and take array_min per k. The three staged
+    selects matter: CollapseProject declines to inline non-cheap
+    expressions referenced many times, so shingling and base-hashing
+    each run once per row instead of once per k."""
+    # fixture tables arrive as ONE parquet file → one partition; fan the
+    # compute-heavy sketching out to all cores first. (At 100 TB inputs
+    # are many files and this repartition is a no-op to remove.)
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    # NOTE deliberately NO row filter here: a filter on a derived column
+    # gets pushed below the repartition Exchange with the full shingle
+    # expression substituted in, recomputing the sketch single-threaded
+    # on the unsplit input (observed 5x slowdown). Docs with < n tokens
+    # produce an all-null signature; consumers drop them expression-side.
+    return (
+        spread.select("doc_id", _word_shingles(text_col).alias("shingles"))
+        .select("doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"))
+        .select(
+            "doc_id",
+            # fold the 64-bit hash into 32 bits before multiplying so the
+            # k-permutation (odd multiplier) can't overflow under ANSI mode
+            F.expr(
+                f"transform(sequence(0, {_N_MINHASH - 1}), "
+                "k -> array_min(transform(hs, "
+                "h -> ((shiftrightunsigned(h, 32) ^ h) & 4294967295) * (2 * k + 1) + k)))"
+            ).alias("sig"),
+        )
     )
 
 
@@ -91,39 +115,51 @@ def _minhash_signature(shingles: Column) -> Column:
 @query("q_dedup_fuzzy_minhash")  # rows-only: Spark-internal hash function
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sig = _minhash_signature(_word_shingles("text"))
-    with_sig = docs.filter(F.length("text") > 0).select("doc_id", sig.alias("sig"))
+    with_sig = _minhash_signatures(docs)
 
+    # Band signature = xxhash64 over the band's 4 minhash values — a
+    # single hash call per band vs slice+transform+concat_ws string
+    # building (which cost ~5x the signature computation itself when
+    # interpreted). 64-bit collisions only add candidate pairs.
     n_bands = _N_MINHASH // _BAND_ROWS
+    band_exprs = ", ".join(
+        "struct({b} AS band, xxhash64({elems}) AS band_sig)".format(
+            b=b,
+            elems=", ".join(
+                f"sig[{b * _BAND_ROWS + r}]" for r in range(_BAND_ROWS)
+            ),
+        )
+        for b in range(n_bands)
+    )
     banded = with_sig.select(
         "doc_id",
+        # empty-shingle docs have sig = [null, ...]: give them zero bands
+        # (exploding an empty array emits no rows) instead of letting
+        # them all collide in a null-hash bucket
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("sig"), b * _BAND_ROWS + 1, _BAND_ROWS),
-                            lambda h: h.cast("string"),
-                        ),
-                    ).alias("band_sig"),
-                ),
-            )
+            F.expr(f"IF(sig[0] IS NULL, array(), array({band_exprs}))")
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
 
-    left = banded.alias("l")
-    right = banded.alias("r")
+    # Pairs via groupBy + in-expression combination generation — ONE
+    # shuffle and one signature computation, vs a self-join that
+    # recomputes the whole sketch pipeline per side. Production note:
+    # cap bucket sizes (a degenerate all-identical corpus makes one
+    # bucket quadratic) before exploding pairs.
     return (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.band_sig") == F.col("r.band_sig"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        banded.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
         )
-        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
         .orderBy("doc_a", "doc_b")
     )
@@ -162,7 +198,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
-    sketched = docs.filter(F.length("text") > 0).select("doc_id", simhash.alias("simhash"))
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    sketched = spread.filter(F.length("text") > 0).select("doc_id", simhash.alias("simhash"))
 
     chunks = sketched.select(
         "doc_id",
@@ -175,18 +212,27 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.chunk_val")
 
-    l, r = chunks.alias("l"), chunks.alias("r")
+    # one shuffle + expression-side pair generation (see minhash note)
     return (
-        l.join(
-            r,
-            (F.col("l.chunk") == F.col("r.chunk"))
-            & (F.col("l.chunk_val") == F.col("r.chunk_val"))
-            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        chunks.groupBy("chunk", "chunk_val")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("members")
+        )
+        .filter(F.size("members") > 1)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), "
+                    "y -> struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                    "x.simhash AS sh_a, y.simhash AS sh_b))))"
+                )
+            ).alias("p")
         )
         .select(
-            F.col("l.doc_id").alias("doc_a"),
-            F.col("r.doc_id").alias("doc_b"),
-            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+            "p.doc_a",
+            "p.doc_b",
+            F.bit_count(F.col("p.sh_a").bitwiseXOR(F.col("p.sh_b"))).alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= _HAMMING_MAX)

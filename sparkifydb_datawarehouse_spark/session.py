@@ -43,7 +43,10 @@ def get_spark(app_name: str = "sparkifydb-datawarehouse-spark") -> SparkSession:
         # Timestamps: keep session in UTC so epoch-millis round-trips
         # and DuckDB-oracle comparisons are timezone-stable.
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode: the driver JVM hosts all executor threads — size it
+        # for 32-way parallelism (interpreted higher-order functions in the
+        # sketch ops allocate heavily; a small heap turns into GC thrash)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
