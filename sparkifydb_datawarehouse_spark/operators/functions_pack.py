@@ -174,3 +174,42 @@ def collect_set_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B12+ — conditional / comparison / edit-distance functions.
+# ---------------------------------------------------------------------------
+
+_ORACLE_MISC = """
+SELECT p_partkey AS part_key,
+       COALESCE(NULLIF(p_brand, 'Brand#1'), 'other') AS brand_or_other,
+       LEAST(p_size, 25) AS size_capped,
+       GREATEST(CAST(p_size AS DOUBLE), p_retailprice / 100) AS max_metric,
+       CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist,
+       REVERSE(p_brand) AS brand_rev,
+       LEFT(p_name, 4) AS name_left,
+       RIGHT(p_name, 3) AS name_right,
+       REPEAT(p_brand, 2) AS brand_twice
+FROM part
+ORDER BY part_key
+"""
+
+
+@query("q_misc_funcs", oracle=_ORACLE_MISC)
+def misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("part_key"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("other")).alias(
+            "brand_or_other"
+        ),
+        F.least(F.col("p_size"), F.lit(25)).alias("size_capped"),
+        F.greatest(
+            F.col("p_size").cast("double"), F.col("p_retailprice") / 100
+        ).alias("max_metric"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.substring("p_name", 1, 4).alias("name_left"),
+        F.expr("right(p_name, 3)").alias("name_right"),
+        F.repeat("p_brand", 2).alias("brand_twice"),
+    ).orderBy("part_key")

@@ -1,0 +1,117 @@
+"""Statistical aggregates: stddev/variance/correlation/covariance,
+exact interpolated percentiles, grouping sets.
+
+Scale notes:
+- stddev/var/corr/covar are single-pass streaming moments (partial +
+  final merge) — same shuffle shape as SUM.
+- Exact percentile requires collecting the group's values (Spark
+  `percentile` buffers per group) — fine for bounded groups; use
+  approx_percentile (t-digest, streaming) for unbounded groups at
+  100 TB. Both are exposed.
+- GROUPING SETS compiles to Expand like rollup/cube but with exactly
+  the requested sets — cheaper than cube when only a few sets matter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table, load_all
+
+_ORACLE_STATS = """
+SELECT l_returnflag AS return_flag,
+       ROUND(STDDEV_SAMP(l_extendedprice), 4) AS std_price,
+       ROUND(VAR_SAMP(l_extendedprice), 2) AS var_price,
+       ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_qty_price
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_stats", oracle=_ORACLE_STATS)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
+            F.round(F.var_samp("l_extendedprice"), 2).alias("var_price"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("return_flag")
+    )
+
+
+_ORACLE_PERCENTILES = """
+SELECT l_returnflag AS return_flag,
+       ROUND(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+       ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25_qty,
+       ROUND(quantile_cont(l_quantity, 0.95), 4) AS p95_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_percentiles", oracle=_ORACLE_PERCENTILES)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ≡
+    DuckDB `quantile_cont`)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.25)), 4).alias("p25_qty"),
+            F.round(F.percentile("l_quantity", F.lit(0.95)), 4).alias("p95_qty"),
+        )
+        .orderBy("return_flag")
+    )
+
+
+@query("q_agg_approx_percentiles")  # rows-only: t-digest estimates are engine-specific
+def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbounded-cardinality scale path: approx_percentile streams
+    a t-digest instead of buffering group values."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median_price"
+            )
+        )
+        .orderBy("return_flag")
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus AS order_status,
+       o_orderpriority AS order_priority,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+ORDER BY order_status NULLS FIRST, order_priority NULLS FIRST
+"""
+
+
+@query("q_agg_grouping_sets", oracle=_ORACLE_GROUPING_SETS)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS order_status,
+               o_orderpriority AS order_priority,
+               ROUND(SUM(o_totalprice), 2) AS total_price
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY order_status ASC NULLS FIRST, order_priority ASC NULLS FIRST
+        """
+    )

@@ -1,0 +1,92 @@
+"""B17 — UDF surface: row-at-a-time Python UDF and vectorized
+Pandas UDF.
+
+Engine guidance (enforced everywhere else in this repo): UDFs are the
+slow path. A Python UDF pays per-row serialization + GIL; a Pandas
+UDF amortizes over Arrow batches (~10-100x better); a built-in
+expression is JVM codegen and beats both. These two queries exist to
+exercise the machinery — both compute something SQL-expressible so
+the oracle can value-check the UDF results exactly.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Row-at-a-time scalar UDF: account-balance tiering.
+# ---------------------------------------------------------------------------
+
+
+@F.udf(returnType=StringType())
+def _balance_tier(bal: float) -> str | None:
+    if bal is None:
+        return None
+    if bal < 0:
+        return "debt"
+    if bal < 3000:
+        return "low"
+    if bal < 7000:
+        return "mid"
+    return "high"
+
+
+_ORACLE_UDF_SCALAR = """
+SELECT c_custkey AS cust_key,
+       CASE WHEN c_acctbal < 0 THEN 'debt'
+            WHEN c_acctbal < 3000 THEN 'low'
+            WHEN c_acctbal < 7000 THEN 'mid'
+            ELSE 'high' END AS tier
+FROM customer
+ORDER BY cust_key
+"""
+
+
+@query("q_udf_scalar", oracle=_ORACLE_UDF_SCALAR)
+def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.select(F.col("c_custkey").alias("cust_key"), _balance_tier("c_acctbal").alias("tier"))
+        .orderBy("cust_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized Pandas UDF: z-score normalization against broadcast
+# global moments (the feature-normalization shape of an ML pipeline).
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(DoubleType())
+def _zscore(x: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
+    return ((x - mean) / std).round(6)
+
+
+_ORACLE_UDF_PANDAS = """
+SELECT event_id,
+       ROUND((value - stats.mean_v) / stats.std_v, 6) AS value_z
+FROM events, (
+    SELECT AVG(value) AS mean_v, STDDEV_SAMP(value) AS std_v FROM events
+) stats
+ORDER BY event_id
+"""
+
+
+@query("q_udf_pandas", oracle=_ORACLE_UDF_PANDAS)
+def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.agg(
+        F.avg("value").alias("mean_v"), F.stddev_samp("value").alias("std_v")
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .select("event_id", _zscore("value", "mean_v", "std_v").alias("value_z"))
+        .orderBy("event_id")
+    )

@@ -132,3 +132,82 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# B8+ — distribution window functions (ntile / percent_rank / cume_dist).
+# ---------------------------------------------------------------------------
+
+_ORACLE_DISTRIBUTION = """
+SELECT o_orderkey AS order_key,
+       o_orderstatus AS order_status,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w, 2) AS min_price_in_status,
+       ROUND(LAST_VALUE(o_totalprice) OVER (
+           PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ), 2) AS max_price_in_status
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+ORDER BY order_key
+"""
+
+
+@query("q_window_distribution", oracle=_ORACLE_DISTRIBUTION)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        o.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderstatus").alias("order_status"),
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.round(F.first("o_totalprice").over(w), 2).alias("min_price_in_status"),
+            F.round(F.last("o_totalprice").over(w_full), 2).alias("max_price_in_status"),
+        )
+        .orderBy("order_key")
+    )
+
+
+# ---------------------------------------------------------------------------
+# B9+ — RANGE frame (value-based window): sum of order totals within
+# 1000.0 below the current price. Value-based frames are deterministic
+# under ties (peer rows share a frame) — no tiebreaker needed, but at
+# scale prefer ROWS frames: RANGE recomputes per peer group.
+# ---------------------------------------------------------------------------
+
+_ORACLE_RANGE_FRAME = """
+SELECT o_orderkey AS order_key,
+       o_custkey AS cust_key,
+       ROUND(SUM(o_totalprice) OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice
+           RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+       ), 2) AS near_sum
+FROM orders
+ORDER BY order_key
+"""
+
+
+@query("q_window_range_frame", oracle=_ORACLE_RANGE_FRAME)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Spark SQL (not the Window API): pyspark's rangeBetween only takes
+    # integer bounds, while the SQL dialect supports fractional RANGE
+    # frames like the 1000.0 PRECEDING used here.
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rf_orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey AS order_key,
+               o_custkey AS cust_key,
+               ROUND(SUM(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_totalprice
+                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+               ), 2) AS near_sum
+        FROM _rf_orders
+        ORDER BY order_key
+        """
+    )

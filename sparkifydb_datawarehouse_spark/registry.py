@@ -43,13 +43,18 @@ def load_all_modules() -> None:
     populate QUERIES/ORACLE). Called once by __spark_entry__."""
     from .operators import (  # noqa: F401
         aggregates,
+        asof,
         flagship,
         functions_pack,
         joins,
         parity,
+        pivots,
         sorts,
+        stats,
+        udfs,
         windows,
     )
     from .llm import dedup, multimodal, similarity, textstats  # noqa: F401
+    from .sources import csv_source  # noqa: F401
     from .streaming import windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401
