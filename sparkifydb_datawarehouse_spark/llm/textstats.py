@@ -212,3 +212,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     normalized = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
     return docs.select("doc_id", F.md5(normalized).alias("fingerprint")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: per-document term weights — tf(term, doc) * ln(N / df(term)).
+# One tokenize+explode pass, one groupBy for document frequencies
+# (broadcast back), one for term frequencies. All shuffles carry
+# (term, doc_id, counts), never documents.
+# ---------------------------------------------------------------------------
+
+_ORACLE_TFIDF = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS term
+    FROM documents
+),
+tf AS (
+    SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM toks WHERE term <> '' GROUP BY doc_id, term
+),
+df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks WHERE term <> '' GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.term AS term, tf.tf AS tf,
+       ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+WHERE tf.tf >= 3
+ORDER BY doc_id, term
+"""
+
+
+@query("q_text_tfidf", oracle=_ORACLE_TFIDF)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, one job; at scale reuse a cached stat
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    return (
+        tf.filter(F.col("tf") >= 3)
+        .join(F.broadcast(df_), "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        .orderBy("doc_id", "term")
+    )

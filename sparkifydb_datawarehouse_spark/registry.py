@@ -47,8 +47,10 @@ def load_all_modules() -> None:
         flagship,
         functions_pack,
         joins,
+        merge,
         parity,
         pivots,
+        skew,
         sorts,
         stats,
         udfs,

@@ -1,0 +1,70 @@
+"""Plan-quality gate: the physical properties that matter at 100 TB
+are asserted, not assumed — pushdown, pruning, join strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkifydb_datawarehouse_spark import registry
+from sparkifydb_datawarehouse_spark.plans import (
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+)
+from sparkifydb_datawarehouse_spark.tables import load_table
+
+registry.load_all_modules()
+
+
+def test_filter_reaches_parquet_scan(spark, sf_dir):
+    df = registry.QUERIES["q_filter_eq"](spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("EqualTo(event_type,purchase)" in f for f in filters), filters
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = registry.QUERIES["q_project_alias"](spark, sf_dir)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    # 3 of 6 orders columns requested → exactly 3 read
+    assert schemas[0].count(":") == 3, schemas[0]
+
+
+def test_flagship_broadcasts_all_dims(spark, sf_dir):
+    df = registry.QUERIES["q_flagship_revenue_by_region"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_range_join_stays_hash_based(spark, sf_dir):
+    """The residual range predicate must NOT demote the join to a
+    nested-loop/cartesian plan — the equi key keeps it hash-based."""
+    df = registry.QUERIES["q_join_range"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies, "expected a join in the plan"
+    assert not any(
+        s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
+    ), strategies
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    df = registry.QUERIES["q_join_semi"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:800]
+
+
+def test_sort_limit_is_take_ordered(spark, sf_dir):
+    df = registry.QUERIES["q_sort_limit"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_minhash_shuffle_carries_sketches_not_text(spark, sf_dir):
+    """The LSH pipeline's shuffles must move (band, band_sig, doc_id)
+    and sketch arrays — never the raw text column."""
+    df = registry.QUERIES["q_dedup_fuzzy_minhash"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
