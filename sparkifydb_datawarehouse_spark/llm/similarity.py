@@ -198,3 +198,77 @@ def similarity_batch_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .orderBy("query_id", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: assign every vector to its nearest centroid
+# (deterministic "training": centroids = the first 8 vectors), then
+# search only the query's cell. The classic coarse-quantizer trade:
+# recall bounded by nprobe=1, scan cost divided by n_cells. At 100 TB
+# the cell id becomes a partition key → file-level pruning, and
+# centroids come from a real k-means sample job.
+# Fully oracle-checked (assignment + search are plain SQL).
+# ---------------------------------------------------------------------------
+
+_N_CELLS = 8
+
+_DUCK_CELL_ASSIGN = f"""
+    SELECT v.vec_id, v.label, v.emb,
+           (SELECT c.vec_id FROM cents c
+            ORDER BY list_dot_product(v.emb, c.emb)
+                     / (SQRT(list_dot_product(v.emb, v.emb))
+                        * SQRT(list_dot_product(c.emb, c.emb))) DESC, c.vec_id
+            LIMIT 1) AS cell
+    FROM e v
+"""
+
+_ORACLE_IVF = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+     cents AS (SELECT vec_id, emb FROM e WHERE vec_id < {_N_CELLS}),
+     assigned AS ({_DUCK_CELL_ASSIGN}),
+     q AS (SELECT emb, cell FROM assigned WHERE vec_id = {_QUERY_VEC_ID})
+SELECT a.vec_id AS vec_id,
+       a.label AS label,
+       CAST(a.cell AS BIGINT) AS cell,
+       ROUND({_DUCK_COS}, 6) AS cos_sim
+FROM assigned a, q
+WHERE a.vec_id <> {_QUERY_VEC_ID} AND a.cell = q.cell
+ORDER BY cos_sim DESC, vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@query("q_similarity_ivf", oracle=_ORACLE_IVF)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
+    )
+    # assignment: cross join with the 8 broadcast centroids, argmax cosine
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cent_cos").desc(), F.col("cent_id")
+    )
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .withColumn("cent_cos", cosine(F.col("embedding"), F.col("cent_emb")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", F.col("cent_id").alias("cell"))
+    )
+    qvec = assigned.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("cell").alias("q_cell")
+    )
+    return (
+        assigned.filter(F.col("vec_id") != _QUERY_VEC_ID)
+        .join(F.broadcast(qvec), F.col("cell") == F.col("q_cell"))
+        .select(
+            "vec_id",
+            "label",
+            F.col("cell").cast("long").alias("cell"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(_TOP_K)
+    )

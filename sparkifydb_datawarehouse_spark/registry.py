@@ -44,6 +44,7 @@ def load_all_modules() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         asof,
+        composites,
         flagship,
         functions_pack,
         joins,
@@ -58,5 +59,5 @@ def load_all_modules() -> None:
     )
     from .llm import dedup, multimodal, similarity, textstats  # noqa: F401
     from .sources import csv_source  # noqa: F401
-    from .streaming import windows as stream_windows  # noqa: F401
+    from .streaming import stateful, windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401

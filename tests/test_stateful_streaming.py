@@ -1,0 +1,85 @@
+"""applyInPandasWithState: state must carry across micro-batches.
+
+The source is staged as TWO parquet files with maxFilesPerTrigger=1 →
+two micro-batches; the final cumulative totals per user must equal the
+single-pass batch aggregation.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkifydb_datawarehouse_spark.streaming import stateful
+from sparkifydb_datawarehouse_spark.streaming.windows import _EVENTS_RAW_SCHEMA
+from sparkifydb_datawarehouse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def two_batch_dir(spark, sf_dir):
+    d = os.path.join(tempfile.gettempdir(), "sparkifydb_two_batch_src")
+    shutil.rmtree(d, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    half = raw.count() // 2
+    raw.filter(F.col("event_id") < half).coalesce(1).write.parquet(os.path.join(d, "a"))
+    raw.filter(F.col("event_id") >= half).coalesce(1).write.parquet(os.path.join(d, "b"))
+    # flatten: file source watches one dir
+    for sub in ("a", "b"):
+        for f in os.listdir(os.path.join(d, sub)):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(d, sub, f), os.path.join(d, f"{sub}.parquet"))
+        shutil.rmtree(os.path.join(d, sub))
+    return d
+
+
+def test_state_carries_across_batches(spark, sf_dir, two_batch_dir):
+    stream = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    q = (
+        stateful.user_running_totals(stream)
+        .writeStream.format("memory")
+        .queryName("t_stateful")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = q.recentProgress
+    assert len(progress) >= 2, "expected at least two micro-batches"
+
+    # last emitted row per user == cumulative totals
+    out = spark.sql(
+        """
+        SELECT user_id, n_events, ROUND(total_value, 4) AS total_value
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC
+            ) AS rn
+            FROM t_stateful
+        ) WHERE rn = 1
+        """
+    )
+    expected = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    got = {(r["user_id"]): (r["n_events"], r["total_value"]) for r in out.collect()}
+    want = {(r["user_id"]): (r["n_events"], r["total_value"]) for r in expected.collect()}
+    assert got.keys() == want.keys()
+    for uid in want:
+        assert got[uid][0] == want[uid][0], f"user {uid} count"
+        assert abs(got[uid][1] - want[uid][1]) < 1e-6, f"user {uid} sum"
