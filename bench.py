@@ -35,9 +35,15 @@ HEADLINE = [
     "q_dedup_exact",                 # fingerprint groupBy
     "q_dedup_fuzzy_minhash",         # sketch + LSH band self-join
     "q_similarity_topk",             # brute-force cosine scan
+    "q_similarity_batch_knn",        # bucketed all-pairs kNN
     "q_text_quality",                # expression-heavy per-doc scoring
+    "q_text_tfidf",                  # tokenize + two aggs + broadcast join
     "q_stream_tumbling",             # event-time windowed agg (batch plan)
     "q_sparkify_songplays",          # reference-parity 3-key JSON join
+    "q_tpch_q3_shipping_priority",   # 3-way join + agg + top-k composite
+    "q_tpch_q10_returned_items",     # 4-way join + agg + top-k composite
+    "q_asof_join",                   # join + window as-of composition
+    "q_merge_upsert",                # full-outer-join upsert
 ]
 
 

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis) for operator invariants that
+must hold on ANY data, not just the fixtures: salting never changes
+results, merge respects source-wins/target-survives, cosine stays in
+[-1, 1], minhash signatures are permutation-stable for identical docs.
+
+Data strategy: hypothesis generates small row sets; Spark runs them
+through the same code paths the fixture queries use.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from pyspark.sql import functions as F
+
+_settings = settings(
+    max_examples=10,  # each example spins Spark jobs — keep the loop tight
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # key
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(rows=_rows)
+@_settings
+def test_salted_agg_equals_plain_agg(spark, rows):
+    from sparkifydb_datawarehouse_spark.operators.skew import salted_aggregate
+
+    df = spark.createDataFrame(
+        [(k, float(v), i) for i, (k, v) in enumerate(rows)], "key int, value double, rid long"
+    )
+    salted = {
+        r["key"]: (round(r["total_value"], 6), r["n_rows"])
+        for r in salted_aggregate(df, "key", "rid", {"sum": "value"}).collect()
+    }
+    plain = {
+        r["key"]: (round(r["s"], 6), r["n"])
+        for r in df.groupBy("key")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k in plain:
+        assert salted[k][1] == plain[k][1]
+        assert math.isclose(salted[k][0], plain[k][0], rel_tol=1e-9, abs_tol=1e-6)
+
+
+@given(
+    target_keys=st.sets(st.integers(0, 20), min_size=1, max_size=10),
+    source_keys=st.sets(st.integers(0, 20), min_size=1, max_size=10),
+)
+@_settings
+def test_merge_upsert_invariants(spark, target_keys, source_keys):
+    from sparkifydb_datawarehouse_spark.operators.merge import merge_upsert
+
+    target = spark.createDataFrame(
+        [(k, f"t{k}") for k in target_keys], "k int, payload string"
+    )
+    source = spark.createDataFrame(
+        [(k, f"s{k}") for k in source_keys], "k int, payload string"
+    )
+    merged = {r["k"]: r["payload"] for r in merge_upsert(target, source, "k", ["payload"]).collect()}
+    assert set(merged) == target_keys | source_keys, "no row lost, no row invented"
+    for k in source_keys:
+        assert merged[k] == f"s{k}", "source wins on collision"
+    for k in target_keys - source_keys:
+        assert merged[k] == f"t{k}", "unmatched target survives"
+
+
+@given(
+    a=st.lists(st.floats(-100, 100, allow_nan=False), min_size=4, max_size=4),
+    b=st.lists(st.floats(-100, 100, allow_nan=False), min_size=4, max_size=4),
+)
+@_settings
+def test_cosine_bounded(spark, a, b):
+    from sparkifydb_datawarehouse_spark.llm.dedup import cosine
+
+    # skip zero vectors (cosine undefined — engine yields NaN, as does SQL)
+    if all(x == 0 for x in a) or all(x == 0 for x in b):
+        return
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    (val,) = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]
+    if val is not None and not math.isnan(val):
+        assert -1.0000001 <= val <= 1.0000001
+
+
+@given(text=st.text(alphabet="abcdef ", min_size=10, max_size=60))
+@_settings
+def test_minhash_identical_docs_identical_sigs(spark, text):
+    from sparkifydb_datawarehouse_spark.llm.dedup import _minhash_signatures
+
+    df = spark.createDataFrame(
+        [(0, text), (1, text)], "doc_id long, text string"
+    )
+    sigs = {r["doc_id"]: r["sig"] for r in _minhash_signatures(df).collect()}
+    if len(sigs) == 2:  # both docs long enough to shingle
+        assert sigs[0] == sigs[1]

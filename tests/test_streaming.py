@@ -45,3 +45,12 @@ def test_stream_dedup_runs(spark, sf_dir):
     n = stream_result.count()
     n_batch = sw.dedup_stream(load_table(spark, sf_dir, "events")).count()
     assert n == n_batch > 0
+
+
+def test_stream_sliding_matches_batch(spark, sf_dir, batch_events):
+    stream_result = sw.run_stream_to_memory(
+        spark, sw.sliding_counts(sw.event_stream(spark, sf_dir)), "t_sliding"
+    )
+    batch_result = sw.sliding_counts(batch_events)
+    cols = ["window_start", "n_events"]
+    assert _as_sorted_tuples(stream_result, cols) == _as_sorted_tuples(batch_result, cols)
