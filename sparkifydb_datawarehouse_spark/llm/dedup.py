@@ -267,7 +267,7 @@ SELECT a.doc_id AS doc_a,
              / len(list_distinct(list_concat(a.shingles, b.shingles))), 6) AS jaccard
 FROM sh a
 JOIN sh b ON a.source = b.source
-         AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+         AND b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 100
 ORDER BY doc_a, doc_b
 """
 
@@ -286,7 +286,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             b,
             (F.col("a.source") == F.col("b.source"))
             & (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 5),
+            # window of 100 ids: fixture sources are src{doc_id % 20}, so
+            # same-source neighbors sit at id strides of 20 — a ±5 window
+            # would never match and the candidate set would be empty
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + 100),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -303,7 +306,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 # engines: dot/(|a||b|) over double-cast components).
 # ---------------------------------------------------------------------------
 
-_COS_THRESHOLD = 0.75
+# random 64-dim embeddings: neighbor cosine tops out ≈0.47 at sf0.01
+# (σ≈1/8) — 0.3 keeps the result non-empty-but-selective at every SF
+_COS_THRESHOLD = 0.3
 
 
 def _dot(a: Column, b: Column) -> Column:

@@ -26,8 +26,8 @@ FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 WHERE c.c_mktsegment = 'BUILDING'
-  AND o.o_orderdate < TIMESTAMP '2024-06-01'
-  AND l.l_shipdate > TIMESTAMP '2024-06-01'
+  AND o.o_orderdate < TIMESTAMP '1998-06-01'
+  AND l.l_shipdate > TIMESTAMP '1998-06-01'
 GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
 ORDER BY revenue DESC, order_key
 LIMIT 10
@@ -40,10 +40,10 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_mktsegment") == "BUILDING"
     )
     o = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") < "2024-06-01"
+        F.col("o_orderdate") < "1998-06-01"
     )
     li = load_table(spark, sf_dir, "lineitem").filter(
-        F.col("l_shipdate") > "2024-06-01"
+        F.col("l_shipdate") > "1998-06-01"
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)

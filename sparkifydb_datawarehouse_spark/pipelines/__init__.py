@@ -1,1 +1,1 @@
-"""(placeholder — populated in this round)"""
+"""Pipelines: end-to-end ELT flows (the Sparkify reference replica)."""

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Full value-level validation of every oracle-checked query — the
+strict local mirror of the driver's t2 gate (row count + column names
++ exact values after row/column sort), runnable at any scale factor:
+
+    python tools/validate.py [sf_dir]      # default /root/testdata/sf0.01
+
+Exit code 0 iff everything matches. Differences print per query with
+the first mismatching values.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sparkifydb_datawarehouse_spark import registry
+from sparkifydb_datawarehouse_spark.session import get_spark
+from sparkifydb_datawarehouse_spark.tables import TABLE_NAMES, table_path
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            sample = df[c].dropna()
+            if len(sample) and isinstance(sample.iloc[0], (datetime.date, datetime.datetime)):
+                df[c] = pd.to_datetime(df[c])
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype):
+            df[c] = df[c].dt.tz_convert("UTC").dt.tz_localize(None)
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[ns]").astype("int64")
+    return df.sort_values(by=list(df.columns), ignore_index=True)
+
+
+def compare(qid: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(s.columns) != sorted(d.columns):
+        return [f"columns {sorted(s.columns)} vs {sorted(d.columns)}"]
+    if len(s) != len(d):
+        return [f"rows {len(s)} vs {len(d)}"]
+    s, d = normalize(s), normalize(d)
+    for col in s.columns:
+        sv, dv = s[col].to_numpy(), d[col].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv, dv = sv.astype(float), dv.astype(float)
+            ok = np.isclose(sv, dv, rtol=1e-9, atol=1e-9) | (np.isnan(sv) & np.isnan(dv))
+        else:
+            ok = ~((sv != dv) & ~(pd.isna(s[col]).to_numpy() & pd.isna(d[col]).to_numpy()))
+        if not ok.all():
+            i = int(np.argmin(ok))
+            problems.append(f"{col}: row {i}: {sv[i]!r} vs {dv[i]!r}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    registry.load_all_modules()
+    spark = get_spark("validate")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+        )
+    failures = 0
+    for qid in sorted(registry.QUERIES):
+        try:
+            s = registry.QUERIES[qid](spark, sf_dir).toPandas()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR  {qid}: spark side: {exc}")
+            failures += 1
+            continue
+        if qid not in registry.ORACLE:
+            print(f"ROWS   {qid}: {len(s)} rows (no oracle)")
+            continue
+        try:
+            d = con.sql(registry.ORACLE[qid]).df()
+        except Exception as exc:  # noqa: BLE001
+            print(f"ERROR  {qid}: oracle side: {exc}")
+            failures += 1
+            continue
+        problems = compare(qid, s, d)
+        if problems:
+            failures += 1
+            print(f"FAIL   {qid}: " + "; ".join(problems[:3]))
+        else:
+            print(f"OK     {qid}: {len(s)} rows")
+    print(f"\n{'PASS' if failures == 0 else 'FAIL'}: {failures} failures, sf={sf_dir}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
