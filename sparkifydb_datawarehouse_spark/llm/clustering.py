@@ -1,0 +1,108 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph — the step that turns pairwise dedup hits into "keep one
+representative per cluster".
+
+Algorithm (Spark side): iterative min-label propagation — every vertex
+starts labeled with itself; each round every vertex takes the min of
+its own and its neighbors' labels; fixpoint = min reachable id =
+cluster id. The loop is driver-side but each round is one distributed
+join+aggregate; rounds needed = graph diameter (near-dup clusters are
+shallow — a handful of rounds). Each round persists its labels and
+unpersists the previous round's (lineage would otherwise grow
+exponentially — the standard iterative-algorithm discipline on Spark).
+
+Oracle: the same fixpoint via DuckDB WITH RECURSIVE reachability —
+an exact, engine-independent definition of the answer.
+
+At 100 TB: this is the Hash-to-Min pattern; for graphs with huge
+components switch to alternating large/small-star (GraphFrames'
+connectedComponents) — same external contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from .dedup import dedup_embedding_cosine
+
+_MAX_ROUNDS = 20
+
+
+def connected_components(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Min-label propagation to fixpoint. Returns (vertex, cluster_id)
+    for every vertex appearing in `edges`."""
+    bi = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionAll(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = bi.select(F.col("u").alias("vertex")).distinct().withColumn(
+        "cluster_id", F.col("vertex")
+    ).persist()
+    labels.count()
+
+    for _ in range(_MAX_ROUNDS):
+        neighbor_min = (
+            bi.join(labels, bi.v == labels.vertex)
+            .groupBy(F.col("u").alias("vertex"))
+            .agg(F.min("cluster_id").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "vertex", "left")
+            .select(
+                "vertex",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("neighbor_label"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "vertex")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    bi.unpersist()
+    return labels
+
+
+_ORACLE_CLUSTERS = """
+WITH RECURSIVE
+ edges AS (
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM e a
+    JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+    WHERE ROUND(list_dot_product(a.emb, b.emb)
+                / (SQRT(list_dot_product(a.emb, a.emb))
+                   * SQRT(list_dot_product(b.emb, b.emb))), 6) > 0.3
+ ),
+ bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+ verts AS (SELECT DISTINCT src AS v FROM bi),
+ reach(v, l) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT b.dst, r.l FROM reach r JOIN bi b ON b.src = r.v
+ )
+SELECT v AS vertex, MIN(l) AS cluster_id
+FROM reach
+GROUP BY v
+ORDER BY vertex
+"""
+
+
+@query("q_dedup_clusters", oracle=_ORACLE_CLUSTERS)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clusters over the embedding-cosine near-dup graph: every vertex
+    labeled by the smallest vec_id reachable from it."""
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    return connected_components(pairs, "vec_a", "vec_b").orderBy("vertex")

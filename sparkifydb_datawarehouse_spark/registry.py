@@ -57,7 +57,14 @@ def load_all_modules() -> None:
         udfs,
         windows,
     )
-    from .llm import dedup, grouped, multimodal, similarity, textstats  # noqa: F401
+    from .llm import (  # noqa: F401
+        clustering,
+        dedup,
+        grouped,
+        multimodal,
+        similarity,
+        textstats,
+    )
     from .sources import csv_source  # noqa: F401
     from .streaming import stateful, windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401

@@ -59,3 +59,16 @@ def test_minhash_smoke_on_fixture(spark, sf_dir):
     df = dedup.dedup_fuzzy_minhash(spark, sf_dir)
     assert df.columns == ["doc_a", "doc_b"]
     df.collect()
+
+
+def test_connected_components_chain_and_islands(spark):
+    """A chain 1-2-3 and an island 5-6 must form exactly two clusters
+    labeled by their minima."""
+    from sparkifydb_datawarehouse_spark.llm.clustering import connected_components
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
+    got = {
+        r["vertex"]: r["cluster_id"]
+        for r in connected_components(edges, "a", "b").collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
