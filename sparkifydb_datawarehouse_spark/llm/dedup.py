@@ -1,12 +1,14 @@
 """B16/B18 — deduplication: exact, MinHash+LSH, SimHash, n-gram
 Jaccard, embedding-cosine near-dup.
 
-Design: the sketching math (minhash signatures, simhash bit votes)
-is pure expression-level Spark — higher-order array functions over
-the token array, computed per-document with ZERO shuffle. The only
-shuffles are the final bucket-join / group-by steps, which carry
-sketches (bytes), not documents. That is the property that makes
-these runnable at 100 TB: the full text never crosses the network.
+Design: sketching = ONE interpreted higher-order pass to hash
+tokens/shingles, then explode + hash AGGREGATION for the per-document
+mins/bit-votes (whole-stage codegen with map-side combine — higher
+order lambdas are CodegenFallback and cost ~1µs/eval, so anything
+O(sketch_width × shingles) must be an aggregate, not a lambda). All
+shuffles carry sketches (a few hundred bytes/doc after partial agg),
+never documents. That is the property that makes these runnable at
+100 TB: the full text never crosses the network.
 
 Sketch hash = xxhash64 (Spark built-in, JVM-side). DuckDB has no
 xxhash64, so the sketch-based queries are rows-only; the set-exact
@@ -71,38 +73,68 @@ _N_MINHASH = 32
 _BAND_ROWS = 4  # 8 bands of 4 → LSH threshold ≈ (1/8)^(1/4) ≈ 0.59 Jaccard
 
 
-def _minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → 32-value minhash signature.
+def _shingle_hashes_exploded(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, h) — one row per 3-word shingle, h = 32-bit shingle hash.
 
-    Perf-critical shape (this was a 230s → ~2s fix at sf0.1): hash
-    each shingle STRING exactly once (xxhash64), then derive the k-th
-    "permutation" arithmetically (h * (2k+1) + k — odd multiplier, a
-    bijection mod 2^64) and take array_min per k. The three staged
-    selects matter: CollapseProject declines to inline non-cheap
-    expressions referenced many times, so shingling and base-hashing
-    each run once per row instead of once per k."""
+    One xxhash64 call per shingle over the three token strings directly
+    (no shingle-string concat, no per-shingle slice). Higher-order
+    lambdas are CodegenFallback (interpreted), so the design rule here
+    is ONE HOF pass over the tokens and nothing else; all later math is
+    column-level whole-stage codegen. The 64→32-bit fold happens AFTER
+    explode as a plain projection so the k-permutation multiply cannot
+    overflow a long under ANSI mode. Duplicate shingles are kept:
+    min() over a multiset equals min() over the set, so distinct-ing
+    would be pure cost."""
     # fixture tables arrive as ONE parquet file → one partition; fan the
     # compute-heavy sketching out to all cores first. (At 100 TB inputs
     # are many files and this repartition is a no-op to remove.)
     spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-    # NOTE deliberately NO row filter here: a filter on a derived column
-    # gets pushed below the repartition Exchange with the full shingle
-    # expression substituted in, recomputing the sketch single-threaded
-    # on the unsplit input (observed 5x slowdown). Docs with < n tokens
-    # produce an all-null signature; consumers drop them expression-side.
+    toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
     return (
-        spread.select("doc_id", _word_shingles(text_col).alias("shingles"))
-        .select("doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("hs"))
+        spread.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= 3)
         .select(
             "doc_id",
-            # fold the 64-bit hash into 32 bits before multiplying so the
-            # k-permutation (odd multiplier) can't overflow under ANSI mode
-            F.expr(
-                f"transform(sequence(0, {_N_MINHASH - 1}), "
-                "k -> array_min(transform(hs, "
-                "h -> ((shiftrightunsigned(h, 32) ^ h) & 4294967295) * (2 * k + 1) + k)))"
-            ).alias("sig"),
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(toks) - 3), "
+                    "i -> xxhash64(toks[i], toks[i+1], toks[i+2]))"
+                )
+            ).alias("h64"),
         )
+        .select(
+            "doc_id",
+            F.expr(
+                "(shiftrightunsigned(h64, 32) ^ h64) & 4294967295"
+            ).alias("h"),
+        )
+    )
+
+
+def _minhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → 32 minhash columns m0..m31 (one per arithmetic
+    "permutation" h * (2k+1) + k — odd multiplier, a bijection mod
+    2^64).
+
+    Perf-critical shape (230s → ~2s → ~1s at sf0.1 across rounds): the
+    32 permutation-mins run as partial+final hash AGGREGATION over the
+    exploded shingle rows — whole-stage codegen — instead of 32
+    interpreted array_min(transform(...)) lambda passes per document.
+    Map-side combine means the shuffle carries one 32-column row per
+    (doc_id, input partition), never the shingles."""
+    mins = [
+        F.min(F.col("h") * (2 * k + 1) + k).alias(f"m{k}") for k in range(_N_MINHASH)
+    ]
+    return _shingle_hashes_exploded(docs, text_col).groupBy("doc_id").agg(*mins)
+
+
+def _minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """doc_id → 32-value minhash signature array (docs with < 3 tokens
+    are absent). Thin array view over _minhash_wide for consumers that
+    want one column."""
+    wide = _minhash_wide(docs, text_col)
+    return wide.select(
+        "doc_id", F.array(*[f"m{k}" for k in range(_N_MINHASH)]).alias("sig")
     )
 
 
@@ -115,31 +147,26 @@ def _minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 @query("q_dedup_fuzzy_minhash")  # rows-only: Spark-internal hash function
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    with_sig = _minhash_signatures(docs)
+    wide = _minhash_wide(docs)
 
-    # Band signature = xxhash64 over the band's 4 minhash values — a
-    # single hash call per band vs slice+transform+concat_ws string
-    # building (which cost ~5x the signature computation itself when
-    # interpreted). 64-bit collisions only add candidate pairs.
+    # Band signature = xxhash64 over the band's 4 minhash COLUMNS — a
+    # single hash call per band, emitted via the stack() generator
+    # (codegen) rather than building an array of structs and exploding.
+    # 64-bit collisions only add candidate pairs. Short docs never
+    # reach here (dropped before the shingle explode), so no null-hash
+    # bucket can form.
     n_bands = _N_MINHASH // _BAND_ROWS
-    band_exprs = ", ".join(
-        "struct({b} AS band, xxhash64({elems}) AS band_sig)".format(
+    stack_args = ", ".join(
+        "{b}, xxhash64({cols})".format(
             b=b,
-            elems=", ".join(
-                f"sig[{b * _BAND_ROWS + r}]" for r in range(_BAND_ROWS)
-            ),
+            cols=", ".join(f"m{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)),
         )
         for b in range(n_bands)
     )
-    banded = with_sig.select(
+    banded = wide.select(
         "doc_id",
-        # empty-shingle docs have sig = [null, ...]: give them zero bands
-        # (exploding an empty array emits no rows) instead of letting
-        # them all collide in a null-hash bucket
-        F.explode(
-            F.expr(f"IF(sig[0] IS NULL, array(), array({band_exprs}))")
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.band_sig")
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_sig)"),
+    )
 
     # Pairs via groupBy + in-expression combination generation — ONE
     # shuffle and one signature computation, vs a self-join that
@@ -177,29 +204,32 @@ _HAMMING_MAX = 12
 @query("q_dedup_simhash")  # rows-only: Spark-internal hash function
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Bit votes need shiftleft/shiftrightunsigned with expression
-    # (non-literal) shift amounts — pyspark's wrappers only take int
-    # literals, so the sketch is one SQL expression (same codegen).
-    simhash = F.expr(
-        r"""
-        aggregate(
-            sequence(0, 63),
-            0L,
-            (acc, b) -> acc | IF(
-                aggregate(
-                    transform(filter(split(lower(text), '\\s+'), t -> t != ''),
-                              t -> xxhash64(t)),
-                    0L,
-                    (v, h) -> v + IF((shiftrightunsigned(h, b) & 1) = 1, 1L, -1L)
-                ) > 0,
-                shiftleft(1L, b),
-                0L
-            )
-        )
-        """
-    )
+    # Bit votes as 64 SUM aggregates over exploded token hashes —
+    # whole-stage codegen partial+final agg — instead of a 64-round
+    # interpreted fold that re-tokenized the document per bit. Bit b of
+    # the sketch is set iff more than half the token hashes have bit b
+    # set: sum((h >> b) & 1) * 2 > n_tokens.
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    sketched = spread.filter(F.length("text") > 0).select("doc_id", simhash.alias("simhash"))
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    tok_hashes = (
+        spread.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.expr("transform(toks, t -> xxhash64(t))")).alias("h"),
+        )
+    )
+    bit_sums = tok_hashes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        *[
+            F.sum(F.expr(f"shiftrightunsigned(h, {b}) & 1")).alias(f"b{b}")
+            for b in range(64)
+        ],
+    )
+    simhash = F.expr(
+        " | ".join(f"IF(b{b} * 2 > n_tok, shiftleft(1L, {b}), 0L)" for b in range(64))
+    )
+    sketched = bit_sums.select("doc_id", simhash.alias("simhash"))
 
     chunks = sketched.select(
         "doc_id",
