@@ -1,0 +1,136 @@
+"""Data profiling & mergeable cardinality sketches — the "what is in
+this corpus" pass that precedes any training-data job.
+
+Two shapes:
+- q_profile_columns: one-pass per-column profile (rows, nulls,
+  distincts, min/max, avg length) emitted as a narrow
+  (column_name, metric...) table. All metrics for all columns compute
+  in a SINGLE aggregate over one scan — never one job per column
+  (df.describe()-style per-column passes read the data N times).
+- q_agg_hll_sketch: Apache DataSketches HLL via Spark 4's
+  hll_sketch_agg / hll_union_agg. The scale property being exercised:
+  sketches are MERGEABLE — each partition/group builds its own fixed
+  -size (KB) sketch and union is associative, so a 100 TB corpus's
+  per-day sketches roll up to any coarser grain without rescanning
+  data. rows-only (DuckDB's HLL implementation differs); accuracy is
+  bounds-tested in tests/test_profiling.py against exact counts.
+
+Reference repo has no profiling surface (sql_queries.py is its entire
+query surface) — Part-B mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_ORACLE_PROFILE = """
+WITH m AS (
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_rows,
+      CAST(COUNT(doc_id) AS BIGINT) AS nn_doc_id,
+      CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd_doc_id,
+      CAST(COUNT(text) AS BIGINT) AS nn_text,
+      CAST(COUNT(DISTINCT text) AS BIGINT) AS nd_text,
+      ROUND(AVG(LENGTH(text)), 4) AS avglen_text,
+      CAST(COUNT(lang) AS BIGINT) AS nn_lang,
+      CAST(COUNT(DISTINCT lang) AS BIGINT) AS nd_lang,
+      MIN(lang) AS min_lang, MAX(lang) AS max_lang,
+      CAST(COUNT(source) AS BIGINT) AS nn_source,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS nd_source,
+      MIN(source) AS min_source, MAX(source) AS max_source,
+      CAST(COUNT(n_chars) AS BIGINT) AS nn_n_chars,
+      CAST(COUNT(DISTINCT n_chars) AS BIGINT) AS nd_n_chars,
+      CAST(MIN(n_chars) AS VARCHAR) AS min_n_chars,
+      CAST(MAX(n_chars) AS VARCHAR) AS max_n_chars
+    FROM documents
+)
+SELECT * FROM (
+  SELECT 'doc_id' AS column_name, n_rows, n_rows - nn_doc_id AS n_nulls,
+         nd_doc_id AS n_distinct, CAST(NULL AS VARCHAR) AS min_value,
+         CAST(NULL AS VARCHAR) AS max_value, CAST(NULL AS DOUBLE) AS avg_length
+  FROM m
+  UNION ALL
+  SELECT 'text', n_rows, n_rows - nn_text, nd_text, NULL, NULL, avglen_text FROM m
+  UNION ALL
+  SELECT 'lang', n_rows, n_rows - nn_lang, nd_lang, min_lang, max_lang, NULL FROM m
+  UNION ALL
+  SELECT 'source', n_rows, n_rows - nn_source, nd_source, min_source, max_source, NULL FROM m
+  UNION ALL
+  SELECT 'n_chars', n_rows, n_rows - nn_n_chars, nd_n_chars, min_n_chars, max_n_chars, NULL FROM m
+) ORDER BY column_name
+"""
+
+
+@query("q_profile_columns", oracle=_ORACLE_PROFILE)
+def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile of the documents table: one scan, one aggregate, then a
+    stack() to narrow form. min/max only where they are meaningful and
+    engine-portable (strings, ints); text min/max skipped (huge values
+    serve no profiling purpose), doc_id min/max skipped (id range is
+    not a data-quality signal)."""
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("doc_id").alias("nn_doc_id"),
+        F.count_distinct(F.col("doc_id")).alias("nd_doc_id"),
+        F.count("text").alias("nn_text"),
+        F.count_distinct(F.col("text")).alias("nd_text"),
+        F.round(F.avg(F.length("text")), 4).alias("avglen_text"),
+        F.count("lang").alias("nn_lang"),
+        F.count_distinct(F.col("lang")).alias("nd_lang"),
+        F.min("lang").alias("min_lang"),
+        F.max("lang").alias("max_lang"),
+        F.count("source").alias("nn_source"),
+        F.count_distinct(F.col("source")).alias("nd_source"),
+        F.min("source").alias("min_source"),
+        F.max("source").alias("max_source"),
+        F.count("n_chars").alias("nn_n_chars"),
+        F.count_distinct(F.col("n_chars")).alias("nd_n_chars"),
+        F.min("n_chars").cast("string").alias("min_n_chars"),
+        F.max("n_chars").cast("string").alias("max_n_chars"),
+    )
+    null_s = "CAST(NULL AS STRING)"
+    null_d = "CAST(NULL AS DOUBLE)"
+    rows = m.select(
+        F.expr(
+            "stack(5, "
+            f"'doc_id',  n_rows, n_rows - nn_doc_id,  nd_doc_id,  {null_s}, {null_s}, {null_d}, "
+            f"'text',    n_rows, n_rows - nn_text,    nd_text,    {null_s}, {null_s}, avglen_text, "
+            f"'lang',    n_rows, n_rows - nn_lang,    nd_lang,    min_lang, max_lang, {null_d}, "
+            f"'source',  n_rows, n_rows - nn_source,  nd_source,  min_source, max_source, {null_d}, "
+            f"'n_chars', n_rows, n_rows - nn_n_chars, nd_n_chars, min_n_chars, max_n_chars, {null_d}"
+            ") AS (column_name, n_rows, n_nulls, n_distinct, min_value, max_value, avg_length)"
+        )
+    )
+    return rows.orderBy("column_name")
+
+
+@query("q_agg_hll_sketch")  # rows-only: DataSketches HLL internals are Spark-specific
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers per order-month as mergeable HLL sketches,
+    plus the sketch-union total. The per-month estimate and the
+    union-of-sketches estimate come from ONE pass: the union proves
+    rollup-without-rescan (the 100 TB property). lgConfigK=14 →
+    ~0.8% relative standard error at any cardinality."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_custkey",
+        )
+        .groupBy("order_month")
+        .agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    )
+    per_month = monthly.select(
+        "order_month",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    total = monthly.agg(
+        F.lit("ALL").alias("order_month"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+    )
+    return per_month.unionByName(total).orderBy("order_month")

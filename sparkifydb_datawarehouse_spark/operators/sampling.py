@@ -1,0 +1,158 @@
+"""Deterministic sampling & dataset splitting — the selection ops a
+training-data pipeline runs before anything else: carve a reproducible
+sample for eyeballing/evals, split a corpus into train/val/test, and
+sample per-stratum at controlled rates.
+
+Why HASH-based, not rand()-based: `df.sample()` draws from a seeded
+RNG per partition, so membership depends on partitioning and row
+order — rerun after a repartition and the sample changes. Hashing a
+stable business key makes membership a pure function of the ROW:
+reproducible across runs, engines, cluster sizes, and data layout
+changes, and it never needs a shuffle — the sample predicate is a
+scan-level filter that whole-stage codegen evaluates inline. That is
+the only sampling discipline that survives a 100 TB corpus rebuilt
+weekly (and it's what makes an exact DuckDB oracle possible at all).
+
+Portable hash: both engines compute md5 identically; the first 15 hex
+chars (60 bits) parsed as an integer give a uniform bucket id that
+Spark (`conv(substr(md5(k),1,15),16,10)`) and DuckDB
+(`('0x' || substr(md5(k),1,15))::BIGINT`) agree on bit-for-bit.
+In production you'd swap md5 for xxhash64 (cheaper, JVM-side) — the
+plan shape is identical; md5 here buys the cross-engine oracle.
+
+Reference has no sampling anywhere (its whole surface is 7 SQL DDL +
+7 queries, /root/reference/sql_queries.py) — this is Part-B surface
+mandated by BASELINE.json's training-pipeline north star.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_BUCKETS = 1000
+
+
+def hash_bucket(key: Column) -> Column:
+    """Deterministic uniform bucket in [0, 1000) from a string key —
+    identical in Spark and DuckDB (see module docstring)."""
+    return (F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long") % _BUCKETS)
+
+
+def _duck_bucket(key_sql: str) -> str:
+    return f"(('0x' || substr(md5({key_sql}), 1, 15))::BIGINT % {_BUCKETS})"
+
+
+# ---------------------------------------------------------------------------
+# Deterministic row sample: 5% of lineitem by composite business key.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SAMPLE = f"""
+SELECT l_orderkey AS order_key,
+       l_linenumber AS line_number,
+       l_quantity AS quantity
+FROM lineitem
+WHERE {_duck_bucket("l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR")} < 50
+ORDER BY order_key, line_number
+"""
+
+
+@query("q_sample_hash", oracle=_ORACLE_SAMPLE)
+def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5% deterministic sample. The predicate sits directly on the
+    scan (no shuffle, no RNG state); the same rows come back on every
+    run at every scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    key = F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+    return (
+        li.filter(hash_bucket(key) < 50)
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.col("l_quantity").alias("quantity"),
+        )
+        .orderBy("order_key", "line_number")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/val/test split: 80/10/10 by document key, plus a split audit.
+# Assignment must be per-row deterministic so that regenerating the
+# corpus never migrates a document between splits (train-on-test
+# contamination). Returns the per-split, per-language audit counts —
+# the thing you actually look at before training.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SPLIT = f"""
+WITH assigned AS (
+    SELECT lang,
+           CASE
+             WHEN {_duck_bucket("doc_id::VARCHAR")} < 800 THEN 'train'
+             WHEN {_duck_bucket("doc_id::VARCHAR")} < 900 THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+)
+SELECT split, lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+
+@query("q_train_test_split", oracle=_ORACLE_SPLIT)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id").cast("string"))
+    split = (
+        F.when(b < 800, "train").when(b < 900, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "lang")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: per-language rates (downsample the dominant
+# language, keep the tail). The rate table is a broadcast map — at
+# 100 TB this is the standard "rebalance the language mix" pass, and
+# it stays a pure scan-side filter: no shuffle, no per-group state.
+# ---------------------------------------------------------------------------
+
+_RATES = {"en": 200, "de": 1000, "es": 1000, "fr": 1000, "zh": 500}  # per-1000
+_DEFAULT_RATE = 1000
+
+_ORACLE_STRATIFIED = f"""
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE {_duck_bucket("doc_id::VARCHAR")} <
+      CASE lang WHEN 'en' THEN 200 WHEN 'zh' THEN 500 ELSE 1000 END
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_sample_stratified", oracle=_ORACLE_STRATIFIED)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in _RATES.items()],
+        F.lit(_DEFAULT_RATE),
+    )
+    return (
+        docs.filter(hash_bucket(F.col("doc_id").cast("string")) < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -54,6 +54,8 @@ def load_all_modules() -> None:
         skew,
         sorts,
         stats,
+        profiling,
+        sampling,
         udfs,
         windows,
     )
@@ -65,6 +67,7 @@ def load_all_modules() -> None:
         similarity,
         textstats,
     )
-    from .sources import csv_source  # noqa: F401
+    from .sources import csv_source, orc_source  # noqa: F401
+    from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import stateful, windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401

@@ -68,3 +68,15 @@ def test_bucketed_table_join_no_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_threshold)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_orc_scan_pushes_filter(spark, sf_dir):
+    """The ORC roundtrip query must push its predicate into the scan
+    (stripe-level skipping), not filter after a full read."""
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES["q_scan_orc"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "GreaterThan(s_acctbal,0" in plan, plan[:1200]

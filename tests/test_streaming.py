@@ -54,3 +54,18 @@ def test_stream_sliding_matches_batch(spark, sf_dir, batch_events):
     batch_result = sw.sliding_counts(batch_events)
     cols = ["window_start", "n_events"]
     assert _as_sorted_tuples(stream_result, cols) == _as_sorted_tuples(batch_result, cols)
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events):
+    from sparkifydb_datawarehouse_spark.streaming import joins as sj
+
+    sv, sp = sj.split_events(sw.event_stream(spark, sf_dir))
+    stream_result = sw.run_stream_to_memory(
+        spark, sj.view_purchase_join(sv, sp), "t_ss_join"
+    )
+    bv, bp = sj.split_events(batch_events)
+    batch_result = sj.view_purchase_join(bv, bp)
+    cols = ["user_id", "view_id", "purchase_id", "purchase_ts", "purchase_value"]
+    got = _as_sorted_tuples(stream_result, cols)
+    assert got == _as_sorted_tuples(batch_result, cols)
+    assert len(got) > 0
