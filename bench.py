@@ -34,11 +34,17 @@ HEADLINE = [
     "q_sort_limit",                  # TakeOrderedAndProject
     "q_dedup_exact",                 # fingerprint groupBy
     "q_dedup_fuzzy_minhash",         # sketch + LSH band self-join
+    "q_dedup_simhash",               # 64-bit bit-vote sketch + chunk buckets
+    "q_dedup_clusters",              # iterative connected components
     "q_similarity_topk",             # brute-force cosine scan
     "q_similarity_batch_knn",        # bucketed all-pairs kNN
+    "q_similarity_ivf",              # IVF coarse-quantizer ANN
     "q_text_quality",                # expression-heavy per-doc scoring
     "q_text_tfidf",                  # tokenize + two aggs + broadcast join
+    "q_sample_hash",                 # deterministic hash sample (scan filter)
+    "q_profile_columns",             # one-pass multi-column profile
     "q_stream_tumbling",             # event-time windowed agg (batch plan)
+    "q_stream_stream_join",          # watermarked interval join (batch plan)
     "q_sparkify_songplays",          # reference-parity 3-key JSON join
     "q_tpch_q3_shipping_priority",   # 3-way join + agg + top-k composite
     "q_tpch_q10_returned_items",     # 4-way join + agg + top-k composite

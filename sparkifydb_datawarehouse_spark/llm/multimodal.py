@@ -32,6 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -135,3 +136,98 @@ def decode_image(blob: bytes):  # pragma: no cover - codec gate
     from PIL import Image
 
     return Image.open(io.BytesIO(blob))
+
+
+# ---------------------------------------------------------------------------
+# Resize: binary in → binary out with recomputed metadata. The
+# deterministic fake "resample" keeps every k-th payload byte; a real
+# codec swaps only the body of _resize_batch. The Spark-side contract
+# under test: media columns survive a pandas round trip, metadata
+# struct is rebuilt typed, and payload size actually shrinks.
+# ---------------------------------------------------------------------------
+
+_RESIZE_MAX_DIM = 16
+
+_RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+    ]
+)
+
+
+def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            blob = bytes(media)
+            w = int.from_bytes(blob[4:6], "big")
+            h = int.from_bytes(blob[6:8], "big")
+            scale = max(w, h) / _RESIZE_MAX_DIM
+            if scale <= 1:
+                nw, nh, payload = w, h, blob[8:]
+            else:
+                nw = max(1, int(w / scale))
+                nh = max(1, int(h / scale))
+                step = max(1, int(scale))
+                payload = blob[8:][::step]  # deterministic fake resample
+            nb = _MAGIC + nw.to_bytes(2, "big") + nh.to_bytes(2, "big") + payload
+            out.append((int(doc_id), nb, nw, nh, len(nb)))
+        yield pd.DataFrame(out, columns=[f.name for f in _RESIZED_SCHEMA.fields])
+
+
+@query("q_multimodal_resize")  # rows-only: binary plumbing, no SQL analog
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize every fake image to fit a 16px box; returns the resized
+    binary plus its new metadata (payload bytes stay in the row only
+    until the next projection — callers selecting metadata columns
+    never shuffle the blobs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    resized = media.mapInPandas(_resize_batch, schema=_RESIZED_SCHEMA)
+    return resized.select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: one media row → N frame rows (the 1→many shape that
+# makes mapInPandas the right operator — a scalar UDF cannot change
+# cardinality). Fake video = payload split into fixed 32-byte frames;
+# sample every 4th. Real decoder swaps the frame iterator only.
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 32
+_FRAME_STRIDE = 4
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame_checksum", LongType()),
+    ]
+)
+
+
+def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            payload = bytes(media)[8:]
+            n_frames = len(payload) // _FRAME_BYTES
+            for i in range(0, n_frames, _FRAME_STRIDE):
+                frame = payload[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                out.append((int(doc_id), i, sum(frame)))
+        yield pd.DataFrame(out, columns=[f.name for f in _FRAME_SCHEMA.fields])
+
+
+@query("q_multimodal_frames")  # rows-only: binary plumbing, no SQL analog
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample every 4th 32-byte 'frame' of each fake video payload —
+    one output row per sampled frame."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = attach_fake_media(docs)
+    return media.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_no"
+    )

@@ -32,3 +32,30 @@ def test_checksum_matches_python(spark, sf_dir):
 def test_decode_image_stub_raises():
     with pytest.raises(NotImplementedError, match="codec"):
         multimodal.decode_image(b"\x89PNG\r\n")
+
+
+def test_resize_fits_box_and_shrinks(spark, sf_dir):
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["q_multimodal_resize"](spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["width"] <= 16 and 1 <= r["height"] <= 16
+        assert r["n_bytes"] >= 8  # header survives
+
+
+def test_frame_sampling_strides(spark, sf_dir):
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES["q_multimodal_frames"](spark, sf_dir)
+    rows = df.collect()
+    assert len(rows) > 0
+    # frame numbers are multiples of the stride, per doc
+    assert all(r["frame_no"] % 4 == 0 for r in rows)
+    # at least one doc yields multiple frames (payloads are ~100s of bytes)
+    from collections import Counter
+
+    per_doc = Counter(r["doc_id"] for r in rows)
+    assert max(per_doc.values()) > 1
