@@ -134,3 +134,38 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
     )
     return per_month.unionByName(total).orderBy("order_month")
+
+
+# ---------------------------------------------------------------------------
+# Length histogram: fixed-width buckets over document char lengths —
+# the distribution check before filtering a corpus by length. One
+# scan + one tiny agg; bucket arithmetic is identical in both engines
+# (floor over non-negative values).
+# ---------------------------------------------------------------------------
+
+_BUCKET_WIDTH = 100
+
+_ORACLE_HISTOGRAM = f"""
+SELECT CAST(FLOOR(n_chars / {_BUCKET_WIDTH}) AS BIGINT) * {_BUCKET_WIDTH} AS bucket_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM documents
+GROUP BY 1
+ORDER BY bucket_lo
+"""
+
+
+@query("q_histogram_lengths", oracle=_ORACLE_HISTOGRAM)
+def histogram_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / _BUCKET_WIDTH) * _BUCKET_WIDTH).cast("long")
+    return (
+        docs.groupBy(bucket.alias("bucket_lo"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .orderBy("bucket_lo")
+    )

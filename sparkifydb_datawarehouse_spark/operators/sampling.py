@@ -156,3 +156,49 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle: a stable pseudorandom permutation by
+# ordering on the portable hash. Training pipelines need the corpus
+# order decorrelated from ingest order (source/time clumping biases
+# batches) but REPRODUCIBLE across reruns — exactly the rand()-vs-hash
+# trade again. At scale this is a range-partitioned sort on a uniform
+# key: balanced partitions for free, and epoch N uses salt=N for a
+# fresh-but-reproducible order.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SHUFFLE = f"""
+SELECT shuffle_pos, doc_id, source
+FROM (
+    SELECT doc_id, source,
+           ROW_NUMBER() OVER (
+               ORDER BY {_duck_bucket("'epoch1#' || doc_id::VARCHAR")}, doc_id
+           ) AS shuffle_pos
+    FROM documents
+)
+WHERE shuffle_pos <= 100
+ORDER BY shuffle_pos
+"""
+
+
+@query("q_shuffle_deterministic", oracle=_ORACLE_SHUFFLE)
+def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 100 positions of the epoch-1 shuffled corpus order.
+    doc_id tiebreak makes the order total (hash collisions across
+    1000 buckets are routine)."""
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(F.lit("epoch1#"), F.col("doc_id").cast("string"))
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(hash_bucket(key), F.col("doc_id"))
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).alias("shuffle_pos"),
+        )
+        .filter(F.col("shuffle_pos") <= 100)
+        .select("shuffle_pos", "doc_id", "source")
+        .orderBy("shuffle_pos")
+    )

@@ -64,6 +64,7 @@ def load_all_modules() -> None:
         dedup,
         grouped,
         multimodal,
+        packing,
         similarity,
         textstats,
     )

