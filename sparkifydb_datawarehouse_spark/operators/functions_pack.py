@@ -213,3 +213,45 @@ def misc_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("right(p_name, 3)").alias("name_right"),
         F.repeat("p_brand", 2).alias("brand_twice"),
     ).orderBy("part_key")
+
+
+# ---------------------------------------------------------------------------
+# B14 — map functions: construction (from_json as map type +
+# map_concat), lookup (element_at), structure (map_keys), and
+# map-level higher-order ops (map_filter, transform_values). The
+# oracle reconstructs every output from the underlying JSON/scalars —
+# map semantics themselves are engine-internal, their RESULTS are not.
+# ---------------------------------------------------------------------------
+
+_ORACLE_MAP = """
+SELECT event_id,
+       'k,type_len' AS key_list,
+       CAST(props->>'k' AS BIGINT) AS k_value,
+       CAST(LENGTH(event_type) AS BIGINT) AS type_len,
+       CAST((CASE WHEN CAST(props->>'k' AS BIGINT) > 50 THEN 1 ELSE 0 END)
+            + (CASE WHEN LENGTH(event_type) > 50 THEN 1 ELSE 0 END) AS INT)
+           AS n_big_values,
+       CAST(props->>'k' AS BIGINT) * 2 AS k_doubled
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("q_map_funcs", oracle=_ORACLE_MAP)
+def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    m2 = F.map_concat(
+        m, F.create_map(F.lit("type_len"), F.length("event_type").cast("long"))
+    )
+    with_map = ev.select("event_id", m2.alias("m"))
+    return with_map.select(
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.map_keys("m"))).alias("key_list"),
+        F.element_at("m", "k").alias("k_value"),
+        F.element_at("m", "type_len").alias("type_len"),
+        F.size(F.map_filter("m", lambda k, v: v > 50)).alias("n_big_values"),
+        F.element_at(
+            F.transform_values("m", lambda k, v: v * 2), "k"
+        ).alias("k_doubled"),
+    ).orderBy("event_id")
