@@ -196,6 +196,14 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash: 64-bit bit-vote sketch; candidates share one of four
 # 16-bit chunks, verified with bit_count(xor) <= hamming threshold.
 # rows-only (xxhash64).
+#
+# Scale note (measured in SCALING.md): 16-bit chunks give 65536
+# buckets per chunk; expected bucket depth is corpus/65536, and pair
+# generation is quadratic in depth. Keep chunk bits ≈ log2(corpus
+# size) + margin so depth stays O(1) — at 500k docs the quadratic
+# term is already visible (9.7× cost at 10× data). Widening chunks
+# lowers recall per the pigeonhole bound exactly like removing LSH
+# bands; compensate with a second hash family if recall matters.
 # ---------------------------------------------------------------------------
 
 _HAMMING_MAX = 12
