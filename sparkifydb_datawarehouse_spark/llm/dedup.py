@@ -218,14 +218,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the sketch is set iff more than half the token hashes have bit b
     # set: sum((h >> b) & 1) * 2 > n_tokens.
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    # explode THEN hash: explode is a codegen generator and xxhash64 a
+    # plain column function, so tokenization+hashing has no interpreted
+    # higher-order lambda at all (unlike shingling, token hashing needs
+    # no adjacency, so the pure-explode path is available).
     tok_hashes = (
-        spread.select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") > 0)
-        .select(
-            "doc_id",
-            F.explode(F.expr("transform(toks, t -> xxhash64(t))")).alias("h"),
+        spread.select(
+            "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
         )
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.xxhash64("tok").alias("h"))
     )
     bit_sums = tok_hashes.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tok"),
@@ -239,13 +241,22 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sketched = bit_sums.select("doc_id", simhash.alias("simhash"))
 
+    # Adaptive chunk width (the SCALING.md finding): expected bucket
+    # depth = corpus / 2^chunk_bits and pair generation is quadratic
+    # in depth, so chunk_bits must grow with the corpus. count() here
+    # is parquet-footer metadata, not a scan.
+    n_docs = docs.count()
+    n_chunks = 4 if n_docs <= 200_000 else 2
+    chunk_bits = 64 // n_chunks
+    mask = (1 << chunk_bits) - 1
     chunks = sketched.select(
         "doc_id",
         "simhash",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), c -> struct("
-                "c AS chunk, shiftrightunsigned(simhash, c * 16) & 65535 AS chunk_val))"
+                f"transform(sequence(0, {n_chunks - 1}), c -> struct("
+                f"c AS chunk, "
+                f"shiftrightunsigned(simhash, c * {chunk_bits}) & {mask} AS chunk_val))"
             )
         ).alias("cc"),
     ).select("doc_id", "simhash", "cc.chunk", "cc.chunk_val")

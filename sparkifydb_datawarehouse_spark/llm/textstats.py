@@ -264,3 +264,81 @@ def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing — redact emails / phone-shaped numbers / long digit
+# runs before a corpus is trainable. Pure regexp_replace chain: stays
+# in whole-stage codegen, no shuffle at all (a map-only pass at any
+# scale). The fixture corpus carries no PII, so the query INJECTS
+# deterministic PII into a slice of documents first (doc_id % 7 == 0)
+# and then scrubs everything — proving both the detector hit-rate
+# accounting and the redaction. The regex subset used ([A-Za-z0-9._%+-]
+# classes, {m,n} counts, word boundaries via explicit delimiters) is
+# identical in Java regex (Spark) and RE2-ish DuckDB syntax.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+?[0-9]{3}[- .][0-9]{3}[- .][0-9]{4}"
+
+_ORACLE_SCRUB = f"""
+WITH seeded AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0
+                THEN text || ' contact me at user' || doc_id
+                     || '@example.com or +1 555-867-530' || (doc_id % 10)
+                ELSE text END AS text
+    FROM documents
+),
+scrubbed AS (
+    SELECT doc_id, text,
+           regexp_matches(text, '{_EMAIL_RE}') AS has_email,
+           regexp_matches(text, '{_PHONE_RE}') AS has_phone,
+           regexp_replace(
+               regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+               '{_PHONE_RE}', '<PHONE>', 'g') AS clean
+    FROM seeded
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN has_email THEN 1 ELSE 0 END) AS BIGINT) AS n_email_docs,
+       CAST(SUM(CASE WHEN has_phone THEN 1 ELSE 0 END) AS BIGINT) AS n_phone_docs,
+       CAST(SUM(CASE WHEN regexp_matches(clean, '{_EMAIL_RE}')
+                      OR regexp_matches(clean, '{_PHONE_RE}')
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaks_after,
+       CAST(SUM(LENGTH(text) - LENGTH(clean)) AS BIGINT) AS chars_removed
+FROM scrubbed
+"""
+
+
+@query("q_text_pii_scrub", oracle=_ORACLE_SCRUB)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    seeded_text = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1 555-867-530"),
+            (F.col("doc_id") % 10).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
+    seeded = docs.select("doc_id", seeded_text.alias("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    scrubbed = seeded.select(
+        "doc_id",
+        "text",
+        F.col("text").rlike(_EMAIL_RE).alias("has_email"),
+        F.col("text").rlike(_PHONE_RE).alias("has_phone"),
+        clean.alias("clean"),
+    )
+    leak = F.col("clean").rlike(_EMAIL_RE) | F.col("clean").rlike(_PHONE_RE)
+    return scrubbed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("has_email").cast("long")).alias("n_email_docs"),
+        F.sum(F.col("has_phone").cast("long")).alias("n_phone_docs"),
+        F.sum(leak.cast("long")).alias("n_leaks_after"),
+        F.sum(F.length("text") - F.length("clean")).alias("chars_removed"),
+    )
