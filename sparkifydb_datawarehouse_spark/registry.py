@@ -54,6 +54,7 @@ def load_all_modules() -> None:
         skew,
         sorts,
         stats,
+        subqueries,
         profiling,
         sampling,
         udfs,
