@@ -68,3 +68,19 @@ def test_minhash_shuffle_carries_sketches_not_text(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    """Correlated EXISTS must plan as a semi join, never a per-row
+    subquery loop."""
+    df = registry.QUERIES["q_subquery_exists"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:800]
+
+
+def test_lateral_topk_has_no_cartesian(spark, sf_dir):
+    """The correlated LATERAL aggregate must decorrelate — a
+    CartesianProduct in the plan means per-outer-row re-execution."""
+    df = registry.QUERIES["q_lateral_topk"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:800]
