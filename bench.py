@@ -48,6 +48,11 @@ HEADLINE = [
     "q_sparkify_songplays",          # reference-parity 3-key JSON join
     "q_tpch_q3_shipping_priority",   # 3-way join + agg + top-k composite
     "q_tpch_q10_returned_items",     # 4-way join + agg + top-k composite
+    "q_tpch_q1_pricing_summary",     # scan-bound full agg
+    "q_tpch_q5_local_supplier",      # 6-table star join
+    "q_tpch_q6_forecast_revenue",    # pure pushdown scan + scalar agg
+    "q_tpch_q18_large_customers",    # aggregate-then-semijoin
+    "q_sessionize_gap",              # two-window sessionization, one shuffle
     "q_asof_join",                   # join + window as-of composition
     "q_merge_upsert",                # full-outer-join upsert
 ]

@@ -110,3 +110,201 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_revenue").desc(), F.col("cust_key"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pricing-summary shape (TPC-H Q1): full-scan aggregation with derived
+# measures. The canonical "is your scan + partial agg fast" benchmark:
+# one wide parquet scan, map-side partial aggregation over a 6-value
+# grouping key, tiny shuffle. At 100 TB this plan is bounded purely by
+# scan throughput — the shuffle carries ~6 rows per input partition.
+# ---------------------------------------------------------------------------
+
+_ORACLE_Q1 = """
+SELECT l_returnflag AS return_flag,
+       l_linestatus AS line_status,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       ROUND(AVG(l_quantity), 2) AS avg_qty,
+       ROUND(AVG(l_extendedprice), 2) AS avg_price,
+       ROUND(AVG(l_discount), 4) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY return_flag, line_status
+"""
+
+
+@query("q_tpch_q1_pricing_summary", oracle=_ORACLE_Q1)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "2001-09-01"
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy(
+            F.col("l_returnflag").alias("return_flag"),
+            F.col("l_linestatus").alias("line_status"),
+        )
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("return_flag", "line_status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local-supplier-volume shape (TPC-H Q5): 6-table star join where the
+# supplier must sit in the customer's nation. Two big-fact joins
+# (lineitem⋈orders⋈customer) + two broadcast dims (nation, region) +
+# one co-location predicate (c_nationkey = s_nationkey) folded into
+# the supplier join.
+# ---------------------------------------------------------------------------
+
+_ORACLE_Q5 = """
+SELECT n.n_name AS nation_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
+ORDER BY revenue DESC, nation_name
+"""
+
+
+@query("q_tpch_q5_local_supplier", oracle=_ORACLE_Q5)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        # supplier is a small dim: broadcast; the c_nationkey=s_nationkey
+        # residual rides along in the same join condition.
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("nation_name"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forecast-revenue-change shape (TPC-H Q6): pure scan + filter + scalar
+# aggregate. All three predicates push into the parquet reader
+# (PushedFilters); no shuffle at all — partial sums combine into one row.
+# ---------------------------------------------------------------------------
+
+_ORACLE_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("q_tpch_q6_forecast_revenue", oracle=_ORACLE_Q6)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Large-volume-customer shape (TPC-H Q18): aggregate-then-semijoin.
+# The HAVING subquery runs FIRST over lineitem alone (map-side partial
+# agg on l_orderkey), and only the few hundred qualifying orderkeys
+# flow into the 3-table join — the anti-pattern would be joining
+# everything first and filtering last.
+# ---------------------------------------------------------------------------
+
+_ORACLE_Q18 = """
+SELECT c.c_name AS cust_name,
+       c.c_custkey AS cust_key,
+       o.o_orderkey AS order_key,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS order_date,
+       ROUND(o.o_totalprice, 2) AS total_price,
+       ROUND(SUM(l.l_quantity), 2) AS sum_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 250
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY total_price DESC, order_key
+LIMIT 20
+"""
+
+
+@query("q_tpch_q18_large_customers", oracle=_ORACLE_Q18)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("__qty"))
+        .filter(F.col("__qty") > 250)
+        .select(F.col("l_orderkey").alias("__big_ok"))
+    )
+    return (
+        li.join(big_orders, li.l_orderkey == F.col("__big_ok"), "left_semi")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_name").alias("cust_name"),
+            F.col("c_custkey").alias("cust_key"),
+            F.col("o_orderkey").alias("order_key"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+            F.round("o_totalprice", 2).alias("total_price"),
+        )
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"))
+        .orderBy(F.col("total_price").desc(), F.col("order_key"))
+        .limit(20)
+    )

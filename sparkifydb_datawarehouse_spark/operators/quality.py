@@ -1,0 +1,132 @@
+"""Data-quality audit operators.
+
+The reference tolerates constraint violations by design: Redshift
+leaves PK/FK unenforced, `user_table_insert` lands duplicate user_ids
+(/root/reference/sql_queries.py:133-136) and the fact table is
+inserted before its dimensions (/root/reference/sql_queries.py:196-202).
+A warehouse built that way needs audit queries that MEASURE the
+violations instead of preventing them — the Deequ/great-expectations
+shape, expressed as plain aggregations so they run at 100 TB cost:
+one scan per table, partial aggs, tiny outputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphaned foreign keys per relationship.
+# Anti-join counts — each relationship is one left_anti against the
+# parent's key set; the parent side is distinct-projected first, so
+# even a 100 TB fact table shuffles only keys.
+# ---------------------------------------------------------------------------
+
+_ORACLE_REFERENTIAL = """
+SELECT relationship, n_orphans, n_rows,
+       ROUND(n_orphans * 1.0 / n_rows, 6) AS orphan_frac
+FROM (
+    SELECT 'lineitem.l_orderkey->orders' AS relationship, 1 AS ord,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+           (SELECT COUNT(*) FROM lineitem) AS n_rows
+    UNION ALL
+    SELECT 'orders.o_custkey->customer', 2,
+           (SELECT COUNT(*) FROM orders x
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = x.o_custkey)),
+           (SELECT COUNT(*) FROM orders)
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part', 3,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)),
+           (SELECT COUNT(*) FROM lineitem)
+) ORDER BY ord
+"""
+
+
+def referential_audit(child: DataFrame, fk: str, parent: DataFrame, pk: str,
+                      name: str, ord_: int) -> DataFrame:
+    """One relationship's orphan count as a single-row DataFrame.
+
+    No driver-side count(): both scalars stay DataFrames and meet in a
+    1x1 cross join, so the audit is one lazy distributed plan.
+    """
+    orphans = child.join(
+        parent.select(pk).distinct(), child[fk] == parent[pk], "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n_orphans"))
+    total = child.agg(F.count(F.lit(1)).alias("n_rows"))
+    return orphans.crossJoin(total).select(
+        F.lit(name).alias("relationship"),
+        F.lit(ord_).alias("ord"),
+        F.col("n_orphans"),
+        F.col("n_rows"),
+        F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_frac"),
+    )
+
+
+@query("q_dq_referential", oracle=_ORACLE_REFERENTIAL)
+def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    p = load_table(spark, sf_dir, "part")
+
+    rels = [
+        referential_audit(
+            li, "l_orderkey", o, "o_orderkey", "lineitem.l_orderkey->orders", 1
+        ),
+        referential_audit(
+            o, "o_custkey", c, "c_custkey", "orders.o_custkey->customer", 2
+        ),
+        referential_audit(
+            li, "l_partkey", p, "p_partkey", "lineitem.l_partkey->part", 3
+        ),
+    ]
+    out = rels[0]
+    for r in rels[1:]:
+        out = out.unionAll(r)
+    return out.orderBy("ord").select(
+        "relationship", "n_orphans", "n_rows", "orphan_frac"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Column-constraint audit: null / range / set-membership / uniqueness
+# violations in ONE pass over the table (a single aggregation row,
+# conditional-sum per rule). This is the scan-cost-optimal shape: k
+# rules cost one scan, not k scans.
+# ---------------------------------------------------------------------------
+
+_ORACLE_CONSTRAINTS = """
+SELECT COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
+       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
+       SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS bad_status,
+       SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                  OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS date_out_of_range,
+       COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_keys
+FROM orders
+"""
+
+
+@query("q_dq_constraints", oracle=_ORACLE_CONSTRAINTS)
+def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+
+    def violations(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        violations(F.col("o_custkey").isNull()).alias("null_custkey"),
+        violations(F.col("o_totalprice") <= 0).alias("nonpositive_price"),
+        violations(~F.col("o_orderstatus").isin("F", "O", "P")).alias("bad_status"),
+        violations(
+            (F.col("o_orderdate") < "1990-01-01")
+            | (F.col("o_orderdate") > "2030-01-01")
+        ).alias("date_out_of_range"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
+    )

@@ -1,0 +1,222 @@
+"""Event-time analytics over the change-log-shaped `events` table:
+gap sessionization, SCD2 interval builds, and funnel conversion.
+
+The reference's `time` dimension (/root/reference/sql_queries.py:161-173)
+is the only temporal processing it does; these operators are the
+general event-time surface a warehouse built on that schema needs.
+
+Scale notes (100 TB): every operator here is one shuffle, partitioned
+by user_id. Event logs are naturally user-partitioned, so a layout
+bucketed by user_id makes all three shuffle-free. Per-user event
+counts are bounded (human activity), so no skew mitigation is needed —
+unlike entity keys, user_id cardinality grows with data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization: a session ends after >= 6h of inactivity.
+# lag() marks boundaries, a running sum numbers the sessions — the
+# classic two-window formulation, one shuffle on user_id.
+# ---------------------------------------------------------------------------
+
+_GAP_MINUTES = 360
+
+_ORACLE_SESSIONIZE = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER w <= INTERVAL {_GAP_MINUTES} MINUTE
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_num
+    FROM flagged
+)
+SELECT user_id,
+       CAST(session_num AS BIGINT) AS session_num,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events,
+       ROUND(EXTRACT(EPOCH FROM MAX(ts) - MIN(ts)), 3) AS duration_sec
+FROM numbered
+GROUP BY user_id, session_num
+ORDER BY user_id, session_num
+"""
+
+
+@query("q_sessionize_gap", oracle=_ORACLE_SESSIONIZE)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    gap_ok = (
+        F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    ) <= _GAP_MINUTES * 60
+    flagged = ev.withColumn(
+        "is_new", F.when(gap_ok, F.lit(0)).otherwise(F.lit(1))
+    )
+    numbered = flagged.withColumn("session_num", F.sum("is_new").over(run))
+    return (
+        numbered.groupBy("user_id", "session_num")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.max("ts").cast("double") - F.min("ts").cast("double"), 3
+            ).alias("duration_sec"),
+        )
+        .orderBy("user_id", "session_num")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 interval build: run-length-encode each user's event_type stream
+# into [valid_from, valid_to) validity intervals — the standard way to
+# turn a change log into a slowly-changing-dimension table. Same
+# two-window shape as sessionization, then lead() closes each interval.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SCD2 = """
+WITH flagged AS (
+    SELECT user_id, event_type, ts, event_id,
+           CASE WHEN event_type = LAG(event_type) OVER w THEN 0 ELSE 1 END AS chg
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+    SELECT user_id, event_type, ts,
+           SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run_id
+    FROM flagged
+), runs AS (
+    SELECT user_id, event_type,
+           CAST(run_id AS BIGINT) AS run_id,
+           MIN(ts) AS valid_from,
+           COUNT(*) AS n_events
+    FROM numbered
+    GROUP BY user_id, event_type, run_id
+)
+SELECT user_id, event_type, run_id, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       (LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL)
+           AS is_current,
+       n_events
+FROM runs
+ORDER BY user_id, run_id
+"""
+
+
+@query("q_scd2_intervals", oracle=_ORACLE_SCD2)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    flagged = ev.withColumn(
+        "chg",
+        F.when(F.col("event_type") == F.lag("event_type").over(w), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    numbered = flagged.withColumn("run_id", F.sum("chg").over(run))
+    runs = numbered.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wv = Window.partitionBy("user_id").orderBy("valid_from")
+    return (
+        runs.withColumn("valid_to", F.lead("valid_from").over(wv))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            "user_id",
+            "event_type",
+            "run_id",
+            "valid_from",
+            "valid_to",
+            "is_current",
+            "n_events",
+        )
+        .orderBy("user_id", "run_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: users reaching view -> click-after-view ->
+# purchase-after-click, with strictly increasing timestamps. Three
+# cascading min-aggregations; each stage's output is tiny (one row per
+# qualifying user), so the later joins broadcast under AQE.
+# ---------------------------------------------------------------------------
+
+_ORACLE_FUNNEL = """
+WITH v AS (
+    SELECT user_id, MIN(ts) AS view_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS click_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.view_ts
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+    GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+    SELECT 'view' AS stage, 1 AS ord, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT 'click', 2, COUNT(*) FROM c
+    UNION ALL
+    SELECT 'purchase', 3, COUNT(*) FROM p
+) ORDER BY ord
+"""
+
+
+@query("q_funnel_conversion", oracle=_ORACLE_FUNNEL)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("view_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).alias("ord"),
+            F.col("n_users"),
+        )
+
+    return (
+        stage(v, "view", 1)
+        .unionAll(stage(c, "click", 2))
+        .unionAll(stage(p, "purchase", 3))
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )

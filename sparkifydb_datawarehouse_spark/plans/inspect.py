@@ -25,9 +25,13 @@ def executed_plan(df: DataFrame, execute: bool = True) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across the plan's parquet scans."""
+    """All PushedFilters entries across the plan's parquet scans.
+
+    The plan printer truncates long field lists with `...` (no closing
+    bracket), so stop at whichever comes first — `]` or the ellipsis.
+    """
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    return re.findall(r"PushedFilters: \[(.*?)(?:\]|\.\.\.)", plan)
 
 
 def read_schemas(df: DataFrame) -> list[str]:

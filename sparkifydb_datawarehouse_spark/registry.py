@@ -56,7 +56,9 @@ def load_all_modules() -> None:
         stats,
         subqueries,
         profiling,
+        quality,
         sampling,
+        timeseries,
         udfs,
         windows,
     )
@@ -69,7 +71,7 @@ def load_all_modules() -> None:
         similarity,
         textstats,
     )
-    from .sources import csv_source, orc_source  # noqa: F401
+    from .sources import csv_source, json_source, orc_source  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import stateful, windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401

@@ -84,3 +84,33 @@ def test_lateral_topk_has_no_cartesian(spark, sf_dir):
     df = registry.QUERIES["q_lateral_topk"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan[:800]
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    """TPC-H Q6 is pure scan+filter+agg: all four predicates must reach
+    the parquet reader, and only the four referenced columns are read."""
+    df = registry.QUERIES["q_tpch_q6_forecast_revenue"](spark, sf_dir)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
+    schemas = read_schemas(df)
+    assert schemas and schemas[0].count(":") == 4, schemas
+
+
+def test_q18_semi_join_before_wide_join(spark, sf_dir):
+    """The HAVING subquery must reach lineitem as a semi join (only
+    qualifying orderkeys flow into the customer/orders join)."""
+    df = registry.QUERIES["q_tpch_q18_large_customers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1200]
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both windows + the session agg share the user_id partitioning:
+    exactly one exchange in the whole plan."""
+    df = registry.QUERIES["q_sessionize_gap"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # final orderBy adds a range exchange; everything upstream must
+    # reuse one hash exchange on user_id
+    hash_exchanges = plan.count("hashpartitioning")
+    assert hash_exchanges <= 1, f"{hash_exchanges} hash exchanges:\n{plan[:1500]}"

@@ -80,3 +80,66 @@ def test_orc_scan_pushes_filter(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan
     assert "GreaterThan(s_acctbal,0" in plan, plan[:1200]
+
+
+def test_json_roundtrip_matches_origin(spark, sf_dir):
+    from sparkifydb_datawarehouse_spark.sources.json_source import scan_json
+
+    got = scan_json(spark, sf_dir)
+    origin = load_table(spark, sf_dir, "orders").filter("o_orderstatus = 'F'")
+    assert got.count() == origin.count()
+    # timestamps survive the ISO-8601 string roundtrip to the microsecond
+    a = {r.o_orderkey: r.o_orderdate for r in got.collect()}
+    b = {r.o_orderkey: r.o_orderdate for r in origin.collect()}
+    assert a == b
+
+
+def test_zorder_tightens_rowgroup_stats_on_both_dims(spark, sf_dir, tmp_path):
+    """Z-order by (user_id, value): every row group's min/max span on
+    EACH dimension must be a small fraction of the global span — the
+    property that makes parquet row-group skipping work for filters on
+    either column. A single-column sort would tighten only one."""
+    import pyarrow.parquet as pq
+
+    from sparkifydb_datawarehouse_spark.sources.layout import zorder_by
+
+    from conftest import SF_ORACLE
+
+    ev = load_table(spark, SF_ORACLE, "events").select("user_id", "value", "event_id")
+    out = str(tmp_path / "zorder")
+    # force several row groups so there are stats to compare
+    zorder_by(ev, ["user_id", "value"], num_partitions=1).write.option(
+        "parquet.block.size", 16 * 1024
+    ).mode("overwrite").parquet(out)
+
+    import glob
+
+    spans = {"user_id": [], "value": []}
+    globals_ = {
+        "user_id": (0.0, 0.0),
+        "value": (0.0, 0.0),
+    }
+    gmin: dict[str, float] = {}
+    gmax: dict[str, float] = {}
+    n_groups = 0
+    for f in glob.glob(out + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            n_groups += 1
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name not in spans:
+                    continue
+                st = col.statistics
+                spans[name].append(float(st.max) - float(st.min))
+                gmin[name] = min(gmin.get(name, float(st.min)), float(st.min))
+                gmax[name] = max(gmax.get(name, float(st.max)), float(st.max))
+    assert n_groups >= 4, f"only {n_groups} row groups; shrink block size"
+    for name, sp in spans.items():
+        global_span = gmax[name] - gmin[name]
+        avg_frac = sum(sp) / len(sp) / global_span
+        # unsorted data gives ~1.0 on both; single-column sort gives
+        # ~1/n_groups on one and ~1.0 on the other; z-order must be
+        # clearly clustered on BOTH
+        assert avg_frac < 0.7, f"{name}: avg row-group span frac {avg_frac:.2f}"

@@ -1,0 +1,77 @@
+"""Behavioral tests for the event-time operators — boundary semantics
+that the oracle comparison alone would not localize: gap-boundary
+equality, SCD2 interval contiguity, funnel monotonicity.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from sparkifydb_datawarehouse_spark import registry
+
+registry.load_all_modules()
+
+
+@pytest.fixture(scope="module")
+def sessions(spark, sf_dir):
+    return registry.QUERIES["q_sessionize_gap"](spark, sf_dir).collect()
+
+
+def test_sessions_nonoverlapping_and_gapped(sessions):
+    by_user: dict[int, list[Row]] = {}
+    for r in sessions:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r.session_num)
+        for a, b in zip(rows, rows[1:]):
+            assert a.session_end <= b.session_start, (user, a, b)
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > 360 * 60, f"user {user}: {gap}s gap should have merged"
+
+
+def test_session_duration_consistent(sessions):
+    for r in sessions:
+        assert r.duration_sec == pytest.approx(
+            (r.session_end - r.session_start).total_seconds(), abs=1e-3
+        )
+        assert r.n_events >= 1
+
+
+def test_scd2_intervals_contiguous(spark, sf_dir):
+    rows = registry.QUERIES["q_scd2_intervals"](spark, sf_dir).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.run_id)
+        # exactly one open (current) interval per user, and it is the last
+        assert [r.is_current for r in rs] == [False] * (len(rs) - 1) + [True]
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from, (user, a, b)
+            # runs alternate: a run only ends when the type changes
+            assert a.event_type != b.event_type, (user, a, b)
+
+
+def test_funnel_is_monotone(spark, sf_dir):
+    rows = registry.QUERIES["q_funnel_conversion"](spark, sf_dir).collect()
+    assert [r.stage for r in rows] == ["view", "click", "purchase"]
+    counts = [r.n_users for r in rows]
+    assert counts[0] >= counts[1] >= counts[2]
+    assert counts[0] > 0
+
+
+def test_referential_audit_detects_planted_orphans(spark, sf_dir):
+    """The fixture data is clean (audit finds 0 everywhere), so prove
+    the detector works by deleting half the parent keys."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.operators.quality import referential_audit
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 2 == 0)
+    row = referential_audit(li, "l_orderkey", o, "o_orderkey", "t", 1).collect()[0]
+    expected = li.filter(F.col("l_orderkey") % 2 == 1).count()
+    assert row.n_orphans == expected > 0
+    assert row.n_rows == li.count()
