@@ -143,3 +143,27 @@ def test_zorder_tightens_rowgroup_stats_on_both_dims(spark, sf_dir, tmp_path):
         # ~1/n_groups on one and ~1.0 on the other; z-order must be
         # clearly clustered on BOTH
         assert avg_frac < 0.7, f"{name}: avg row-group span frac {avg_frac:.2f}"
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A fact table partitioned by order year + a selective dim filter:
+    the partition filter must arrive at runtime via DPP (dynamicpruning
+    subquery in the scan), so only matching year directories are read."""
+    out = str(tmp_path / "orders_by_year")
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    o.write.partitionBy("order_year").mode("overwrite").parquet(out)
+
+    fact = spark.read.parquet(out)
+    # the filter is on a NON-join column, so the qualifying years are
+    # only known at runtime — a literal year filter would be folded
+    # into a static partition filter instead (no DPP involved)
+    years = (
+        o.select(F.col("order_year").alias("y"))
+        .distinct()
+        .filter(F.col("y") % 3 == 0)
+    )
+    j = fact.join(years, fact.order_year == F.col("y"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]

@@ -40,3 +40,42 @@ def test_foreach_batch_merge_is_idempotent(spark, tmp_path):
     merge(b2, 1)
     state = {(r["k"], r["v"]) for r in spark.read.parquet(sink).collect()}
     assert state == {(1, 30), (2, 20)}
+
+
+def test_available_now_ingest_is_incremental_across_runs(spark, sf_dir, tmp_path):
+    """The nightly-ingest pattern: run an availableNow stream over a
+    landing dir, land more files, run again with the SAME checkpoint.
+    The second run must process ONLY the new files (no duplicates) —
+    the checkpoint's file log, not file mtimes, decides what is new."""
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    landing = str(tmp_path / "landing")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    chunk1 = ev.filter(F.col("event_id") % 2 == 0)
+    chunk2 = ev.filter(F.col("event_id") % 2 == 1)
+    chunk1.write.mode("overwrite").parquet(landing)
+
+    def drain():
+        q = (
+            spark.readStream.schema(chunk1.schema)
+            .parquet(landing)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == chunk1.count()
+
+    chunk2.write.mode("append").parquet(landing)
+    drain()
+    got = spark.read.parquet(sink)
+    assert got.count() == ev.count()  # chunk1 exactly once + chunk2
+    assert got.select("event_id").distinct().count() == ev.count()
