@@ -53,6 +53,10 @@ HEADLINE = [
     "q_tpch_q6_forecast_revenue",    # pure pushdown scan + scalar agg
     "q_tpch_q18_large_customers",    # aggregate-then-semijoin
     "q_sessionize_gap",              # two-window sessionization, one shuffle
+    "q_cohort_retention",            # cohort matrix (two aggs + distinct)
+    "q_kmeans_embeddings",           # iterative Lloyd, codegen argmin
+    "q_variant_json",                # parse_json -> VARIANT -> typed gets
+    "q_dq_referential",              # three anti-join audits in one plan
     "q_asof_join",                   # join + window as-of composition
     "q_merge_upsert",                # full-outer-join upsert
 ]

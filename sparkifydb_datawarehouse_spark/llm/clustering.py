@@ -133,3 +133,86 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled by the smallest vec_id reachable from it."""
     pairs = dedup_embedding_cosine(spark, sf_dir)
     return connected_components(pairs, "vec_a", "vec_b").orderBy("vertex")
+
+
+# ---------------------------------------------------------------------------
+# K-means (Lloyd) over the embeddings table — the iterative-algorithm
+# archetype next to connected components: tiny model state on the
+# driver, all data-parallel work in the plan.
+#
+# Scale design: the model (k×dim doubles) is the ONLY thing that
+# crosses the driver boundary — once per iteration, k*dim values.
+# Assignment evaluates argmin_c(-2·x·c + ||c||²) with the centroid
+# coordinates folded in as literals, fully unrolled into whole-stage
+# codegen (same rationale as dedup._dot: no interpreted HOFs in a
+# per-row hot path). Centroid update is posexplode → (cluster, dim)
+# hash agg — map-side combined, so the shuffle carries k*dim partial
+# sums per input partition, never vectors. Initialization is the k
+# lowest vec_ids: deterministic, so the whole operator is
+# reproducible run-to-run (rows-only check; no SQL oracle for an
+# iterative fixpoint).
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+
+
+def _assign(points: DataFrame, cents: list[list[float]], dim: int) -> DataFrame:
+    """Add a `cluster` column: index of the nearest centroid."""
+    scores = []
+    for c in cents:
+        dot = None
+        for i in range(dim):
+            term = F.col("embedding")[i].cast("double") * F.lit(c[i])
+            dot = term if dot is None else dot + term
+        norm_c = sum(v * v for v in c)
+        scores.append(-2.0 * dot + F.lit(norm_c))
+    dist_arr = F.array(*scores)
+    # array_position is 1-based; clusters are 0-based
+    return points.withColumn(
+        "cluster",
+        (F.array_position(dist_arr, F.array_min(dist_arr)) - 1).cast("int"),
+    )
+
+
+def kmeans_fit_assign(
+    points: DataFrame,
+    dim: int,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Lloyd's algorithm; returns (vec_id, cluster) after `iters` rounds."""
+    init = (
+        points.orderBy("vec_id")
+        .limit(k)
+        .select("embedding")
+        .collect()
+    )
+    cents = [[float(v) for v in r.embedding] for r in init]
+    assigned = _assign(points, cents, dim)
+    for _ in range(iters):
+        new_rows = (
+            assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in new_rows:
+            by_cluster.setdefault(r.cluster, {})[r.pos] = r.m
+        # empty clusters keep their previous centroid
+        cents = [
+            [by_cluster[c][i] for i in range(dim)] if c in by_cluster else cents[c]
+            for c in range(k)
+        ]
+        assigned = _assign(points, cents, dim)
+    return assigned.select("vec_id", "cluster")
+
+
+@query("q_kmeans_embeddings")  # rows-only: iterative fixpoint, no SQL oracle
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+    from .dedup import EMBED_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fit_assign(emb, dim=EMBED_DIM).orderBy("vec_id")

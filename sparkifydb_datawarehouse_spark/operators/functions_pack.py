@@ -255,3 +255,51 @@ def map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform_values("m", lambda k, v: v * 2), "k"
         ).alias("k_doubled"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# VARIANT (Spark 4 semi-structured type): parse once into a binary
+# variant, extract typed paths lazily. Against 100 TB of ragged JSON
+# this replaces N stringly get_json_object re-parses per row with ONE
+# parse; shredded variant columns in parquet readers take it further.
+# The engine demonstrates the full roundtrip: build a nested JSON
+# document, parse_json -> VARIANT, extract typed fields with
+# variant_get. Fields are int/string only — float-through-JSON-text
+# roundtrips are repr-sensitive and belong to the ingest layer's
+# schema, not a correctness gate.
+# ---------------------------------------------------------------------------
+
+_ORACLE_VARIANT = """
+SELECT event_id,
+       event_type AS vtype,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       CAST(length(event_type) AS INT) AS type_len
+FROM events
+WHERE CAST(json_extract(props, '$.k') AS BIGINT) % 7 = 0
+ORDER BY event_id
+"""
+
+
+@query("q_variant_json", oracle=_ORACLE_VARIANT)
+def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    nested = F.concat(
+        F.lit('{"meta":{"type":"'),
+        F.col("event_type"),
+        F.lit('","type_len":'),
+        F.length("event_type").cast("string"),
+        F.lit('},"k":'),
+        F.get_json_object("props", "$.k"),
+        F.lit("}"),
+    )
+    v = ev.withColumn("v", F.parse_json(nested))
+    return (
+        v.select(
+            "event_id",
+            F.variant_get("v", "$.meta.type", "string").alias("vtype"),
+            F.variant_get("v", "$.k", "long").alias("k_value"),
+            F.variant_get("v", "$.meta.type_len", "int").alias("type_len"),
+        )
+        .filter(F.col("k_value") % 7 == 0)
+        .orderBy("event_id")
+    )

@@ -115,3 +115,73 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY order_status ASC NULLS FIRST, order_priority ASC NULLS FIRST
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Shannon entropy of a categorical column per group — the standard
+# "how mixed is this partition" profiling statistic (feature selection,
+# drift detection). Two-level aggregation: count per (group, category),
+# then fold -p*log2(p) — both levels are hash aggs with map-side
+# combine, so at 100 TB the shuffle carries one row per distinct
+# (source, event-ish) pair, never raw rows.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ENTROPY = """
+SELECT source,
+       ROUND(entropy(lang), 6) AS lang_entropy,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_agg_entropy", oracle=_ORACLE_ENTROPY)
+def agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("source").agg(F.sum("n").alias("total"))
+    p = counts.join(totals, "source").withColumn("p", F.col("n") / F.col("total"))
+    # DuckDB's entropy() is log2-based
+    return (
+        p.groupBy("source")
+        .agg(
+            F.round(-F.sum(F.col("p") * F.log2("p")), 6).alias("lang_entropy"),
+            F.sum("n").alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlation / covariance matrix entries over numeric measures —
+# single-pass co-moment aggregation (corr, covar_samp are streaming
+# aggregates; one scan, one tiny shuffle, one output row).
+# ---------------------------------------------------------------------------
+
+_ORACLE_CORR = """
+SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       ROUND(corr(l_discount, l_extendedprice), 6) AS corr_disc_price,
+       ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       ROUND(regr_slope(l_extendedprice, l_quantity), 6) AS slope_price_on_qty,
+       ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2_price_on_qty
+FROM lineitem
+"""
+
+
+@query("q_agg_corr", oracle=_ORACLE_CORR)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.corr("l_discount", "l_extendedprice"), 6).alias("corr_disc_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias(
+            "covar_qty_price"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 6).alias(
+            "slope_price_on_qty"
+        ),
+        F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias(
+            "r2_price_on_qty"
+        ),
+    )

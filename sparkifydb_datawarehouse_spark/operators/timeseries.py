@@ -220,3 +220,56 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("stage", "n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity week, tracked by
+# how many are still active N weeks later — the standard product-
+# analytics matrix. Two aggs + one join, all partitioned by user_id;
+# the cohort dim (weeks) is tiny, so the final matrix agg is cheap.
+# ---------------------------------------------------------------------------
+
+_ORACLE_RETENTION = """
+WITH first_seen AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+), activity AS (
+    SELECT DISTINCT e.user_id,
+           f.cohort_week,
+           CAST(date_diff('week', f.cohort_week, date_trunc('week', e.ts))
+                AS BIGINT) AS weeks_since
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+)
+SELECT cohort_week, weeks_since, COUNT(*) AS n_users
+FROM activity
+GROUP BY cohort_week, weeks_since
+ORDER BY cohort_week, weeks_since
+"""
+
+
+@query("q_cohort_retention", oracle=_ORACLE_RETENTION)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(first_seen, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                (
+                    F.date_trunc("week", F.col("ts")).cast("long")
+                    - F.col("cohort_week").cast("long")
+                )
+                / 604800
+            ).alias("weeks_since"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "weeks_since")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )

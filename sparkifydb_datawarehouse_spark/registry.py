@@ -60,6 +60,7 @@ def load_all_modules() -> None:
         sampling,
         timeseries,
         udfs,
+        udtfs,
         windows,
     )
     from .llm import (  # noqa: F401
@@ -71,7 +72,7 @@ def load_all_modules() -> None:
         similarity,
         textstats,
     )
-    from .sources import csv_source, json_source, orc_source  # noqa: F401
+    from .sources import csv_source, json_source, orc_source, pysource  # noqa: F401
     from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import stateful, windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401

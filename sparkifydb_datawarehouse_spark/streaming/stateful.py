@@ -105,3 +105,60 @@ def user_totals_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4's arbitrary-state API) — the successor
+# surface to applyInPandasWithState: an object-oriented
+# StatefulProcessor with named state variables (value/list/map state),
+# timers, and TTL, backed by the RocksDB state store. Same semantics
+# implemented twice on purpose: the engine exposes BOTH stateful APIs,
+# and the test asserts they agree with the batch aggregation.
+# Runtime dependency note: executing a TWS query needs the python
+# `protobuf` package (the state-server wire protocol); the test gates
+# on its presence with importorskip. Plans build without it.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Per-user cumulative (count, sum) with a named ValueState."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: D102
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user totals via transformWithStateInPandas.
+
+    Requires the RocksDB state store provider (set by the caller):
+    spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    """
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

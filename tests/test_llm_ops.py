@@ -72,3 +72,46 @@ def test_connected_components_chain_and_islands(spark):
         for r in connected_components(edges, "a", "b").collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_kmeans_inertia_decreases_and_is_deterministic(spark, sf_dir):
+    """Lloyd invariants: each update step must not increase inertia
+    (sum of squared distances to assigned centroid), and the fixed
+    init makes the whole operator reproducible."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.llm.clustering import (
+        _assign,
+        kmeans_fit_assign,
+    )
+    from sparkifydb_datawarehouse_spark.llm.dedup import EMBED_DIM
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def inertia(iters: int) -> float:
+        # recompute assignment distances for the model after `iters`
+        assigned = kmeans_fit_assign(emb, EMBED_DIM, iters=iters)
+        joined = emb.join(assigned, "vec_id")
+        # true squared distance: ||x||^2 - 2 x.c + ||c||^2 needs the
+        # centroids; cheaper equivalent for the monotonicity check is
+        # within-cluster variance via the cluster means themselves
+        stats = (
+            joined.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+            .groupBy("cluster", "pos")
+            .agg(
+                (F.sum(F.col("v") * F.col("v"))
+                 - F.count("v") * F.pow(F.avg("v"), 2)).alias("ss")
+            )
+            .agg(F.sum("ss").alias("total"))
+            .collect()
+        )
+        return stats[0].total
+
+    i1, i3 = inertia(1), inertia(3)
+    assert i3 <= i1 * (1 + 1e-9), (i1, i3)
+
+    a = sorted((r.vec_id, r.cluster) for r in kmeans_fit_assign(emb, EMBED_DIM).collect())
+    b = sorted((r.vec_id, r.cluster) for r in kmeans_fit_assign(emb, EMBED_DIM).collect())
+    assert a == b
+    assert len({c for _, c in a}) > 1

@@ -83,3 +83,59 @@ def test_state_carries_across_batches(spark, sf_dir, two_batch_dir):
     for uid in want:
         assert got[uid][0] == want[uid][0], f"user {uid} count"
         assert abs(got[uid][1] - want[uid][1]) < 1e-6, f"user {uid} sum"
+
+
+def test_transform_with_state_matches_batch(spark, sf_dir, two_batch_dir):
+    """Same two-micro-batch harness, new API: transformWithState's
+    final per-user totals must equal the batch aggregation."""
+    # the TWS state-server protocol needs python protobuf at runtime
+    pytest.importorskip("google.protobuf.descriptor")
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(two_batch_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        )
+        q = (
+            stateful.user_running_totals_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        out = spark.sql(
+            """
+            SELECT user_id, n_events, ROUND(total_value, 4) AS total_value
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY user_id ORDER BY n_events DESC
+                ) AS rn FROM t_tws
+            ) WHERE rn = 1
+            """
+        )
+        expected = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 4).alias("total_value"),
+            )
+        )
+        got = {r["user_id"]: (r["n_events"], r["total_value"]) for r in out.collect()}
+        exp = {
+            r["user_id"]: (r["n_events"], r["total_value"]) for r in expected.collect()
+        }
+        assert got == exp
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
