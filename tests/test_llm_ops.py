@@ -67,11 +67,17 @@ def test_connected_components_chain_and_islands(spark):
     from sparkifydb_datawarehouse_spark.llm.clustering import connected_components
 
     edges = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "a long, b long")
-    got = {
-        r["vertex"]: r["cluster_id"]
-        for r in connected_components(edges, "a", "b").collect()
-    }
-    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+    # both physical strategies must produce the identical labeling:
+    # driver union-find (default for small graphs) and the
+    # distributed propagation loop (forced via max_driver_edges=0)
+    for max_driver in (1_000_000, 0):
+        got = {
+            r["vertex"]: r["cluster_id"]
+            for r in connected_components(
+                edges, "a", "b", max_driver_edges=max_driver
+            ).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}, f"max_driver={max_driver}"
 
 
 def test_kmeans_inertia_decreases_and_is_deterministic(spark, sf_dir):
