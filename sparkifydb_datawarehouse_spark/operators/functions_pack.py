@@ -303,3 +303,159 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("k_value") % 7 == 0)
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Array function pack over the embeddings table: the collection
+# transformations an array-typed column actually needs (dedupe, sort,
+# slice, membership, length) — all JVM-side expressions, no UDFs.
+# Arrays are rounded to 2dp BEFORE the set ops so the float values
+# compared across engines are the same decimals.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ARRAY = """
+SELECT vec_id,
+       array_length(emb2) AS n_dims,
+       CAST(list_contains(emb2, '0.00') AS BOOLEAN) AS has_zero,
+       len(list_distinct(emb2)) AS n_distinct,
+       array_to_string(list_sort(list_slice(emb2, 1, 4)), ',') AS first4_sorted,
+       array_to_string(list_slice(list_sort(emb2), -3, -1), ',') AS top3
+FROM (
+    SELECT vec_id,
+           [ROUND(CAST(x AS DOUBLE), 2)::DECIMAL(12,2)::VARCHAR
+            FOR x IN embedding] AS emb2
+    FROM embeddings
+    WHERE vec_id % 50 = 0
+)
+ORDER BY vec_id
+"""
+
+
+@query("q_array_funcs", oracle=_ORACLE_ARRAY)
+def array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").filter("vec_id % 50 = 0")
+    # elements become fixed-point strings ('0.05') BEFORE the set ops:
+    # deterministic cross-engine values AND a hash-stable final column
+    # (float-array stringification is repr-sensitive; decimals aren't).
+    # String sort order == numeric order is NOT generally true, but
+    # both engines apply the same lexicographic rule — the oracle pins
+    # the shared semantics, which is what's under test.
+    emb2 = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double"), 2).cast("decimal(12,2)").cast("string"),
+    )
+    df = emb.withColumn("emb2", emb2)
+    return df.select(
+        "vec_id",
+        F.size("emb2").alias("n_dims"),
+        F.array_contains("emb2", "0.00").alias("has_zero"),
+        F.size(F.array_distinct("emb2")).alias("n_distinct"),
+        F.array_join(F.sort_array(F.slice("emb2", 1, 4)), ",").alias("first4_sorted"),
+        F.array_join(F.slice(F.sort_array("emb2"), -3, 3), ",").alias("top3"),
+    ).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# Mode / most-frequent-value aggregate per group.
+# ---------------------------------------------------------------------------
+
+# Native mode() exists in both engines but their frequency-TIE
+# behavior differs (observed: Spark's deterministic mode picked 'de'
+# where DuckDB picked 'en' for a 2-way tie) — an aggregate whose
+# answer depends on engine internals can't be an oracle. The
+# deterministic formulation (max count, ties broken by lowest value)
+# is pinned explicitly via window rank in BOTH engines.
+_ORACLE_MODE = """
+WITH c AS (
+    SELECT source, lang, COUNT(*) AS n
+    FROM documents GROUP BY source, lang
+), r AS (
+    SELECT source, lang, n,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, lang) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n_langs
+    FROM c
+)
+SELECT source, lang AS top_lang, n AS top_n, n_langs
+FROM r WHERE rn = 1
+ORDER BY source
+"""
+
+
+@query("q_agg_mode", oracle=_ORACLE_MODE)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("source").orderBy(F.col("n").desc(), F.col("lang"))
+    wc = Window.partitionBy("source")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_langs", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            F.col("n").alias("top_n"),
+            "n_langs",
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# XML ingest (Spark 4 from_xml) + URL parsing (parse_url): the
+# remaining semi-structured/string codecs a warehouse ingest layer
+# meets. DuckDB parses neither, so the oracle derives the expected
+# values from the SAME source columns the XML/URL strings were built
+# from — the roundtrip through the codec is what's under test.
+# ---------------------------------------------------------------------------
+
+_ORACLE_XML_URL = """
+SELECT event_id,
+       event_type AS xml_type,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS xml_k,
+       'events.example.com' AS url_host,
+       '/' || event_type AS url_path,
+       'uid=' || CAST(user_id AS VARCHAR) AS url_query
+FROM events
+WHERE event_id % 100 = 0
+ORDER BY event_id
+"""
+
+
+@query("q_xml_url_funcs", oracle=_ORACLE_XML_URL)
+def xml_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter("event_id % 100 = 0")
+    xml = F.concat(
+        F.lit("<ev><type>"),
+        F.col("event_type"),
+        F.lit("</type><k>"),
+        F.get_json_object("props", "$.k"),
+        F.lit("</k></ev>"),
+    )
+    url = F.concat(
+        F.lit("https://events.example.com/"),
+        F.col("event_type"),
+        F.lit("?uid="),
+        F.col("user_id").cast("string"),
+    )
+    xml_schema = StructType(
+        [StructField("type", StringType()), StructField("k", LongType())]
+    )
+    parsed = ev.withColumn("x", F.from_xml(xml, xml_schema)).withColumn("u", url)
+    return parsed.select(
+        "event_id",
+        F.col("x.type").alias("xml_type"),
+        F.col("x.k").alias("xml_k"),
+        F.parse_url("u", F.lit("HOST")).alias("url_host"),
+        F.parse_url("u", F.lit("PATH")).alias("url_path"),
+        F.parse_url("u", F.lit("QUERY")).alias("url_query"),
+    ).orderBy("event_id")
