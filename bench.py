@@ -52,6 +52,13 @@ HEADLINE = [
     "q_tpch_q5_local_supplier",      # 6-table star join
     "q_tpch_q6_forecast_revenue",    # pure pushdown scan + scalar agg
     "q_tpch_q18_large_customers",    # aggregate-then-semijoin
+    "q_tpch_q2_min_cost_supplier",   # correlated per-part MIN + dim decoration
+    "q_tpch_q4_order_priority",      # EXISTS semi-join with date residual
+    "q_tpch_q7_volume_shipping",     # double-nation star join, both directions
+    "q_tpch_q9_product_profit",      # 4-way join + profit agg by nation/year
+    "q_tpch_q13_customer_distribution",  # outer-join two-level histogram
+    "q_tpch_q17_small_quantity",     # correlated per-part AVG window filter
+    "q_tpch_q21_waiting_suppliers",  # EXISTS + NOT EXISTS self-joins on one shuffle
     "q_sessionize_gap",              # two-window sessionization, one shuffle
     "q_cohort_retention",            # cohort matrix (two aggs + distinct)
     "q_kmeans_embeddings",           # iterative Lloyd, codegen argmin

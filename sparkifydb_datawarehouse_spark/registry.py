@@ -45,6 +45,7 @@ def load_all_modules() -> None:
         aggregates,
         asof,
         composites,
+        composites_tpch,
         flagship,
         functions_pack,
         joins,
@@ -65,6 +66,7 @@ def load_all_modules() -> None:
     )
     from .llm import (  # noqa: F401
         clustering,
+        corpus,
         dedup,
         grouped,
         multimodal,

@@ -121,3 +121,25 @@ def test_kmeans_inertia_decreases_and_is_deterministic(spark, sf_dir):
     b = sorted((r.vec_id, r.cluster) for r in kmeans_fit_assign(emb, EMBED_DIM).collect())
     assert a == b
     assert len({c for _, c in a}) > 1
+
+
+def test_decontaminate_flags_eval_overlap(spark, planted_dir):
+    """doc 0 (doc_id % 50 == 0) is the eval slice; doc 1 is its exact
+    copy and doc 2 a superset — both must be flagged with high overlap.
+    The unrelated doc 4 shares no 5-gram and must not appear."""
+    from sparkifydb_datawarehouse_spark.llm.corpus import text_decontaminate
+
+    out = {r.doc_id: r for r in text_decontaminate(spark, planted_dir).collect()}
+    assert 1 in out and out[1].contamination == 1.0
+    assert 2 in out and out[2].contamination > 0.8
+    assert 4 not in out
+    assert all(r.n_hit <= r.n_grams for r in out.values())
+
+
+def test_vocabulary_ids_are_dense_and_frequency_sorted(spark, sf_dir):
+    from sparkifydb_datawarehouse_spark.llm.corpus import text_vocabulary
+
+    rows = text_vocabulary(spark, sf_dir).collect()
+    assert [r.token_id for r in rows] == list(range(len(rows)))
+    counts = [r.n for r in rows]
+    assert counts == sorted(counts, reverse=True)
