@@ -130,3 +130,37 @@ def dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("date_out_of_range"),
         (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("duplicate_keys"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Observed metrics: the same constraint audit attached to a PRODUCTION
+# query via df.observe() — metrics ride the main query's single pass as
+# accumulators (zero extra scans, zero extra shuffles), the Deequ
+# "analyzer on the write path" shape. At 100 TB this is the difference
+# between auditing for free and paying a second full scan.
+#
+# Not a registry query (its output is the observation, not a
+# DataFrame); exercised by tests/test_observe_metrics.py.
+# ---------------------------------------------------------------------------
+
+
+def orders_with_observed_audit(spark: SparkSession, sf_dir: str):
+    """Return (df, observation): `df` is a normal projection of orders
+    (the "production" query); collecting it fills `observation` with
+    the audit metrics computed during that same pass."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("orders_audit")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias(
+            "null_custkey"
+        ),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias(
+            "nonpositive_price"
+        ),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    return observed.select("o_orderkey", "o_totalprice"), obs

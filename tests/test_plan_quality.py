@@ -114,3 +114,76 @@ def test_sessionize_single_shuffle(spark, sf_dir):
     # reuse one hash exchange on user_id
     hash_exchanges = plan.count("hashpartitioning")
     assert hash_exchanges <= 1, f"{hash_exchanges} hash exchanges:\n{plan[:1500]}"
+
+
+def test_q19_disjunction_no_shuffle(spark, sf_dir):
+    """Q19's OR'd conjunct groups must not defeat the broadcast join or
+    force a shuffle: part broadcasts, the agg is partial+final over the
+    join output — zero hash exchanges in the whole plan."""
+    df = registry.QUERIES["q_tpch_q19_disjunctive_filter"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
+    assert plan.count("hashpartitioning") == 0, plan[:800]
+
+
+def test_q20_aggregates_before_supplier_join(spark, sf_dir):
+    """The HAVING subquery must aggregate lineitem FIRST and reach
+    supplier as a semi join — supplier rows never multiply against raw
+    lineitem."""
+    df = registry.QUERIES["q_tpch_q20_heavy_shippers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1200]
+    # the semi join's build side is the aggregated heavy set, so a
+    # HashAggregate must appear BEFORE (deeper than) the semi join node
+    semi_pos = plan.index("LeftSemi")
+    assert "HashAggregate" in plan[semi_pos:], plan[:1200]
+
+
+def test_q13_left_join_keeps_preserved_side(spark, sf_dir):
+    """Q13's priority filter lives on the inner (orders) side; the
+    customer side must stay outer-preserved (no silent inner-join
+    rewrite) so zero-order customers survive with count 0."""
+    df = registry.QUERIES["q_tpch_q13_customer_distribution"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftOuter" in plan, plan[:1200]
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval-gram side is benchmark-sized — it must broadcast; the
+    train side's only shuffles are the doc_id window/aggregations."""
+    df = registry.QUERIES["q_text_decontaminate"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
+    """100 TB posture: when a selective dim filter feeds a shuffle
+    join, Spark injects a runtime Bloom filter on the fact side
+    (bloom_filter_might_contain) so non-matching rows die at the scan,
+    before shuffling. Verified with the size thresholds lowered to
+    fixture scale; at production scale the defaults (10 MB creation
+    side) apply."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_extendedprice").alias("s")
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
