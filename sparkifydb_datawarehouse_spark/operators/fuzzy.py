@@ -1,0 +1,95 @@
+"""Fuzzy string-similarity join: edit-distance matching of part names
+within a blocking key.
+
+The reference's only string matching is exact 3-column equality
+(/root/reference/sql_queries.py:128-130) — and its README's sample
+data shows why fuzzy matching matters in that domain (free-text song
+titles / artist names with punctuation variants). This operator is
+the entity-resolution primitive: candidate pairs from cheap blocking,
+exact Levenshtein on the survivors.
+
+Scale design (100 TB): NEVER run edit distance across the cross
+product. Blocking = equi-join on (p_brand, length band) — a hash
+join whose candidate set is |brand-band group|², with the quadratic
+bounded per group; the length-band predicate is sound because
+levenshtein(a, b) >= |len(a) - len(b)|, so a distance-≤-N match
+cannot sit more than N length units apart (band width N covers it
+with the adjacent-band probe, same pattern as the banded as-of /
+cosine joins). Skewed brands would get a second blocking key
+(e.g. name prefix) — the standard blocking-refinement ladder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_MAX_DIST = 6
+_BAND = _MAX_DIST  # length-band width; adjacent-band probe covers ±N
+
+
+_ORACLE_FUZZY = f"""
+WITH p AS (
+    SELECT p_partkey, p_brand, p_name, LENGTH(p_name) AS len
+    FROM part
+)
+SELECT a.p_partkey AS part_a,
+       b.p_partkey AS part_b,
+       levenshtein(a.p_name, b.p_name) AS edit_dist
+FROM p a
+JOIN p b
+  ON a.p_brand = b.p_brand
+ AND a.p_partkey < b.p_partkey
+ AND ABS(a.len - b.len) <= {_MAX_DIST}
+WHERE levenshtein(a.p_name, b.p_name) <= {_MAX_DIST}
+ORDER BY part_a, part_b
+"""
+
+
+@query("q_join_fuzzy_levenshtein", oracle=_ORACLE_FUZZY)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate part names: same brand, edit distance <= 6.
+
+    The probe side explodes each row to its own band and the
+    neighbor band; the build side keys on its own band only, so every
+    |len(a)-len(b)| <= BAND pair meets in exactly one bucket of an
+    equi-hash-join (no nested-loop range join), and the residual
+    length + Levenshtein predicates run on the bounded candidate set.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_name", F.length("p_name").alias("len")
+    )
+    build = p.select(
+        F.col("p_partkey").alias("part_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_b"),
+        F.col("len").alias("len_b"),
+        (F.col("len") / _BAND).cast("long").alias("band"),
+    )
+    probe = p.select(
+        F.col("p_partkey").alias("part_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_name").alias("name_a"),
+        F.col("len").alias("len_a"),
+        F.explode(
+            F.array(
+                (F.col("len") / _BAND).cast("long") - 1,
+                (F.col("len") / _BAND).cast("long"),
+                (F.col("len") / _BAND).cast("long") + 1,
+            )
+        ).alias("band"),
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"))
+    return (
+        probe.join(build, ["brand", "band"])
+        .filter(
+            (F.col("part_a") < F.col("part_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= _MAX_DIST)
+        )
+        .select("part_a", "part_b", dist.alias("edit_dist"))
+        .filter(F.col("edit_dist") <= _MAX_DIST)
+        .orderBy("part_a", "part_b")
+    )

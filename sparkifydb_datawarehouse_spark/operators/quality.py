@@ -102,11 +102,11 @@ def dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_CONSTRAINTS = """
 SELECT COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_custkey,
-       SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpositive_price,
-       SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS bad_status,
-       SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
-                  OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS date_out_of_range,
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_custkey,
+       CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_price,
+       CAST(SUM(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 ELSE 0 END) AS BIGINT) AS bad_status,
+       CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1990-01-01'
+                  OR o_orderdate > TIMESTAMP '2030-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS date_out_of_range,
        COUNT(*) - COUNT(DISTINCT o_orderkey) AS duplicate_keys
 FROM orders
 """

@@ -1,0 +1,235 @@
+"""Time-series regularization over `events`: downsample to a fixed
+grid with gap fill, linearly interpolate the holes, and flag
+anomalies with a trailing z-score.
+
+The reference's `time` dimension explodes timestamps into dateparts
+(/root/reference/sql_queries.py:161-173) — the warehouse-side
+prerequisite for exactly this family: turning an irregular event
+stream into an analyzable regular series.
+
+Scale design (100 TB):
+- Resample is one hash agg on (series, bucket). The dense grid comes
+  from sequence()+explode of each series' [min, max] hour range —
+  grid size is (time span × series count), independent of event
+  volume, so the gap-fill join is a broadcast-scale right side even
+  when the event side is petabytes.
+- Interpolation and z-score are single window passes partitioned by
+  series — state per partition is O(1) (last seen value / rolling
+  moments), the streaming-friendly shape. A series so long one
+  partition can't sort it gets range-bucketed first (window-over-
+  bucket + boundary exchange), the standard long-series split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+# ---------------------------------------------------------------------------
+# Hourly resample with gap fill: avg(value) per (event_type, hour),
+# every hour of each series' span present, missing hours NULL.
+# ---------------------------------------------------------------------------
+
+_ORACLE_RESAMPLE = """
+WITH agg AS (
+    SELECT event_type,
+           date_trunc('hour', ts) AS bucket,
+           ROUND(AVG(value), 4) AS avg_value,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type, date_trunc('hour', ts)
+), spans AS (
+    SELECT event_type, MIN(bucket) AS lo, MAX(bucket) AS hi FROM agg GROUP BY event_type
+), grid AS (
+    SELECT s.event_type, g.bucket
+    FROM spans s, LATERAL (
+        SELECT UNNEST(generate_series(s.lo, s.hi, INTERVAL 1 HOUR)) AS bucket
+    ) g
+)
+SELECT g.event_type, g.bucket, a.avg_value,
+       COALESCE(a.n_events, 0) AS n_events
+FROM grid g LEFT JOIN agg a
+  ON a.event_type = g.event_type AND a.bucket = g.bucket
+ORDER BY g.event_type, g.bucket
+"""
+
+
+def _resampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    agg = (
+        ev.groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("bucket")
+        )
+        .agg(
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    grid = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket").alias("lo"), F.max("bucket").alias("hi"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    return (
+        grid.join(agg, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            "bucket",
+            "avg_value",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@query("q_ts_resample", oracle=_ORACLE_RESAMPLE)
+def ts_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _resampled(spark, sf_dir).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation of the gap-filled series: a missing bucket gets
+# prev + (next - prev) * hours_since_prev / hours_between. Edges
+# (before first / after last observation) stay NULL.
+# ---------------------------------------------------------------------------
+
+_ORACLE_INTERP = f"""
+WITH series AS ({_ORACLE_RESAMPLE.replace("ORDER BY g.event_type, g.bucket", "")}),
+marked AS (
+    SELECT event_type, bucket, avg_value,
+           last_value(avg_value IGNORE NULLS) OVER wb AS prev_v,
+           last_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wb AS prev_t,
+           first_value(avg_value IGNORE NULLS) OVER wf AS next_v,
+           first_value(CASE WHEN avg_value IS NOT NULL THEN bucket END IGNORE NULLS)
+               OVER wf AS next_t
+    FROM series
+    WINDOW wb AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           wf AS (PARTITION BY event_type ORDER BY bucket
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, bucket,
+       -- 6 decimals, not 4: inputs are 4-decimal, so midpoint
+       -- interpolation lands EXACTLY on 5th-decimal halves, where
+       -- Spark (BigDecimal half-up on the shortest repr) and DuckDB
+       -- (fp-multiply then half-away) round the same double
+       -- differently. At 6 decimals every terminating case sits far
+       -- from a boundary.
+       ROUND(CASE
+         WHEN avg_value IS NOT NULL THEN avg_value
+         WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+         ELSE prev_v + (next_v - prev_v)
+              * EXTRACT(EPOCH FROM bucket - prev_t)
+              / EXTRACT(EPOCH FROM next_t - prev_t)
+       END, 6) AS value_interp,
+       (avg_value IS NULL) AS was_gap
+FROM marked
+ORDER BY event_type, bucket
+"""
+
+
+@query("q_ts_interpolate", oracle=_ORACLE_INTERP)
+def ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    series = _resampled(spark, sf_dir)
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("avg_value").isNotNull(), F.col("bucket"))
+    marked = series.select(
+        "event_type",
+        "bucket",
+        "avg_value",
+        F.last("avg_value", ignorenulls=True).over(wb).alias("prev_v"),
+        F.last(obs_t, ignorenulls=True).over(wb).alias("prev_t"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(obs_t, ignorenulls=True).over(wf).alias("next_t"),
+    )
+    # association order mirrors the oracle's `a + b * dt / dT`
+    # (= a + ((b*dt)/dT)) exactly — both engines then produce the
+    # bit-identical double, so ROUND(x, 4) can't straddle a half-way
+    # boundary differently
+    dt = F.col("bucket").cast("double") - F.col("prev_t").cast("double")
+    dT = F.col("next_t").cast("double") - F.col("prev_t").cast("double")
+    interp = (
+        F.when(F.col("avg_value").isNotNull(), F.col("avg_value"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * dt / dT
+        )
+    )
+    return marked.select(
+        "event_type",
+        "bucket",
+        F.round(interp, 6).alias("value_interp"),
+        F.col("avg_value").isNull().alias("was_gap"),
+    ).orderBy("event_type", "bucket")
+
+
+# ---------------------------------------------------------------------------
+# Trailing z-score anomaly flagging on the raw stream: each event
+# scored against the mean/stddev of the previous N events of its
+# type. Strictly-preceding frame = no self-influence (an outlier
+# can't mask itself) and the online/streaming semantics.
+# ---------------------------------------------------------------------------
+
+_ZWIN = 200
+_ZTHRESH = 3.0
+
+_ORACLE_ANOMALY = f"""
+WITH scored AS (
+    SELECT event_id, event_type, value,
+           AVG(value) OVER w AS mu,
+           STDDEV_SAMP(value) OVER w AS sigma,
+           COUNT(*) OVER w AS n_prior
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN {_ZWIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, value,
+       ROUND((value - mu) / sigma, 3) AS zscore
+FROM scored
+WHERE n_prior >= 30 AND sigma > 0
+  AND ABS((value - mu) / sigma) > {_ZTHRESH}
+ORDER BY event_id
+"""
+
+
+@query("q_anomaly_zscore", oracle=_ORACLE_ANOMALY)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-_ZWIN, -1)
+    )
+    scored = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.filter(
+            (F.col("n_prior") >= 30) & (F.col("sigma") > 0) & (F.abs(z) > _ZTHRESH)
+        )
+        .select("event_id", "event_type", "value", F.round(z, 3).alias("zscore"))
+        .orderBy("event_id")
+    )

@@ -42,16 +42,22 @@ def load_all_modules() -> None:
     """Import every module that registers queries (import side effects
     populate QUERIES/ORACLE). Called once by __spark_entry__."""
     from .operators import (  # noqa: F401
+        agg_packs,
         aggregates,
         asof,
+        cdc,
         composites,
         composites_tpch,
         flagship,
         functions_pack,
+        fuzzy,
+        graph,
+        intervals,
         joins,
         merge,
         parity,
         pivots,
+        resample,
         skew,
         sorts,
         stats,

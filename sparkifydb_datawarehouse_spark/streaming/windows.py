@@ -35,20 +35,17 @@ from pyspark.sql.types import (
 from pyspark.sql.window import Window
 
 from ..registry import query
-from ..tables import load_table, table_path
+from ..tables import load_table, normalize_event_ts, table_path
 
 WATERMARK = "10 minutes"
 
-_EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # TIMESTAMP(NANOS) read as long
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Explicit schema for the stream source (streaming reads must
+    never infer). Taken from the parquet footer via a zero-row batch
+    read: fixture generations encode `ts` differently (nanos-as-long
+    vs TIMESTAMP(MICROS) NTZ) and a hardcoded schema would corrupt
+    one of them."""
+    return spark.read.parquet(table_path(sf_dir, "events")).schema
 
 
 def _stream_source_dir(sf_dir: str) -> str:
@@ -73,8 +70,10 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema — streaming sources must never infer — with the same
     NANOS→micros conversion the batch loader applies."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(_EVENTS_RAW_SCHEMA).parquet(_stream_source_dir(sf_dir))
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = spark.readStream.schema(events_raw_schema(spark, sf_dir)).parquet(
+        _stream_source_dir(sf_dir)
+    )
+    return raw.withColumn("ts", normalize_event_ts(raw))
 
 
 # ---------------------------------------------------------------------------

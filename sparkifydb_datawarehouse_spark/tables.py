@@ -47,14 +47,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown fixture table {name!r}; have {TABLE_NAMES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses
-        # ([PARQUET_TYPE_ILLEGAL]). Read nanos as long, then integer-div
-        # to microseconds (integer `div`, NOT `/1000` — float division
-        # loses precision at 1e18 ns) to match DuckDB's ns→us truncation.
+        # Fixture generations differ in how events.ts is encoded:
+        # TIMESTAMP(NANOS) (which Spark 4 refuses — [PARQUET_TYPE_ILLEGAL]
+        # — unless read as long) or plain TIMESTAMP(MICROS). Normalize
+        # both to TimestampType so every downstream query and oracle
+        # sees one semantic.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(table_path(sf_dir, name))
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", normalize_event_ts(df))
     return spark.read.parquet(table_path(sf_dir, name))
+
+
+def normalize_event_ts(df: DataFrame, col: str = "ts"):
+    """TimestampType `ts` from whichever physical type the fixture
+    used: nanos-as-long → integer-div to micros (integer `div`, NOT
+    `/1000` — float division loses precision at 1e18 ns, and
+    truncation matches DuckDB's ns→us cast); TIMESTAMP_NTZ (parquet
+    isAdjustedToUTC=false, the pandas writer default) → cast, which
+    under the UTC session timezone is value-preserving."""
+    from pyspark.sql.types import LongType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return F.timestamp_micros(F.expr(f"{col} div 1000"))
+    return F.col(col).cast("timestamp")
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,0 +1,144 @@
+"""Behavioral tests for round-2 operators: CDC apply, graph
+analytics, fuzzy join, time-series regularization, interval overlap,
+and compaction. (Value-level parity vs DuckDB is covered by
+tools/validate.py / the driver's t2 gate; these tests pin the
+SEMANTICS with hand-built inputs.)"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkifydb_datawarehouse_spark.operators.cdc import apply_cdc
+from sparkifydb_datawarehouse_spark.operators.graph import pagerank, supplier_edges
+from sparkifydb_datawarehouse_spark.sources.compaction import (
+    compact,
+    dataset_bytes,
+    plan_file_count,
+)
+
+
+def test_cdc_latest_change_wins_and_delete_removes(spark):
+    changes = spark.createDataFrame(
+        [
+            # key 1: I then U — U wins
+            (1, "2024-01-01", 10, "I", 100.0, "O"),
+            (1, "2024-01-02", 11, "U", 150.0, "F"),
+            # key 2: latest is D — key disappears
+            (2, "2024-01-01", 20, "I", 50.0, "O"),
+            (2, "2024-01-03", 21, "D", 0.0, "F"),
+            # key 3: D then re-insert — resurrected, I wins
+            (3, "2024-01-01", 30, "D", 0.0, "F"),
+            (3, "2024-01-02", 31, "I", 75.0, "O"),
+            # key 4: same-timestamp tie broken by seq_id
+            (4, "2024-01-01", 40, "U", 1.0, "O"),
+            (4, "2024-01-01", 41, "U", 2.0, "O"),
+        ],
+        "key long, seq_ts string, seq_id long, op string, price double, status string",
+    ).withColumn("seq_ts", F.to_timestamp("seq_ts"))
+    out = {r["key"]: r.asDict() for r in apply_cdc(changes).collect()}
+    assert set(out) == {1, 3, 4}
+    assert out[1]["last_price"] == 150.0 and out[1]["last_op"] == "U"
+    assert out[1]["n_changes"] == 2
+    assert out[3]["last_op"] == "I" and out[3]["last_price"] == 75.0
+    assert out[4]["last_price"] == 2.0  # seq_id tiebreak
+
+
+def test_graph_edges_oriented_distinct(spark, sf_dir):
+    e = supplier_edges(spark, sf_dir)
+    bad = e.filter(F.col("src") >= F.col("dst")).count()
+    assert bad == 0
+    assert e.count() == e.distinct().count()
+
+
+def test_pagerank_sums_to_vertex_count_and_ranks_hubs(spark):
+    # star graph: hub 1 connected to 2,3,4 — hub must outrank leaves,
+    # and total rank ≈ |V| (the per-vertex (1-d) + d·flow conservation)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    pr = {r["vertex"]: r["rank"] for r in pagerank(edges, iters=20).collect()}
+    assert pytest.approx(sum(pr.values()), rel=1e-3) == 4.0
+    assert pr[1] > pr[2] == pytest.approx(pr[3], rel=1e-9)
+
+
+def test_interpolation_linear_midpoint(spark, monkeypatch):
+    # series with one missing hour: 10:00=2.0, 11:00=gap, 12:00=6.0
+    # → interpolated 11:00 = 4.0
+    from sparkifydb_datawarehouse_spark.operators import resample as R
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:15:00", 1, "a", 2.0, "{}"),
+            (2, "2024-01-01 12:45:00", 1, "a", 6.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(R, "load_table", lambda *_a, **_k: events)
+    out = {
+        r["bucket"].hour: (r["value_interp"], r["was_gap"])
+        for r in R.ts_interpolate(spark, "ignored").collect()
+    }
+    assert out[10] == (2.0, False)
+    assert out[11] == (4.0, True)
+    assert out[12] == (6.0, False)
+
+
+def test_anomaly_zscore_flags_planted_outlier(spark, monkeypatch):
+    from sparkifydb_datawarehouse_spark.operators import resample as R
+
+    rows = [
+        (i, f"2024-01-01 00:{i:02d}:00", 1, "a", 10.0 + (i % 3) * 0.1, "{}")
+        for i in range(50)
+    ]
+    rows.append((99, "2024-01-01 01:00:00", 1, "a", 500.0, "{}"))  # outlier
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(R, "load_table", lambda *_a, **_k: events)
+    flagged = R.anomaly_zscore(spark, "ignored").collect()
+    assert [r["event_id"] for r in flagged] == [99]
+    assert flagged[0]["zscore"] > 3
+
+
+def test_fuzzy_join_finds_only_near_names(spark, monkeypatch):
+    from sparkifydb_datawarehouse_spark.operators import fuzzy as FZ
+
+    parts = spark.createDataFrame(
+        [
+            (1, "B1", "chocolate velvet stone", "t", 1, 1.0),
+            (2, "B1", "chocolate velvet stones", "t", 1, 1.0),  # dist 1
+            (3, "B1", "completely different name here", "t", 1, 1.0),
+            (4, "B2", "chocolate velvet stone", "t", 1, 1.0),  # other brand
+        ],
+        "p_partkey long, p_brand string, p_name string, p_type string, p_size int, p_retailprice double",
+    )
+    monkeypatch.setattr(FZ, "load_table", lambda *_a, **_k: parts)
+    pairs = [
+        (r["part_a"], r["part_b"], r["edit_dist"])
+        for r in FZ.join_fuzzy_levenshtein(spark, "ignored").collect()
+    ]
+    assert pairs == [(1, 2, 1)]
+
+
+def test_compaction_preserves_content_and_hits_target(spark, tmp_path, sf_dir):
+    src = str(tmp_path / "frag")
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    events.repartition(16).write.parquet(src)  # fragment: 16 small files
+    n_files_before = len(
+        [f for f in os.listdir(src) if f.endswith(".parquet")]
+    )
+    assert n_files_before == 16
+    before = dataset_bytes(src)
+    target = before // 2  # plan: 2-3 files
+    planned = compact(spark, src, target_bytes=target, sort_by=["event_id"])
+    assert planned == plan_file_count(before, target) <= 3
+    files_after = [f for f in os.listdir(src) if f.endswith(".parquet")]
+    assert len(files_after) == planned < n_files_before
+    out = spark.read.parquet(src)
+    assert out.count() == events.count()
+    assert out.exceptAll(events).count() == 0 and events.exceptAll(out).count() == 0

@@ -16,8 +16,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from sparkifydb_datawarehouse_spark.streaming import stateful
-from sparkifydb_datawarehouse_spark.streaming.windows import _EVENTS_RAW_SCHEMA
-from sparkifydb_datawarehouse_spark.tables import load_table
+from sparkifydb_datawarehouse_spark.streaming.windows import events_raw_schema
+from sparkifydb_datawarehouse_spark.tables import load_table, normalize_event_ts
 
 
 @pytest.fixture(scope="module")
@@ -40,11 +40,11 @@ def two_batch_dir(spark, sf_dir):
 
 def test_state_carries_across_batches(spark, sf_dir, two_batch_dir):
     stream = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .option("maxFilesPerTrigger", 1)
         .parquet(two_batch_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    stream = stream.withColumn("ts", normalize_event_ts(stream))
     q = (
         stateful.user_running_totals(stream)
         .writeStream.format("memory")
@@ -97,11 +97,11 @@ def test_transform_with_state_matches_batch(spark, sf_dir, two_batch_dir):
     )
     try:
         stream = (
-            spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+            spark.readStream.schema(events_raw_schema(spark, sf_dir))
             .option("maxFilesPerTrigger", 1)
             .parquet(two_batch_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         )
+        stream = stream.withColumn("ts", normalize_event_ts(stream))
         q = (
             stateful.user_running_totals_tws(stream)
             .writeStream.format("memory")
