@@ -66,6 +66,13 @@ HEADLINE = [
     "q_dq_referential",              # three anti-join audits in one plan
     "q_asof_join",                   # join + window as-of composition
     "q_merge_upsert",                # full-outer-join upsert
+    "q_cdc_apply",                   # change-log fold via max_by agg
+    "q_join_fuzzy_levenshtein",      # banded-blocking edit-distance join
+    "q_join_interval_overlap",       # per-key interval overlap join
+    "q_graph_triangles",             # edge-gen self-join + two-hop close
+    "q_graph_pagerank",              # iterative rank propagation
+    "q_ts_interpolate",              # gap fill + two-direction window interp
+    "q_anomaly_zscore",              # 200-row trailing window score
 ]
 
 

@@ -45,9 +45,11 @@ def load_all_modules() -> None:
         agg_packs,
         aggregates,
         asof,
+        binning,
         cdc,
         composites,
         composites_tpch,
+        diffing,
         flagship,
         functions_pack,
         fuzzy,

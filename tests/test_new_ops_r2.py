@@ -142,3 +142,37 @@ def test_compaction_preserves_content_and_hits_target(spark, tmp_path, sf_dir):
     out = spark.read.parquet(src)
     assert out.count() == events.count()
     assert out.exceptAll(events).count() == 0 and events.exceptAll(out).count() == 0
+
+
+def test_snapshot_diff_classifies(spark):
+    from sparkifydb_datawarehouse_spark.operators.diffing import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 20.0, "B"), (3, 30.0, "C")],
+        "k long, price double, status string",
+    )
+    new = spark.createDataFrame(
+        [(1, 10.0, "A"), (2, 25.0, "B"), (4, 40.0, "D")],
+        "k long, price double, status string",
+    )
+    out = {r["k"]: r["change"] for r in snapshot_diff(old, new, "k").collect()}
+    assert out == {2: "changed", 3: "removed", 4: "added"}  # 1 unchanged -> absent
+
+
+def test_quantile_binning_scale_path_matches_ntile_closely(spark, sf_dir):
+    from sparkifydb_datawarehouse_spark.operators.binning import (
+        _NBINS,
+        bin_by_quantiles,
+    )
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    c = load_table(spark, sf_dir, "customer")
+    binned = bin_by_quantiles(c, "c_acctbal")
+    counts = {
+        r["bin"]: r["n"]
+        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == set(range(1, _NBINS + 1))
+    n = c.count()
+    for b, cnt in counts.items():  # approximate-equal-frequency: ±60% of ideal
+        assert abs(cnt - n / _NBINS) < 0.6 * n / _NBINS, (b, cnt)

@@ -187,3 +187,43 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_fuzzy_join_is_hash_not_nested_loop(spark, sf_dir):
+    """Banded blocking must keep the edit-distance join hash-based —
+    a nested-loop here is the O(n²) failure the banding exists to
+    prevent."""
+    df = registry.QUERIES["q_join_fuzzy_levenshtein"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies, "expected a join in the plan"
+    assert not any(
+        s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
+    ), strategies
+
+
+def test_interval_overlap_is_hash_not_nested_loop(spark, sf_dir):
+    df = registry.QUERIES["q_join_interval_overlap"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies, "expected a join in the plan"
+    assert not any(
+        s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
+    ), strategies
+
+
+def test_cdc_apply_single_shuffle_with_partial_agg(spark, sf_dir):
+    """The change-log fold must be one key shuffle with map-side
+    partial aggregation (max_by combines), not a window sort."""
+    df = registry.QUERIES["q_cdc_apply"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan[:1500]
+    # exactly one exchange before the final presentation sort
+    n_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"{n_exchanges} hash exchanges:\n{plan[:1500]}"
+
+
+def test_table_diff_shuffles_hashes_not_rows(spark, sf_dir):
+    """The diff join's inputs must be (key, xxhash64) projections —
+    value columns are hashed map-side, before the exchange."""
+    df = registry.QUERIES["q_table_diff"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" in plan, plan[:1500]
