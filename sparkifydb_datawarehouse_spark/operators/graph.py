@@ -1,6 +1,6 @@
 """Graph analytics over a co-occurrence graph derived from the
-warehouse: suppliers are vertices; an edge connects two suppliers that
-ship lines of the same order.
+warehouse: suppliers are vertices; edges connect each supplier to the
+partners it co-ships orders with most often.
 
 The reference models its domain purely relationally
 (/root/reference/sql_queries.py:19-97); graph questions over the same
@@ -9,59 +9,100 @@ extension and exercise a genuinely different access pattern: self-join
 edge generation, neighborhood aggregation, and iterative propagation.
 
 Scale design (100 TB):
-- Edge generation is a self-join of lineitem with itself ON
-  l_orderkey — an equi-join on the natural partitioning key of the
-  fact table, so with orderkey-bucketed layout it is shuffle-free.
-  Within an order the pair fan-out is bounded (orders have ~7 lines),
-  so output is O(rows · lines_per_order), never O(n²).
-- Degree is one hash agg over the (distinct) edge set.
-- Triangle counting joins the edge list to itself twice; the
-  canonical a<b<c orientation makes each triangle counted exactly
-  once AND keeps every join's build side the (smaller) oriented edge
-  set. Spark broadcasts it when small; at scale this is the standard
-  two-shuffle triangle join, and highest-degree-vertex orientation
-  (order by degree, not id) would cap skew — noted, not needed at
-  fixture scale.
-- PageRank keeps ONLY the rank vector as iterative state,
-  localCheckpoint-ed per round (same lineage discipline as
-  llm/clustering.connected_components); the edge list is checkpointed
-  once and reused by every round.
+- RAW co-occurrence saturates: with random assignment the pair count
+  approaches |V|² as orders grow (measured: 91% of all possible
+  supplier pairs co-occur at sf0.1) — degree/triangle/rank on the raw
+  graph degenerates into all-pairs work that no cluster survives.
+  The fix is in the graph DEFINITION, not the execution: keep each
+  vertex's K strongest partners (by co-occurrence count, ties to the
+  lower id) — the standard kNN-graph sparsification. Degree is then
+  bounded by 2K at ANY data scale, and the edge build is a hash agg +
+  one per-vertex top-K window, both linear in the pair-occurrence
+  count.
+- Pair generation is a self-join of lineitem ON l_orderkey — an
+  equi-join on the fact table's natural key (shuffle-free under
+  orderkey-bucketed layout) with per-order bounded fan-out.
+- Triangle counting joins the oriented edge list to itself twice;
+  orientation (a<b<c) counts each triangle once and the kNN cap
+  bounds the join fan-out.
+- PageRank keeps ONLY the rank vector as iterative state. Like
+  connected components (llm/clustering.py), the strategy is adaptive:
+  a sparsified graph under 1M edges is solved on the driver with
+  numpy (the distributed loop costs ~0.5 s/round of pure job overhead
+  — 10 rounds of that swamps any small graph); bigger graphs run the
+  distributed loop with localCheckpoint lineage truncation. Both
+  paths implement the same fixpoint and are tested to agree.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
 from ..tables import load_table
 
-_EDGE_SQL_CTE = """
-edges AS (
-    SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+KNN_K = 10
+
+_EDGE_SQL_CTE = f"""
+pair_counts AS (
+    SELECT a.l_suppkey AS src, b.l_suppkey AS dst, COUNT(*) AS cnt
     FROM lineitem a
     JOIN lineitem b
       ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    GROUP BY a.l_suppkey, b.l_suppkey
+),
+directed AS (
+    SELECT src AS u, dst AS v, cnt FROM pair_counts
+    UNION ALL SELECT dst, src, cnt FROM pair_counts
+),
+knn AS (
+    SELECT u, v FROM (
+        SELECT u, v,
+               ROW_NUMBER() OVER (PARTITION BY u ORDER BY cnt DESC, v) AS rn
+        FROM directed
+    ) WHERE rn <= {KNN_K}
+),
+edges AS (
+    SELECT DISTINCT LEAST(u, v) AS src, GREATEST(u, v) AS dst FROM knn
 )
 """
 
 
-def supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct co-occurrence edges, oriented src < dst."""
+def supplier_edges(spark: SparkSession, sf_dir: str, k: int = KNN_K) -> DataFrame:
+    """kNN-sparsified co-occurrence edges, oriented src < dst: each
+    supplier contributes its k most-frequent co-shippers; an edge
+    survives if EITHER endpoint selected it (standard kNN-graph
+    symmetrization), so degree <= 2k at any scale."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    return (
+    a, b = li.alias("a"), li.alias("b")
+    pair_counts = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
         )
-        .select(
+        .groupBy(
             F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
         )
-        .distinct()
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    directed = pair_counts.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), "cnt"
+    ).unionAll(
+        pair_counts.select(F.col("dst").alias("u"), F.col("src").alias("v"), "cnt")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("cnt").desc(), F.col("v"))
+    knn = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("u", "v")
+    )
+    return knn.select(
+        F.least("u", "v").alias("src"), F.greatest("u", "v").alias("dst")
+    ).distinct()
 
 
 _ORACLE_DEGREE = f"""
@@ -77,7 +118,7 @@ ORDER BY supp_key
 
 @query("q_graph_degree", oracle=_ORACLE_DEGREE)
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vertex degree over the undirected co-supply graph. Edges are
+    """Vertex degree over the sparsified co-supply graph. Edges are
     distinct and oriented, so degree = out-edges + in-edges with no
     double counting."""
     e = supplier_edges(spark, sf_dir)
@@ -114,11 +155,58 @@ def graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_ITERS = 10
 PAGERANK_DAMPING = 0.85
 
+# Same adaptive threshold rationale as clustering.DRIVER_CC_MAX_EDGES:
+# under this edge count the collected graph is tens of MB and the
+# distributed loop's fixed ~0.5 s/round job overhead dominates any
+# real work, so solve on the driver; above it, only the distributed
+# loop fits in memory and its per-round cost is amortized by volume.
+DRIVER_PR_MAX_EDGES = 1_000_000
 
-def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+
+def _driver_pagerank(
+    spark: SparkSession, pairs: list, iters: int, damping: float
+) -> DataFrame:
+    """numpy PageRank on the collected edge list — exact same fixpoint
+    as the distributed loop (undirected, rank_0 = 1.0, no dangling
+    handling needed: every vertex of an undirected edge has deg>=1)."""
+    verts = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    deg = np.zeros(n)
+    src = np.empty(2 * len(pairs), dtype=np.int64)
+    dst = np.empty(2 * len(pairs), dtype=np.int64)
+    for j, (a, b) in enumerate(pairs):
+        ia, ib = idx[a], idx[b]
+        src[2 * j], dst[2 * j] = ia, ib
+        src[2 * j + 1], dst[2 * j + 1] = ib, ia
+        deg[ia] += 1
+        deg[ib] += 1
+    rank = np.ones(n)
+    for _ in range(iters):
+        contrib = rank[src] / deg[src]
+        rank = (1 - damping) + damping * np.bincount(
+            dst, weights=contrib, minlength=n
+        )
+    rows = [(int(v), float(rank[idx[v]])) for v in verts]
+    return spark.createDataFrame(rows, "vertex long, rank double")
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PAGERANK_ITERS,
+    max_driver_edges: int = DRIVER_PR_MAX_EDGES,
+) -> DataFrame:
     """Undirected PageRank to `iters` rounds. Returns (vertex, rank)
-    with ranks summing to ~|V|. State per round = the rank vector
-    only, localCheckpoint-ed (checkpoint() on a real cluster)."""
+    with ranks summing to ~|V|. Adaptive driver/distributed strategy
+    (see module docstring); pass max_driver_edges=0 to force the
+    distributed loop."""
+    spark = edges.sparkSession
+    if max_driver_edges > 0:
+        mat = edges.select("src", "dst").localCheckpoint()
+        if mat.count() <= max_driver_edges:
+            pairs = [(r[0], r[1]) for r in mat.collect()]
+            return _driver_pagerank(spark, pairs, iters, PAGERANK_DAMPING)
+        edges = mat
     bi = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .unionAll(edges.select(F.col("dst").alias("u"), F.col("src").alias("v")))

@@ -176,3 +176,32 @@ def test_quantile_binning_scale_path_matches_ntile_closely(spark, sf_dir):
     n = c.count()
     for b, cnt in counts.items():  # approximate-equal-frequency: ±60% of ideal
         assert abs(cnt - n / _NBINS) < 0.6 * n / _NBINS, (b, cnt)
+
+
+def test_pagerank_distributed_agrees_with_driver(spark):
+    # ring + chord graph, both strategies must land on the same fixpoint
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1), (1, 3)],
+        "src long, dst long",
+    )
+    drv = {r["vertex"]: r["rank"] for r in pagerank(edges, iters=8).collect()}
+    dist = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(edges, iters=8, max_driver_edges=0).collect()
+    }
+    assert set(drv) == set(dist)
+    for v in drv:
+        assert drv[v] == pytest.approx(dist[v], abs=1e-9), v
+
+
+def test_knn_sparsification_caps_degree(spark, sf_dir):
+    from sparkifydb_datawarehouse_spark.operators.graph import KNN_K
+
+    e = supplier_edges(spark, sf_dir)
+    bi = e.select(F.col("src").alias("v")).unionAll(
+        e.select(F.col("dst").alias("v"))
+    )
+    max_deg = (
+        bi.groupBy("v").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).collect()
+    )[0][0]
+    assert max_deg <= 2 * KNN_K
