@@ -491,3 +491,59 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") > _COS_THRESHOLD)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Representative selection — the KEEP RULE that turns dedup groups
+# into a clean corpus. dedup_exact answers "what is duplicated"; this
+# answers "which copy survives": per fingerprint group, keep the
+# best document by an explicit quality ordering (longest text, ties
+# to the lowest doc_id — deterministic and auditable). One
+# max_by(struct) hash agg: the shuffle carries (fingerprint, best
+# candidate so far) after partial agg, never the group's documents.
+# At 100 TB this replaces the window-rank formulation (full shuffle +
+# per-group sort) for the same reason cdc.apply_cdc does.
+# ---------------------------------------------------------------------------
+
+_ORACLE_REPRESENTATIVE = """
+WITH ranked AS (
+    SELECT doc_id, lang, n_chars,
+           md5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           ROW_NUMBER() OVER (
+               PARTITION BY md5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'))
+               ORDER BY n_chars DESC, doc_id
+           ) AS rn,
+           COUNT(*) OVER (
+               PARTITION BY md5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g'))
+           ) AS n_copies
+    FROM documents
+)
+SELECT fingerprint, doc_id AS kept_doc_id, lang, n_chars,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM ranked WHERE rn = 1
+ORDER BY fingerprint
+"""
+
+
+@query("q_dedup_representative", oracle=_ORACLE_REPRESENTATIVE)
+def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
+    # quality order = (n_chars DESC, doc_id ASC); max_by takes the MAX
+    # of the ordering struct, so doc_id rides negated
+    best = F.max_by(
+        F.struct("doc_id", "lang", "n_chars"),
+        F.struct(F.col("n_chars"), -F.col("doc_id")),
+    ).alias("best")
+    return (
+        docs.groupBy(fp.alias("fingerprint"))
+        .agg(best, F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "fingerprint",
+            F.col("best.doc_id").alias("kept_doc_id"),
+            F.col("best.lang").alias("lang"),
+            F.col("best.n_chars").alias("n_chars"),
+            "n_copies",
+        )
+        .orderBy("fingerprint")
+    )

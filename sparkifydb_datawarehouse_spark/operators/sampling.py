@@ -202,3 +202,51 @@ def shuffle_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("shuffle_pos", "doc_id", "source")
         .orderBy("shuffle_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: per-ROW keep probability proportional to
+# a quality score, still hash-deterministic. The standard curriculum /
+# quality-upweighting pass: keep probability = clamp(score, 0, 1),
+# membership decided by comparing the row's hash bucket against its
+# OWN threshold. Same scan-side no-shuffle discipline as the other
+# samplers — the weight just varies the threshold per row.
+# ---------------------------------------------------------------------------
+
+_ORACLE_WEIGHTED = f"""
+WITH scored AS (
+    SELECT doc_id, lang, n_chars,
+           LEAST(n_chars / 400.0, 1.0) AS keep_p
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       ROUND(AVG(n_chars), 4) AS mean_chars_kept
+FROM scored
+WHERE {_duck_bucket("'w#' || doc_id::VARCHAR")} < CAST(FLOOR(keep_p * 1000) AS BIGINT)
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_sample_weighted", oracle=_ORACLE_WEIGHTED)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-weighted document sample (longer docs kept at higher
+    rate, capped at 1.0) — deterministic per row, zero shuffle before
+    the audit agg. keep_p*1000 is truncated to BIGINT on both engines
+    (Spark long cast truncates; DuckDB CAST rounds, so the oracle's
+    expression and this one must agree — n_chars/400*1000 is always
+    an exact multiple of 2.5, never a rounding boundary)."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_p = F.least(F.col("n_chars") / 400.0, F.lit(1.0))
+    thresh = (keep_p * 1000).cast("long")
+    key = F.concat(F.lit("w#"), F.col("doc_id").cast("string"))
+    return (
+        docs.filter(hash_bucket(key) < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.round(F.avg("n_chars"), 4).alias("mean_chars_kept"),
+        )
+        .orderBy("lang")
+    )
