@@ -17,6 +17,9 @@ queries (exact dedup, n-gram Jaccard) are fully oracle-checked.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -443,6 +446,32 @@ ORDER BY vec_a, vec_b
 _WINDOW = 10  # candidate window: vec_b in (vec_a, vec_a + _WINDOW]
 
 
+def _seq_dot_udf():
+    """Arrow-vectorized pairwise dot with SEQUENTIAL per-element
+    accumulation: acc = t0; acc += t_i in index order — the exact
+    association of the unrolled codegen chain, the HOF fold, AND
+    DuckDB's list_dot_product, so round-6 oracle parity is untouched.
+    (np.dot/@ would use pairwise summation — last-ulp different.)
+
+    Why a UDF here at all: the unrolled 64-term expression is cheap
+    per ROW but costs seconds of driver-side analysis/codegen per
+    query BUILD (~400-node trees, rebuilt every run — measured ~4-5 s
+    of the clusters query at sf0.1, dwarfing the actual math on 20k
+    candidate pairs). Same trade as k-means' argmin (SURVEY §4): past
+    ~1k expression nodes, hand the batch to numpy."""
+
+    @F.pandas_udf("double")
+    def seq_dot(xa: pd.Series, xb: pd.Series) -> pd.Series:
+        X = np.vstack(xa.to_numpy())
+        Y = np.vstack(xb.to_numpy())
+        acc = X[:, 0] * Y[:, 0]
+        for i in range(1, X.shape[1]):
+            acc = acc + X[:, i] * Y[:, i]
+        return pd.Series(acc)
+
+    return seq_dot
+
+
 @query("q_dedup_embedding_cosine", oracle=_ORACLE_EMB_DUP)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded range join: a pure range condition would plan as a
@@ -453,15 +482,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     EQUI-join (hash, codegen); the range residual and the cosine then
     evaluate on only the O(n·window) in-band pairs. Norms are computed
     once per vector before the join; each candidate pair costs one
-    unrolled dot product."""
+    Arrow-batched sequential dot (see _seq_dot_udf for why not the
+    unrolled expression)."""
+    dot = _seq_dot_udf()
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_array(F.col("embedding")).alias("emb")
     )
-    e = F.col("emb")
+    emb = emb.withColumn("norm", F.sqrt(dot("emb", "emb")))
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
-        e.alias("emb_a"),
-        F.sqrt(_dot(e, e)).alias("norm_a"),
+        F.col("emb").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
         F.explode(
             F.array(
                 F.floor(F.col("vec_id") / _WINDOW),
@@ -471,13 +502,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
-        e.alias("emb_b"),
-        F.sqrt(_dot(e, e)).alias("norm_b"),
+        F.col("emb").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
         F.floor(F.col("vec_id") / _WINDOW).alias("band"),
     )
     cos = F.round(
         F.try_divide(
-            _dot(F.col("emb_a"), F.col("emb_b")), F.col("norm_a") * F.col("norm_b")
+            dot("emb_a", "emb_b"), F.col("norm_a") * F.col("norm_b")
         ),
         6,
     )
