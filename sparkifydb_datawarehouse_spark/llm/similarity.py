@@ -14,6 +14,11 @@ Two tiers, per SURVEY §2 B19:
 
 Both tiers are oracle-checked — cosine is spelled out identically
 (dot/(|a||b|), double math, round 6) in Spark and DuckDB.
+
+Literature (PAPERS.md): the bucketed/index tier mirrors the
+incremental candidate-pruning idea of interactive top-k similarity
+search (EDBT 2020) — restrict evaluation to a candidate set that the
+query's own signature selects, pay the exact metric only there.
 """
 
 from __future__ import annotations

@@ -28,6 +28,10 @@ product.
   banded DP costs O(len·k) per pair and abandons early, vs O(len²)
   for the unbounded form — the difference between a usable and an
   unusable residual at millions of candidate pairs.
+- Literature: the blocking-then-verify structure follows the
+  filter/verification framework of compressed-index string-similarity
+  joins (ICDE 2022, PAPERS.md); q-gram prefix filtering is the next
+  refinement step if length-band blocks ever skew.
 """
 
 from __future__ import annotations
