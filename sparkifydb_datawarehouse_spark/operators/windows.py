@@ -211,3 +211,45 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY order_key
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# TIME-range frame: trailing 1-hour activity per user — RANGE over an
+# event-time ORDER BY, the "rolling rate/exposure" shape (rate
+# limiting, spend caps, sliding engagement). Distinct from the
+# numeric RANGE frame above (value distance) and from the ROWS frames
+# (count distance): the frame holds whatever fits in the INTERVAL,
+# including event-time ties as peers. Scale: one shuffle on user_id;
+# frame membership is two pointer advances per row over each user's
+# time-sorted events, state O(frame).
+# ---------------------------------------------------------------------------
+
+_ORACLE_TIME_RANGE = """
+SELECT event_id,
+       user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+       ROUND(SUM(value) OVER w, 4) AS value_last_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+ORDER BY event_id
+"""
+
+
+@query("q_window_time_range", oracle=_ORACLE_TIME_RANGE)
+def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SQL dialect again: pyspark's rangeBetween takes integer bounds
+    # only; INTERVAL range frames need the SQL form.
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("_tr_events")
+    return spark.sql(
+        """
+        SELECT event_id,
+               user_id,
+               COUNT(*) OVER w AS n_last_hour,
+               ROUND(SUM(value) OVER w, 4) AS value_last_hour
+        FROM _tr_events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        ORDER BY event_id
+        """
+    )

@@ -167,3 +167,26 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     j = fact.join(years, fact.order_year == F.col("y"))
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Appended files may carry NEW columns (warehouse schema
+    evolution); mergeSchema reads the union, with nulls where old
+    files lack the column — the contract an append-only 100 TB
+    dataset depends on."""
+    import pyspark.sql.functions as F
+
+    base = str(tmp_path / "evolving")
+    spark.range(5).select(F.col("id"), F.lit("a").alias("v1")).write.parquet(base)
+    (
+        spark.range(5, 8)
+        .select(F.col("id"), F.lit("b").alias("v1"), F.lit(1.5).alias("v2"))
+        .write.mode("append").parquet(base)
+    )
+    merged = spark.read.option("mergeSchema", "true").parquet(base)
+    assert set(merged.columns) == {"id", "v1", "v2"}
+    assert merged.count() == 8
+    assert merged.filter(F.col("v2").isNull()).count() == 5
+    # without mergeSchema, footer-of-one-file schema wins — the trap
+    plain = spark.read.parquet(base)
+    assert plain.count() == 8
