@@ -82,3 +82,32 @@ def test_stream_reader_drains_feed_exactly_once(spark, tmp_path):
     assert got.agg(F.sum("amount")).first()[0] == pytest.approx(
         batch.agg(F.sum("amount")).first()[0], rel=1e-12
     )
+
+
+def test_pysink_two_phase_commit_roundtrip(spark, tmp_path, sf_dir):
+    """Writer protocol: per-task temp files, driver-side rename
+    commit, _SUCCESS manifest; content roundtrips through the JSONL."""
+    import json
+    import os
+
+    from sparkifydb_datawarehouse_spark.sources import pysink
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    pysink.register(spark)
+    out = str(tmp_path / "jsonl_out")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    docs.repartition(4).write.format("jsonl_dir").option("path", out).mode(
+        "append"
+    ).save()
+
+    files = sorted(os.listdir(out))
+    parts = [f for f in files if f.startswith("part-")]
+    assert len(parts) == 4
+    assert not [f for f in files if f.startswith("_tmp_")], "uncommitted temps"
+    manifest = json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest["n_rows"] == docs.count()
+    back = spark.read.json(os.path.join(out, "part-*.jsonl"))
+    assert back.count() == docs.count()
+    assert {r["doc_id"] for r in back.collect()} == {
+        r["doc_id"] for r in docs.collect()
+    }
