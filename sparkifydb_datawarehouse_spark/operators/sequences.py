@@ -1,0 +1,79 @@
+"""Sequence-pattern detection over per-user event journeys — the
+MATCH_RECOGNIZE-shaped capability, expressed Spark-first.
+
+The funnel operator (timeseries.funnel_conversion) answers "did the
+user EVER do A then B then C"; this answers the stricter ordered-
+pattern question with intervening-event structure — here: how many
+view→(clicks)*→purchase conversions does each user's journey contain,
+with no other event type breaking the run. The standard trick makes
+it engine-portable: encode each user's time-ordered events as a
+STRING of type initials, then count regex matches — journeys become
+text, patterns become regexes, and both Spark and DuckDB agree on
+leftmost non-overlapping matching.
+
+Scale design (100 TB): one shuffle on user_id; the journey string per
+user is bounded by human activity (the same boundedness argument as
+sessionization, SURVEY §2 C27). The Spark side builds the ordered
+journey WITHOUT a window sort: array_sort(collect_list(struct(ts,
+event_id, chr))) sorts INSIDE the aggregation buffer per group —
+map-side combined, no global sort, no second shuffle. A pathological
+key (bot with millions of events) would be capped by slice() before
+the regex — noted, not needed at fixture scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_PATTERN = "vc*p"  # view, any clicks, purchase — uninterrupted
+
+
+_ORACLE_SEQ = f"""
+WITH journeys AS (
+    SELECT user_id,
+           string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS journey
+    FROM events
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(regexp_extract_all(journey, '{_PATTERN}')) AS BIGINT)
+           AS n_conversions,
+       CAST(length(journey) AS BIGINT) AS n_events
+FROM journeys
+WHERE length(regexp_extract_all(journey, '{_PATTERN}')) > 0
+ORDER BY user_id
+"""
+
+
+@query("q_pattern_sequence", oracle=_ORACLE_SEQ)
+def pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ordered = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", F.col("initial")))
+    )
+    journey = F.array_join(
+        F.transform(ordered, lambda s: s["initial"]), ""
+    ).alias("journey")
+    journeys = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.substring("event_type", 1, 1).alias("initial"),
+        )
+        .groupBy("user_id")
+        .agg(journey)
+    )
+    n_conv = F.regexp_count("journey", F.lit(_PATTERN))
+    return (
+        journeys.select(
+            "user_id",
+            n_conv.cast("long").alias("n_conversions"),
+            F.length("journey").cast("long").alias("n_events"),
+        )
+        .filter(F.col("n_conversions") > 0)
+        .orderBy("user_id")
+    )

@@ -67,6 +67,7 @@ def load_all_modules() -> None:
         profiling,
         quality,
         sampling,
+        sequences,
         timeseries,
         udfs,
         udtfs,

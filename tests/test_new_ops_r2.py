@@ -245,3 +245,28 @@ def test_dedup_representative_keeps_best(spark, monkeypatch):
     out = D.dedup_representative(spark, "ignored").collect()
     kept = {r["kept_doc_id"]: r["n_copies"] for r in out}
     assert kept == {2: 3, 4: 1}
+
+
+def test_pattern_sequence_counts_conversions(spark, monkeypatch):
+    from sparkifydb_datawarehouse_spark.operators import sequences as SQ
+
+    def ev(uid, i, t):
+        return (i, f"2024-01-01 00:{i:02d}:00", uid, t, 1.0, "{}")
+
+    rows = (
+        # user 1: v c c p (1 conversion), then v e p (broken by error)
+        [ev(1, i, t) for i, t in enumerate(["view", "click", "click", "purchase",
+                                            "view", "error", "purchase"])]
+        # user 2: two clean v-p conversions
+        + [ev(2, 10 + i, t) for i, t in enumerate(["view", "purchase",
+                                                   "view", "purchase"])]
+        # user 3: no conversion
+        + [ev(3, 20 + i, t) for i, t in enumerate(["click", "signup"])]
+    )
+    events = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    monkeypatch.setattr(SQ, "load_table", lambda *_a, **_k: events)
+    out = {r["user_id"]: r["n_conversions"] for r in SQ.pattern_sequence(spark, "x").collect()}
+    assert out == {1: 1, 2: 2}
