@@ -50,6 +50,7 @@ def load_all_modules() -> None:
         composites,
         composites_tpch,
         diffing,
+        drift,
         flagship,
         functions_pack,
         fuzzy,

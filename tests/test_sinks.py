@@ -190,3 +190,24 @@ def test_schema_evolution_merge_read(spark, tmp_path):
     # without mergeSchema, footer-of-one-file schema wins — the trap
     plain = spark.read.parquet(base)
     assert plain.count() == 8
+
+
+def test_ignore_corrupt_files_read(spark, tmp_path):
+    """A torn/corrupt parquet file in a 100 TB dataset must not kill
+    the scan when the pipeline opts into ignoreCorruptFiles."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    d = str(tmp_path / "with_corrupt")
+    spark.range(10).select(F.col("id")).write.parquet(d)
+    with open(os.path.join(d, "part-corrupt.parquet"), "wb") as f:
+        f.write(b"PAR1 this is not a real parquet footer")
+    ok = (
+        spark.read.option("ignoreCorruptFiles", "true").parquet(d).count()
+    )
+    assert ok == 10
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        spark.read.parquet(d).count()  # default: fail loudly
