@@ -73,6 +73,14 @@ HEADLINE = [
     "q_graph_pagerank",              # iterative rank propagation
     "q_ts_interpolate",              # gap fill + two-direction window interp
     "q_anomaly_zscore",              # 200-row trailing window score
+    "q_table_diff",                  # full-outer hash-vs-hash snapshot diff
+    "q_feature_binning",             # NTILE decile features + per-bin stats
+    "q_sample_weighted",             # per-row weighted hash sample
+    "q_dedup_representative",        # keep-best-per-fingerprint max_by
+    "q_pattern_sequence",            # journey-string regex conversions
+    "q_drift_psi",                   # one-scan two-slice PSI
+    "q_udaf_trimmed_mean",           # GROUPED_AGG pandas UDAF
+    "q_window_time_range",           # trailing INTERVAL 1h RANGE frame
 ]
 
 

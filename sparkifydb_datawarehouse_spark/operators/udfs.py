@@ -110,12 +110,23 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@F.pandas_udf("double")
-def _trimmed_mean(x: pd.Series) -> float:
-    lo, hi = x.quantile(0.10), x.quantile(0.90)  # linear interpolation,
-    # same definition as DuckDB quantile_cont
-    kept = x[(x >= lo) & (x <= hi)]
-    return float(kept.mean())
+def _trimmed_mean_udaf():
+    """Built lazily: under `from __future__ import annotations` the
+    Series→float hints are strings, eval-type inference fails, and
+    pandas_udf then parses the return type EAGERLY — which needs an
+    active SparkSession, so a module-level decorator would crash any
+    import that precedes session creation (pytest collection did).
+    The explicit functionType sidesteps inference entirely."""
+    from pyspark.sql.functions import PandasUDFType
+
+    @F.pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def trimmed_mean(x):
+        lo, hi = x.quantile(0.10), x.quantile(0.90)  # linear
+        # interpolation, same definition as DuckDB quantile_cont
+        kept = x[(x >= lo) & (x <= hi)]
+        return float(kept.mean())
+
+    return trimmed_mean
 
 
 _ORACLE_UDAF = """
@@ -137,8 +148,9 @@ ORDER BY return_flag
 @query("q_udaf_trimmed_mean", oracle=_ORACLE_UDAF)
 def udaf_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    trimmed_mean = _trimmed_mean_udaf()
     return (
         li.groupBy(F.col("l_returnflag").alias("return_flag"))
-        .agg(F.round(_trimmed_mean("l_quantity"), 4).alias("trimmed_mean_qty"))
+        .agg(F.round(trimmed_mean("l_quantity"), 4).alias("trimmed_mean_qty"))
         .orderBy("return_flag")
     )
