@@ -48,7 +48,10 @@ WITH binned AS (
 SELECT CAST(bin AS BIGINT) AS bin,
        ROUND(p, 6) AS share_ref,
        ROUND(q, 6) AS share_cur,
-       ROUND((p - q) * LN(p / q), 6) AS psi_term
+       -- zero-share floor (standard PSI practice): a bin present in
+       -- one slice only would otherwise be ln(0) / division by zero
+       ROUND((p - q) * LN(GREATEST(p, 0.000001) / GREATEST(q, 0.000001)), 6)
+           AS psi_term
 FROM shares
 ORDER BY bin
 """
@@ -85,7 +88,14 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bin").cast("long").alias("bin"),
             F.round(p, 6).alias("share_ref"),
             F.round(q, 6).alias("share_cur"),
-            F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+            F.round(
+                (p - q)
+                * F.log(
+                    F.greatest(p, F.lit(0.000001))
+                    / F.greatest(q, F.lit(0.000001))
+                ),
+                6,
+            ).alias("psi_term"),
         )
         .orderBy("bin")
     )

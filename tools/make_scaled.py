@@ -80,13 +80,20 @@ def main() -> None:
         t["lineitem"], k,
         lambda df, i: df.withColumn("l_orderkey", F.col("l_orderkey") + i * max_ok),
     )
+    # ts arrives as TimestampType (load_table normalizes every fixture
+    # generation); unix_micros is the value-exact long form.
+    # cast("long") would truncate to SECONDS and silently write
+    # 1970-era garbage — caught when a calendar-split query found one
+    # slice empty at 10×.
     plans["events"] = _replicate(
         t["events"], k,
         lambda df, i: df.withColumn("event_id", F.col("event_id") + i * max_ev)
         .withColumn(
             "ts",
-            # int64 nanos, shifted k*31 days — matches fixture format
-            (F.col("ts").cast("long") + F.lit(i * 31 * 86400 * 10**6)) * 1000,
+            # int64 nanos, shifted k*31 days — matches the nanos
+            # fixture format (load_table reads it back via
+            # nanosAsLong)
+            (F.unix_micros(F.col("ts")) + F.lit(i * 31 * 86400 * 10**6)) * 1000,
         ),
     )
 
