@@ -342,3 +342,81 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(leak.cast("long")).alias("n_leaks_after"),
         F.sum(F.length("text") - F.length("clean")).alias("chars_removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style quality rule): the share of a
+# document's 3-grams that are repeats of an earlier 3-gram in the
+# same document. High repetition = boilerplate/spam/generation loops;
+# the standard corpus filter thresholds on exactly this ratio.
+#
+# Shape: 3-grams via posexplode + 2 window leads over (doc_id, pos) —
+# whole-stage codegen, one doc_id shuffle (same pattern as the
+# decontamination shingles, llm/corpus.py) — then
+# repetition = 1 - distinct/total per doc. Shuffles carry token
+# triples only as long as the window needs them; the agg output is
+# two counts per doc. At 100 TB: identical plan, plus the long-doc
+# token cap noted in the module docstring.
+# ---------------------------------------------------------------------------
+
+_ORACLE_REPETITION = """
+WITH toks AS (
+    SELECT doc_id, t
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    )
+    WHERE len(t) >= 3
+), grams AS (
+    SELECT doc_id,
+           t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+    FROM toks, LATERAL (
+        SELECT UNNEST(generate_series(1, len(t) - 2)) AS i
+    ) g
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct,
+       ROUND(1.0 - COUNT(DISTINCT gram) / COUNT(*)::DOUBLE, 6) AS repetition
+FROM grams
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q_text_repetition", oracle=_ORACLE_REPETITION)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    base = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= 3)
+        .select("doc_id", F.posexplode("t").alias("pos", "w0"))
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        base.withColumn("w1", F.lead("w0", 1).over(w))
+        .withColumn("w2", F.lead("w0", 2).over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "w0", "w1", "w2").alias("gram"))
+    )
+    return (
+        grams.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count_distinct("gram").alias("n_distinct"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_distinct",
+            F.round(
+                1.0 - F.col("n_distinct") / F.col("n_grams").cast("double"), 6
+            ).alias("repetition"),
+        )
+        .orderBy("doc_id")
+    )

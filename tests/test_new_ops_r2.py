@@ -270,3 +270,22 @@ def test_pattern_sequence_counts_conversions(spark, monkeypatch):
     monkeypatch.setattr(SQ, "load_table", lambda *_a, **_k: events)
     out = {r["user_id"]: r["n_conversions"] for r in SQ.pattern_sequence(spark, "x").collect()}
     assert out == {1: 1, 2: 2}
+
+
+def test_repetition_score_detects_loops(spark, monkeypatch):
+    from sparkifydb_datawarehouse_spark.llm import textstats as TS
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c", "en", "s", 17),   # loop: 7 grams, 3 distinct
+            (2, "one two three four five", "en", "s", 23),  # all distinct
+            (3, "too short", "en", "s", 9),            # < 3 tokens -> absent
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    monkeypatch.setattr(TS, "load_table", lambda *_a, **_k: docs)
+    out = {r["doc_id"]: r for r in TS.text_repetition(spark, "x").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_grams"] == 7 and out[1]["n_distinct"] == 3
+    assert out[1]["repetition"] > 0.5
+    assert out[2]["repetition"] == 0.0
