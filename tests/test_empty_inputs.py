@@ -1,0 +1,81 @@
+"""Empty-input robustness: every composable operator must return an
+EMPTY result (same schema), not crash, when its input has no rows —
+at 100 TB, empty slices/partitions/deltas are routine (a new tenant,
+a quiet hour, a filter that matches nothing)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def empty_events(spark):
+    return spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+
+
+def test_cdc_apply_empty(spark):
+    from sparkifydb_datawarehouse_spark.operators.cdc import apply_cdc
+
+    empty = spark.createDataFrame(
+        [], "key long, seq_ts timestamp, seq_id long, op string,"
+        " price double, status string"
+    )
+    out = apply_cdc(empty)
+    assert out.count() == 0
+    assert set(out.columns) == {"key", "last_op", "last_price", "last_status", "n_changes"}
+
+
+def test_snapshot_diff_empty_sides(spark):
+    from sparkifydb_datawarehouse_spark.operators.diffing import snapshot_diff
+
+    empty = spark.createDataFrame([], "k long, v double")
+    full = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    assert snapshot_diff(empty, empty, "k").count() == 0
+    # one-sided: everything classified, nothing dropped
+    assert {r["change"] for r in snapshot_diff(empty, full, "k").collect()} == {"added"}
+    assert {r["change"] for r in snapshot_diff(full, empty, "k").collect()} == {"removed"}
+
+
+def test_connected_components_empty(spark):
+    from sparkifydb_datawarehouse_spark.llm.clustering import connected_components
+
+    edges = spark.createDataFrame([], "a long, b long")
+    assert connected_components(edges, "a", "b").count() == 0
+
+
+def test_pagerank_empty(spark):
+    from sparkifydb_datawarehouse_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(edges).count() == 0
+
+
+def test_interpolate_and_zscore_empty(spark, monkeypatch, empty_events):
+    from sparkifydb_datawarehouse_spark.operators import resample as R
+
+    monkeypatch.setattr(R, "load_table", lambda *_a, **_k: empty_events)
+    assert R.ts_interpolate(spark, "x").count() == 0
+    assert R.anomaly_zscore(spark, "x").count() == 0
+
+
+def test_pattern_sequence_empty(spark, monkeypatch, empty_events):
+    from sparkifydb_datawarehouse_spark.operators import sequences as SQ
+
+    monkeypatch.setattr(SQ, "load_table", lambda *_a, **_k: empty_events)
+    assert SQ.pattern_sequence(spark, "x").count() == 0
+
+
+def test_kmeans_empty_raises_cleanly(spark):
+    """k-means on an empty table can't seed centroids — the failure
+    must be a clear Python error at fit time, not a JVM crash later."""
+    from sparkifydb_datawarehouse_spark.llm.clustering import kmeans_fit_assign
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception):
+        kmeans_fit_assign(empty, dim=4).collect()
