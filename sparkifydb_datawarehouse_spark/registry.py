@@ -57,6 +57,7 @@ def load_all_modules() -> None:
         graph,
         intervals,
         joins,
+        masking,
         merge,
         parity,
         pivots,

@@ -227,3 +227,13 @@ def test_table_diff_shuffles_hashes_not_rows(spark, sf_dir):
     df = registry.QUERIES["q_table_diff"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "xxhash64" in plan, plan[:1500]
+
+
+def test_masked_view_rls_predicate_pushed(spark, sf_dir):
+    """The row-level-security filter must reach the parquet scan —
+    suppressed rows are never read, not read-then-dropped."""
+    df = registry.QUERIES["q_masked_view"](spark, sf_dir)
+    filters = pushed_filters(df)
+    assert any("c_mktsegment" in f and "BUILDING" in f for f in filters), filters
+    schemas = read_schemas(df)
+    assert schemas and "c_name" not in schemas[0], schemas  # suppression prunes
