@@ -60,6 +60,7 @@ def load_all_modules() -> None:
         masking,
         merge,
         parity,
+        pit,
         pivots,
         resample,
         skew,

@@ -289,3 +289,51 @@ def test_repetition_score_detects_loops(spark, monkeypatch):
     assert out[1]["n_grams"] == 7 and out[1]["n_distinct"] == 3
     assert out[1]["repetition"] > 0.5
     assert out[2]["repetition"] == 0.0
+
+
+def test_backfill_rebuilds_only_named_partitions(spark, tmp_path, sf_dir):
+    from sparkifydb_datawarehouse_spark.pipelines.backfill import (
+        backfill_daily_rollup,
+    )
+
+    out = str(tmp_path / "rollup")
+    backfill_daily_rollup(spark, sf_dir, out)  # full build
+    full = spark.read.parquet(out)
+    expected = {
+        (str(r["event_date"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in full.collect()
+    }
+    target_date = sorted({d for d, _t in expected})[1]
+
+    # corrupt one partition: overwrite its files with a wrong row
+    part_dir = os.path.join(out, f"event_date={target_date}")
+    for f in os.listdir(part_dir):
+        if f.endswith(".parquet"):
+            os.remove(os.path.join(part_dir, f))
+    spark.createDataFrame(
+        [("corrupt", -1, -1.0)], "event_type string, n_events long, total_value double"
+    ).coalesce(1).write.mode("append").parquet(part_dir)
+    assert (
+        spark.read.parquet(out).filter(f"event_date = '{target_date}'").count() == 1
+    )
+    # untouched-partition fingerprint: file listing before backfill
+    other = sorted(d for d in os.listdir(out) if d.startswith("event_date="))
+    other_files_before = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in other
+        if d != f"event_date={target_date}"
+    }
+
+    backfill_daily_rollup(spark, sf_dir, out, dates=[target_date])
+
+    after = {
+        (str(r["event_date"]), r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert after == expected  # repaired, everything else equal
+    other_files_after = {
+        d: sorted(os.listdir(os.path.join(out, d)))
+        for d in other
+        if d != f"event_date={target_date}"
+    }
+    assert other_files_after == other_files_before  # untouched partitions' files intact
