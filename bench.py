@@ -81,6 +81,9 @@ HEADLINE = [
     "q_drift_psi",                   # one-scan two-slice PSI
     "q_udaf_trimmed_mean",           # GROUPED_AGG pandas UDAF
     "q_window_time_range",           # trailing INTERVAL 1h RANGE frame
+    "q_pit_join",                    # SCD2 point-in-time containment join
+    "q_masked_view",                 # governed view: mask + RLS pushdown
+    "q_text_repetition",             # repeated 3-gram share per doc
 ]
 
 
