@@ -179,3 +179,38 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("order_priority").asc_nulls_first(),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact decimal money aggregation: double SUMs of money drift in the
+# last ulp and differ run-to-run with partitioning; financial rollups
+# need DECIMAL accumulation (exact, associative, partitioning-
+# independent). Result emitted as a canonical string so the
+# cross-engine check is representation-exact, not float-tolerant.
+# ---------------------------------------------------------------------------
+
+_ORACLE_DECIMAL = """
+SELECT o_orderpriority AS priority,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+            AS VARCHAR) AS total_price_exact,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY priority
+"""
+
+
+@query("q_agg_decimal_exact", oracle=_ORACLE_DECIMAL)
+def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    total = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast(
+        "decimal(18,2)"
+    )
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            total.cast("string").alias("total_price_exact"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("priority")
+    )

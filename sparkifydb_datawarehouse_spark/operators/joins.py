@@ -206,3 +206,60 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_key", "line_number")
     )
+
+
+# ---------------------------------------------------------------------------
+# NULL-safe equality join (<=> / IS NOT DISTINCT FROM): standard
+# equality drops every NULL key pair (NULL = NULL is NULL); entity
+# resolution and CDC key matching usually want NULLs to MATCH EACH
+# OTHER instead. The semantic corner matters at scale for a second
+# reason: a null-heavy key under null-safe semantics concentrates ALL
+# null rows into one hash bucket — the canonical skew key — so
+# production plans pre-split or filter the null class explicitly.
+# ---------------------------------------------------------------------------
+
+_ORACLE_NULL_SAFE = """
+WITH a AS (
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg, c_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+), b AS (
+    SELECT c_custkey, NULLIF(c_mktsegment, 'BUILDING') AS seg
+    FROM customer WHERE c_custkey % 3 = 0
+)
+SELECT a.c_custkey AS cust_a, b.c_custkey AS cust_b,
+       COALESCE(a.seg, '<null>') AS seg
+FROM a JOIN b
+  ON a.seg IS NOT DISTINCT FROM b.seg
+ AND a.c_custkey < b.c_custkey
+ AND b.c_custkey - a.c_custkey <= 4
+ORDER BY cust_a, cust_b
+"""
+
+
+@query("q_join_null_safe", oracle=_ORACLE_NULL_SAFE)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe segment match between two customer slices (BUILDING
+    nulled out to create a NULL key class); the key-distance residual
+    keeps the output bounded. eqNullSafe is Spark's <=>."""
+    c = load_table(spark, sf_dir, "customer")
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    a = c.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("cust_a"), seg.alias("seg_a")
+    )
+    b = c.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("cust_b"), seg.alias("seg_b")
+    )
+    return (
+        a.join(
+            b,
+            F.col("seg_a").eqNullSafe(F.col("seg_b"))
+            & (F.col("cust_a") < F.col("cust_b"))
+            & (F.col("cust_b") - F.col("cust_a") <= 4),
+        )
+        .select(
+            "cust_a",
+            "cust_b",
+            F.coalesce("seg_a", F.lit("<null>")).alias("seg"),
+        )
+        .orderBy("cust_a", "cust_b")
+    )
