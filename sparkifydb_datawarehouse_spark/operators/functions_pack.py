@@ -459,3 +459,43 @@ def xml_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url("u", F.lit("PATH")).alias("url_path"),
         F.parse_url("u", F.lit("QUERY")).alias("url_query"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# try_* tolerant evaluation — Spark 4 runs ANSI mode by DEFAULT:
+# overflow, bad casts, and division by zero now FAIL queries that
+# silently returned NULL on 3.x. The production posture is explicit:
+# keep ANSI on (loud correctness) and use try_cast / try_divide /
+# try_add exactly where dirty data is EXPECTED, so tolerance is
+# visible in the plan instead of being a global setting. This pack
+# parses a deliberately dirty value out of events.props JSON.
+# ---------------------------------------------------------------------------
+
+_ORACLE_TRY = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.score') AS DOUBLE) AS score,
+       TRY_CAST(json_extract_string(props, '$.label') AS BIGINT) AS label_num,
+       CASE WHEN value = 0 THEN NULL ELSE ROUND(100.0 / value, 4) END AS inv_value
+FROM events
+WHERE event_id % 7 = 0
+ORDER BY event_id
+"""
+
+
+@query("q_try_funcs", oracle=_ORACLE_TRY)
+def try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # Column.try_cast (no F.try_cast function exists in pyspark 4.1)
+    score = F.get_json_object("props", "$.score").try_cast("double")
+    label_num = F.get_json_object("props", "$.label").try_cast("bigint")
+    inv = F.round(F.try_divide(F.lit(100.0), F.nullif(F.col("value"), F.lit(0.0))), 4)
+    return (
+        ev.filter(F.col("event_id") % 7 == 0)
+        .select(
+            "event_id",
+            score.alias("score"),
+            label_num.alias("label_num"),
+            inv.alias("inv_value"),
+        )
+        .orderBy("event_id")
+    )

@@ -81,3 +81,63 @@ def stream_stream_join_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     views, purchases = split_events(ev)
     return view_purchase_join(views, purchases).orderBy("view_id", "purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# Stream-STATIC enrichment — the most common production streaming
+# shape: decorate an event stream with a dimension table. The static
+# side is read once per micro-batch and broadcast (no state, no
+# watermark needed on the dim side); this is the streaming face of
+# the warehouse star join (flagship.py). Defined once over two
+# DataFrames; batch run = the oracle, real readStream run tested in
+# tests/test_streaming.py.
+#
+# Scale notes: the dim must fit broadcast (or be backed by a fast
+# keyed store); a SLOWLY CHANGING dim re-reads per micro-batch, so
+# dimension updates become visible at batch granularity — the
+# documented freshness contract. For versioned history use the PIT
+# join (operators/pit.py) on the batch path instead.
+# ---------------------------------------------------------------------------
+
+
+def enrich_events(events: DataFrame, users_dim: DataFrame) -> DataFrame:
+    """Per-event enrichment with the user's segment + running value
+    kept event-grain (no aggregation: pure map-side decorate)."""
+    return (
+        events.join(F.broadcast(users_dim), events.user_id == users_dim.dim_user, "left")
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.coalesce("segment", F.lit("UNKNOWN")).alias("segment"),
+            F.round("value", 4).alias("value"),
+        )
+    )
+
+
+def user_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic user dimension derived from customer (fixtures
+    have no user table): user_id joins customer key space mod-wise."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("dim_user"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+
+
+_ORACLE_ENRICH = """
+SELECT e.event_id,
+       e.user_id,
+       e.event_type,
+       COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+       ROUND(e.value, 4) AS value
+FROM events e
+LEFT JOIN customer c ON c.c_custkey = e.user_id
+ORDER BY e.event_id
+"""
+
+
+@query("q_stream_enrich", oracle=_ORACLE_ENRICH)
+def stream_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return enrich_events(ev, user_dim(spark, sf_dir)).orderBy("event_id")

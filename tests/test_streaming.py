@@ -69,3 +69,19 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events):
     got = _as_sorted_tuples(stream_result, cols)
     assert got == _as_sorted_tuples(batch_result, cols)
     assert len(got) > 0
+
+
+def test_stream_static_enrichment_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: the real readStream run
+    must produce exactly the batch join's rows."""
+    from sparkifydb_datawarehouse_spark.streaming import joins as sj
+
+    streamed = sw.run_stream_to_memory(
+        spark,
+        sj.enrich_events(sw.event_stream(spark, sf_dir), sj.user_dim(spark, sf_dir)),
+        "t_enrich",
+    )
+    batch = sj.stream_enrich_batch(spark, sf_dir)
+    got = {(r["event_id"], r["segment"], r["value"]) for r in streamed.collect()}
+    want = {(r["event_id"], r["segment"], r["value"]) for r in batch.collect()}
+    assert got == want
