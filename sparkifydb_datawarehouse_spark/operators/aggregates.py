@@ -214,3 +214,45 @@ def agg_decimal_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact frequent items (heavy hitters): every part exceeding a
+# RELATIVE frequency threshold among order lines, with its share.
+# Two aggregations over one scan: per-key counts + the scalar total
+# (broadcast back as a literal-free cross join of one row). At 100 TB
+# the exact form stays viable precisely because the output is bounded
+# by 1/threshold rows; the sketch alternative (count-min + heap) only
+# wins when the KEY set itself can't be hash-aggregated.
+# ---------------------------------------------------------------------------
+
+_HH_THRESHOLD = 0.0005  # 0.05% of all lineitems
+
+_ORACLE_HEAVY = f"""
+WITH counts AS (
+    SELECT l_partkey, COUNT(*) AS n
+    FROM lineitem GROUP BY l_partkey
+), total AS (SELECT COUNT(*) AS t FROM lineitem)
+SELECT c.l_partkey AS part_key,
+       CAST(c.n AS BIGINT) AS n,
+       ROUND(c.n / t.t::DOUBLE, 6) AS share
+FROM counts c, total t
+WHERE c.n / t.t::DOUBLE > {_HH_THRESHOLD}
+ORDER BY n DESC, part_key
+"""
+
+
+@query("q_agg_heavy_hitters", oracle=_ORACLE_HEAVY)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = li.groupBy(F.col("l_partkey").alias("part_key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = li.agg(F.count(F.lit(1)).alias("t"))
+    share = F.col("n") / F.col("t").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(share > _HH_THRESHOLD)
+        .select("part_key", "n", F.round(share, 6).alias("share"))
+        .orderBy(F.col("n").desc(), "part_key")
+    )

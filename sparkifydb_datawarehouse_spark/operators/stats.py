@@ -185,3 +185,49 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_price_on_qty"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete percentile (percentile_disc): the smallest actual VALUE
+# whose cumulative share reaches p — always a real data point, unlike
+# the interpolated percentile (q_agg_percentiles). Spark has no
+# percentile_disc; the exact emulation is the definition itself:
+# row_number over the ordered group, pick rank = ceil(p·n). One
+# shuffle per group (window), same as any exact percentile.
+# ---------------------------------------------------------------------------
+
+_ORACLE_PCT_DISC = """
+SELECT l_returnflag AS return_flag,
+       quantile_disc(l_extendedprice, 0.50) AS p50_disc,
+       quantile_disc(l_extendedprice, 0.95) AS p95_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_percentile_disc", oracle=_ORACLE_PCT_DISC)
+def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("l_returnflag")).alias("n"),
+    )
+
+    def disc(p: float):
+        # smallest value at cumulative rank >= ceil(p*n): DuckDB's
+        # quantile_disc picks exactly this element
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("l_extendedprice"))
+        )
+
+    return (
+        ranked.groupBy(F.col("l_returnflag").alias("return_flag"))
+        .agg(disc(0.50).alias("p50_disc"), disc(0.95).alias("p95_disc"))
+        .orderBy("return_flag")
+    )

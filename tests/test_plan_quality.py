@@ -237,3 +237,20 @@ def test_masked_view_rls_predicate_pushed(spark, sf_dir):
     assert any("c_mktsegment" in f and "BUILDING" in f for f in filters), filters
     schemas = read_schemas(df)
     assert schemas and "c_name" not in schemas[0], schemas  # suppression prunes
+
+
+def test_pit_join_is_hash_not_nested_loop(spark, sf_dir):
+    """PIT containment: the user_id equi-key must keep the version
+    join hash-based; the validity-range predicate is residual."""
+    df = registry.QUERIES["q_pit_join"](spark, sf_dir)
+    strategies = join_strategies(df)
+    assert strategies, "expected a join in the plan"
+    assert not any(
+        s in ("BroadcastNestedLoopJoin", "CartesianProduct") for s in strategies
+    ), strategies
+
+
+def test_stream_enrich_broadcasts_dim(spark, sf_dir):
+    df = registry.QUERIES["q_stream_enrich"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:800]
