@@ -164,3 +164,48 @@ def orders_with_observed_audit(spark: SparkSession, sf_dir: str):
         F.max("o_totalprice").alias("max_price"),
     )
     return observed.select("o_orderkey", "o_totalprice"), obs
+
+
+# ---------------------------------------------------------------------------
+# Freshness audit — completes the DQ family (referential, constraint,
+# observed): per-series lag behind the newest data in the table. The
+# first thing an on-call checks when a pipeline "looks done but
+# isn't": one series silently stalled while the rest kept loading.
+# One scan, one tiny agg; at 100 TB the same query runs on partition
+# metadata (max per partition) instead of rows — same contract.
+# ---------------------------------------------------------------------------
+
+_ORACLE_FRESHNESS = """
+WITH per_type AS (
+    SELECT event_type, MAX(ts) AS latest, COUNT(*) AS n_events
+    FROM events GROUP BY event_type
+), g AS (SELECT MAX(latest) AS global_latest FROM per_type)
+SELECT p.event_type,
+       p.latest,
+       CAST(ROUND(EXTRACT(EPOCH FROM g.global_latest - p.latest) / 60.0, 0) AS BIGINT)
+           AS lag_minutes,
+       CAST(p.n_events AS BIGINT) AS n_events
+FROM per_type p, g
+ORDER BY event_type
+"""
+
+
+@query("q_dq_freshness", oracle=_ORACLE_FRESHNESS)
+def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.max("ts").alias("latest"), F.count(F.lit(1)).alias("n_events")
+    )
+    g = per_type.agg(F.max("latest").alias("global_latest"))
+    lag_min = F.round(
+        (
+            F.col("global_latest").cast("double") - F.col("latest").cast("double")
+        )
+        / 60.0,
+        0,
+    ).cast("long")
+    return (
+        per_type.crossJoin(F.broadcast(g))
+        .select("event_type", "latest", lag_min.alias("lag_minutes"), "n_events")
+        .orderBy("event_type")
+    )

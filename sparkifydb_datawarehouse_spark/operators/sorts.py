@@ -151,3 +151,48 @@ def except_(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtract == EXCEPT DISTINCT (exceptAll().distinct() would be wrong:
     # a key on both sides but duplicated on the left would survive it)
     return f.subtract(op).orderBy("cust_key")
+
+
+# ---------------------------------------------------------------------------
+# Explicit NULL ordering — a silent cross-engine divergence: Spark
+# sorts NULLS FIRST on ASC by default, DuckDB/Postgres NULLS LAST.
+# Any ORDER BY on a nullable key that feeds pagination, top-k, or a
+# hash comparison must spell the null position on BOTH engines; this
+# query pins the convention (ASC NULLS LAST, DESC NULLS FIRST) over a
+# key with a planted NULL class.
+# ---------------------------------------------------------------------------
+
+_ORACLE_NULL_ORDER = """
+WITH k AS (
+    SELECT c_custkey, NULLIF(c_mktsegment, 'MACHINERY') AS seg, c_acctbal
+    FROM customer WHERE c_custkey <= 200
+)
+SELECT c_custkey AS cust_key,
+       COALESCE(seg, '<null>') AS seg,
+       ROUND(c_acctbal, 2) AS acctbal
+FROM k
+ORDER BY seg ASC NULLS LAST, c_acctbal DESC NULLS FIRST, c_custkey
+"""
+
+
+@query("q_sort_null_order", oracle=_ORACLE_NULL_ORDER)
+def sort_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    seg = F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY"))
+    return (
+        c.select(
+            F.col("c_custkey").alias("cust_key"),
+            seg.alias("seg_raw"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+        )
+        .orderBy(
+            F.col("seg_raw").asc_nulls_last(),
+            F.col("acctbal").desc_nulls_first(),
+            F.col("cust_key"),
+        )
+        .select(
+            "cust_key",
+            F.coalesce("seg_raw", F.lit("<null>")).alias("seg"),
+            "acctbal",
+        )
+    )
