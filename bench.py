@@ -84,6 +84,7 @@ HEADLINE = [
     "q_pit_join",                    # SCD2 point-in-time containment join
     "q_masked_view",                 # governed view: mask + RLS pushdown
     "q_text_repetition",             # repeated 3-gram share per doc
+    "q_corpus_funnel",               # exact->near dedup funnel, staged counts
 ]
 
 

@@ -83,6 +83,7 @@ def load_all_modules() -> None:
         grouped,
         multimodal,
         packing,
+        pipeline,
         similarity,
         textstats,
     )
