@@ -290,3 +290,132 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", F.round(z, 3).alias("zscore"))
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC candlestick downsample: per (event_type, day) the first/last/
+# min/max value plus volume — the finance-standard "candle" rollup.
+# ---------------------------------------------------------------------------
+
+_ORACLE_OHLC = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+       (min({'ts': ts, 'event_id': event_id, 'v': value})).v AS open,
+       ROUND(MAX(value), 4) AS high,
+       ROUND(MIN(value), 4) AS low,
+       (max({'ts': ts, 'event_id': event_id, 'v': value})).v AS close,
+       COUNT(*) AS volume
+FROM events
+GROUP BY 1, 2
+ORDER BY event_type, bucket
+"""
+
+
+@query("q_ts_ohlc", oracle=_ORACLE_OHLC)
+def ts_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) downsample of `events` to daily candles.
+
+    Capability family: the reference's `time` dimension
+    (/root/reference/sql_queries.py:161-173) is the datepart half of
+    bucketed downsampling; OHLC is the canonical per-bucket shape on top.
+
+    Scale design (100 TB): ONE hash aggregation. Open/close are NOT
+    window sorts — they are lexicographic struct extrema:
+    min(struct(ts, event_id, value)).value is "value at the earliest
+    (ts, event_id)" and participates in partial (map-side) aggregation,
+    so the shuffle carries one 5-field row per (series, day), never the
+    raw ticks. The window-function formulation (row_number = 1) would
+    shuffle every tick into a per-group sort; the struct-extremum form
+    is algebraically mergeable — the same trick DuckDB's arg_min/Spark's
+    min_by use, widened to a composite tiebreak key (event_id) so ties
+    on ts stay deterministic cross-engine.
+
+    Physical note: struct-valued agg buffers are not hash-agg mutable,
+    so Spark plans SortAggregate — still partial(map-side) + one
+    exchange carrying per-group rows; the pre-agg sort is per-partition
+    and spillable, not a global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tagged = F.struct("ts", "event_id", F.col("value").alias("v"))
+    return (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").alias("bucket")
+        )
+        .agg(
+            F.min(tagged)["v"].alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.max(tagged)["v"].alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style multi-resolution rollup: hour + day + grand total
+# per series in ONE scan (grouping sets over pre-computed truncs).
+# ---------------------------------------------------------------------------
+
+_ORACLE_MULTIRES = """
+WITH b AS (
+    SELECT event_type,
+           CAST(date_trunc('day', ts) AS TIMESTAMP)  AS bucket_day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket_hour,
+           value
+    FROM events
+)
+SELECT CASE WHEN bucket_hour IS NOT NULL THEN 'hour'
+            WHEN bucket_day  IS NOT NULL THEN 'day'
+            ELSE 'series' END AS level,
+       event_type, bucket_day, bucket_hour,
+       ROUND(SUM(value), 4) AS sum_value,
+       COUNT(*) AS n_events
+FROM b
+GROUP BY GROUPING SETS ((event_type, bucket_day, bucket_hour),
+                        (event_type, bucket_day),
+                        (event_type))
+ORDER BY level, event_type, bucket_day, bucket_hour
+"""
+
+
+@query("q_rollup_timebucket", oracle=_ORACLE_MULTIRES)
+def rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TimescaleDB-hypertable-style continuous-aggregate rollup: the
+    hour, day, and whole-series resolutions of each event series
+    materialized from ONE scan via GROUPING SETS.
+
+    The level label is derived from bucket nullness (not engine
+    grouping_id() bit layouts, which differ across engines).
+
+    Scale design (100 TB): GROUPING SETS expands each input row to its
+    grouping combinations AFTER partial aggregation of the finest level
+    in Spark's Expand+HashAggregate pipeline — the shuffle carries
+    (3 × distinct-hour-buckets) partial rows, not 3× the raw events.
+    The hierarchical alternative (reaggregate day FROM hour partials,
+    the true continuous-aggregate cascade) is what `operators/matview.py`
+    implements for incremental refresh; this operator is the one-shot
+    batch form. Sum/count are mergeable partials, so both compose.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("bucket_day"),
+        F.date_trunc("hour", "ts").alias("bucket_hour"),
+        "value",
+    ).createOrReplaceTempView("_multires_base")
+    return spark.sql(
+        """
+        SELECT CASE WHEN bucket_hour IS NOT NULL THEN 'hour'
+                    WHEN bucket_day  IS NOT NULL THEN 'day'
+                    ELSE 'series' END AS level,
+               event_type, bucket_day, bucket_hour,
+               ROUND(SUM(value), 4) AS sum_value,
+               COUNT(*) AS n_events
+        FROM _multires_base
+        GROUP BY GROUPING SETS ((event_type, bucket_day, bucket_hour),
+                                (event_type, bucket_day),
+                                (event_type))
+        ORDER BY level, event_type, bucket_day, bucket_hour
+        """
+    )

@@ -231,3 +231,89 @@ def agg_percentile_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(disc(0.50).alias("p50_disc"), disc(0.95).alias("p95_disc"))
         .orderBy("return_flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skewness / kurtosis via explicit power sums. Native skewness()/
+# kurtosis() differ across engines (population vs sample corrections
+# and internal update order), so BOTH sides spell the same algebra
+# over exact integer power sums — bit-identical before rounding.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SKEW_KURT = """
+WITH s AS (
+    SELECT l_returnflag AS return_flag,
+           COUNT(*)            AS n,
+           SUM(l_quantity)                                         AS s1,
+           SUM(l_quantity * l_quantity)                            AS s2,
+           SUM(l_quantity * l_quantity * l_quantity)               AS s3,
+           SUM(l_quantity * l_quantity * l_quantity * l_quantity)  AS s4
+    FROM lineitem
+    GROUP BY l_returnflag
+), m AS (
+    SELECT return_flag, n,
+           s1 / n AS m1,
+           (s2 / n) - (s1 / n) * (s1 / n) AS m2,
+           (s3 / n) - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+           (s4 / n) - 4 * (s1 / n) * (s3 / n)
+                    + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                    - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+    FROM s
+)
+SELECT return_flag, n,
+       ROUND(m1, 6) AS mean_qty,
+       ROUND(m3 / SQRT(m2 * m2 * m2), 6) AS skewness_qty,
+       ROUND(m4 / (m2 * m2) - 3, 6) AS excess_kurtosis_qty
+FROM m
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_skew_kurt", oracle=_ORACLE_SKEW_KURT)
+def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per return flag from a
+    single-pass power-sum aggregation.
+
+    Why not F.skewness / DuckDB skewness(): Spark computes population
+    moments, DuckDB applies the sample (bias-corrected) formula — the
+    same data yields different numbers by definition. l_quantity is
+    integral (1..50), so SUM(q^k) up to k=4 is exact in doubles
+    (max ~50^4 x 6M rows << 2^53): both engines compute identical
+    power sums regardless of partitioning/order, and the downstream
+    ratio algebra (only IEEE-correctly-rounded + - * / sqrt, no pow)
+    is spelled identically on both sides, making the comparison exact
+    before the cosmetic ROUND.
+
+    Scale design (100 TB): power sums are commutative monoids — full
+    map-side partial aggregation; the shuffle carries 5 doubles per
+    group. This is the general recipe for ANY moment-based statistic
+    (stddev/corr already use it in q_agg_stats / q_agg_corr); it is
+    also the mergeable-state form an incremental materialized view
+    needs (operators/matview.py).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    s = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("s1"),
+        F.sum(q * q).alias("s2"),
+        F.sum(q * q * q).alias("s3"),
+        F.sum(q * q * q * q).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1") / n
+    m2 = (F.col("s2") / n) - m1 * m1
+    m3 = (F.col("s3") / n) - F.lit(3) * m1 * (F.col("s2") / n) + F.lit(2) * m1 * m1 * m1
+    m4 = (
+        (F.col("s4") / n)
+        - F.lit(4) * m1 * (F.col("s3") / n)
+        + F.lit(6) * m1 * m1 * (F.col("s2") / n)
+        - F.lit(3) * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        "return_flag",
+        "n",
+        F.round(m1, 6).alias("mean_qty"),
+        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness_qty"),
+        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("excess_kurtosis_qty"),
+    ).orderBy("return_flag")

@@ -51,6 +51,7 @@ def load_all_modules() -> None:
         composites_tpch,
         diffing,
         drift,
+        enumeration,
         flagship,
         functions_pack,
         fuzzy,
