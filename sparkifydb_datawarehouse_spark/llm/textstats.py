@@ -420,3 +420,65 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram log-probability scoring — the language-model quality filter
+# (the cheap stand-in for perplexity filtering in corpus cleaning:
+# docs whose tokens are collectively improbable under the corpus'
+# own unigram distribution are boilerplate/garbage candidates).
+# ---------------------------------------------------------------------------
+
+_ORACLE_UNIGRAM_LP = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(string_split_regex(LOWER(text), '\\s+')) AS term
+    FROM documents
+),
+clean AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+freq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt FROM clean GROUP BY term),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM freq)
+SELECT c.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       ROUND(AVG(LN(f.cnt / t.total)), 4) AS mean_logprob
+FROM clean c JOIN freq f ON c.term = f.term CROSS JOIN tot t
+GROUP BY c.doc_id
+ORDER BY c.doc_id
+"""
+
+
+@query("q_text_unigram_logprob", oracle=_ORACLE_UNIGRAM_LP)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram log-probability per document under the corpus'
+    own empirical unigram distribution.
+
+    Two hash aggregations and a broadcast join: (1) vocabulary counts
+    (shuffle carries terms, not documents), (2) per-doc token count +
+    mean of ln(p). The vocabulary with its scalar total is broadcast —
+    at 100 TB the model side is vocab-sized (millions of rows, MBs),
+    never corpus-sized, the same model-vs-data split as TF-IDF above
+    and k-means (llm/clustering.py). A real LM perplexity filter has
+    exactly this plan shape with the n-gram table swapped in.
+
+    FP note: AVG over doubles is partitioning-ordered; ROUND(.,4)
+    sits ~7 orders of magnitude above double ulp at these magnitudes,
+    the same margin every aggregated-double oracle here relies on
+    (ORACLES.md).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    model = freq.crossJoin(F.broadcast(tot))
+    return (
+        toks.join(F.broadcast(model), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 4).alias(
+                "mean_logprob"
+            ),
+        )
+        .orderBy("doc_id")
+    )

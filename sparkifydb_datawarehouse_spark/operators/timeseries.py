@@ -273,3 +273,73 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "weeks_since")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: maximal runs of CONSECUTIVE active days per user.
+# Complements q_sessionize_gap (which splits on a time-gap threshold
+# at event granularity): islands operate on the calendar grid — the
+# "current streak / longest streak" product metric.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ISLANDS = """
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+r AS (
+    SELECT user_id, day,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM d
+)
+SELECT user_id,
+       MIN(day) AS start_day,
+       MAX(day) AS end_day,
+       CAST(COUNT(*) AS BIGINT) AS n_days
+FROM (
+    SELECT user_id, day,
+           date_diff('day', DATE '1970-01-01', day) - rn AS island
+    FROM r
+) t
+GROUP BY user_id, island
+ORDER BY user_id, start_day
+"""
+
+
+@query("q_islands_consecutive", oracle=_ORACLE_ISLANDS)
+def islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity islands: for each user, the maximal runs of consecutive
+    active days (start, end, length).
+
+    The classic derivation: within a user, day_number - row_number is
+    CONSTANT exactly while days are consecutive, so that difference is
+    the island key — one window plus one hash agg, no self-join, no
+    iteration.
+
+    Scale design (100 TB): the DISTINCT collapses event volume to
+    (user x active-day) rows BEFORE the window, so the per-user sort
+    is bounded by calendar days, not events; all three steps shuffle
+    on user_id and AQE coalesces the (tiny) post-distinct exchanges.
+    A multi-year 100 TB log yields at most ~users x 365·years rows
+    here — the window never sees raw events.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    islanded = d.select(
+        "user_id",
+        "day",
+        (
+            F.datediff("day", F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("island"),
+    )
+    return (
+        islanded.groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .select("user_id", "start_day", "end_day", "n_days")
+        .orderBy("user_id", "start_day")
+    )

@@ -143,3 +143,26 @@ def test_vocabulary_ids_are_dense_and_frequency_sorted(spark, sf_dir):
     assert [r.token_id for r in rows] == list(range(len(rows)))
     counts = [r.n for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_unigram_logprob_ranks_rare_token_docs_lower(spark):
+    """A doc made of corpus-rare tokens must score a lower (more
+    negative) mean log-prob than one made of the most common token."""
+    from pyspark.sql import functions as F
+
+    rows = [(0, "the the the the"), (1, "zyx qwv zyx qwv"), (2, "the the the zyx")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    freq = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("double").alias("total"))
+    model = freq.crossJoin(F.broadcast(tot))
+    out = {
+        r.doc_id: r.mean_logprob
+        for r in toks.join(F.broadcast(model), "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg(F.log(F.col("cnt") / F.col("total"))), 4).alias("mean_logprob"))
+        .collect()
+    }
+    assert out[1] < out[2] < out[0] < 0

@@ -75,3 +75,50 @@ def test_referential_audit_detects_planted_orphans(spark, sf_dir):
     expected = li.filter(F.col("l_orderkey") % 2 == 1).count()
     assert row.n_orphans == expected > 0
     assert row.n_rows == li.count()
+
+
+def test_islands_split_on_calendar_gaps(spark):
+    """Planted activity: user 1 active Jan 1-3 and Jan 6-7 (two islands,
+    the second starting after a 2-day hole); user 2 active once."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.datetime(2024, 1, d, 10, 0)) for d in (1, 2, 3, 6, 7)
+    ] + [
+        (1, dt.datetime(2024, 1, 2, 23, 59)),  # same-day dup collapses
+        (2, dt.datetime(2024, 1, 5, 0, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    ev.select("user_id", F.to_date("ts").alias("day")).createOrReplaceTempView(
+        "_islands_in"
+    )
+    from pyspark.sql import Window
+
+    d = spark.table("_islands_in").distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    out = (
+        d.select(
+            "user_id",
+            "day",
+            (
+                F.datediff("day", F.lit("1970-01-01").cast("date"))
+                - F.row_number().over(w)
+            ).alias("island"),
+        )
+        .groupBy("user_id", "island")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("user_id", "start_day")
+        .collect()
+    )
+    got = [(r.user_id, str(r.start_day), str(r.end_day), r.n_days) for r in out]
+    assert got == [
+        (1, "2024-01-01", "2024-01-03", 3),
+        (1, "2024-01-06", "2024-01-07", 2),
+        (2, "2024-01-05", "2024-01-05", 1),
+    ]
