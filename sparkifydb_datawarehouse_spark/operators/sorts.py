@@ -196,3 +196,51 @@ def sort_null_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acctbal",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyset (cursor) pagination — the scalable replacement for OFFSET.
+# OFFSET n at 100 TB sorts-and-discards n rows on EVERY page; keyset
+# turns the cursor into a pushed-down range predicate, so page 1000
+# costs the same as page 1.
+# ---------------------------------------------------------------------------
+
+_ORACLE_KEYSET = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders
+WHERE o_orderdate > TIMESTAMP '1997-06-15'
+   OR (o_orderdate = TIMESTAMP '1997-06-15' AND o_orderkey > 5000)
+ORDER BY o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q_keyset_pagination", oracle=_ORACLE_KEYSET)
+def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One page of orders strictly after the cursor
+    (o_orderdate, o_orderkey) = (1997-06-15, 5000) in the total order.
+
+    Scale design (100 TB): the cursor is an ordinary range predicate —
+    `.explain` shows it in PushedFilters, so a date-partitioned or
+    z-ordered layout (sources/layout.py) prunes every file before the
+    cursor; the ORDER BY + LIMIT plans as TakeOrderedAndProject
+    (per-partition top-k, k rows per task to the driver — never a
+    global sort). The OFFSET formulation admits neither optimization,
+    which is why every warehouse's deep-pagination advice is exactly
+    this rewrite.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    cursor_date = F.lit("1997-06-15").cast("timestamp")
+    page = (
+        o.filter(
+            (F.col("o_orderdate") > cursor_date)
+            | (
+                (F.col("o_orderdate") == cursor_date)
+                & (F.col("o_orderkey") > 5000)
+            )
+        )
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+    return page

@@ -317,3 +317,72 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness_qty"),
         F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("excess_kurtosis_qty"),
     ).orderBy("return_flag")
+
+
+# ---------------------------------------------------------------------------
+# Robust statistics: weighted mean + median absolute deviation.
+# MAD needs the group median joined back under the data — the
+# two-pass "statistic of a statistic" shape.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ROBUST = """
+WITH med AS (
+    SELECT l_returnflag AS return_flag,
+           median(l_extendedprice) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT li.l_returnflag AS return_flag,
+       ROUND(SUM(li.l_extendedprice * li.l_quantity) / SUM(li.l_quantity), 4)
+           AS weighted_mean_price,
+       ROUND(ANY_VALUE(m.med_price), 4) AS median_price,
+       ROUND(median(ABS(li.l_extendedprice - m.med_price)), 4) AS mad_price
+FROM lineitem li JOIN med m ON li.l_returnflag = m.return_flag
+GROUP BY li.l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_robust_stats", oracle=_ORACLE_ROBUST)
+def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted mean price and median absolute deviation per
+    return flag.
+
+    MAD is the canonical robust spread measure (outlier-immune, unlike
+    stddev) and is structurally interesting: a second aggregation over
+    a value derived from the FIRST aggregation's result. The group
+    medians are a groups-sized table broadcast back under the fact —
+    the same model-vs-data split as TF-IDF/k-means — so the fact table
+    is scanned twice but shuffled only on its group key. Spark's
+    percentile(0.5) and DuckDB's median are both the interpolated
+    quantile_cont on numerics, so the oracle matches exactly.
+
+    At 100 TB the exact two-pass form gives way to one pass of
+    approx_percentile for BOTH center and spread (q_agg_approx_
+    percentiles is that scale path); the algebra here is the
+    correctness reference for it.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price")
+    )
+    return (
+        li.join(
+            F.broadcast(med), li["l_returnflag"] == med["return_flag"]
+        )
+        .groupBy("return_flag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("weighted_mean_price"),
+            F.round(F.any_value("med_price"), 4).alias("median_price"),
+            F.round(
+                F.expr(
+                    "percentile(abs(l_extendedprice - med_price), 0.5)"
+                ),
+                4,
+            ).alias("mad_price"),
+        )
+        .orderBy("return_flag")
+    )

@@ -254,3 +254,16 @@ def test_stream_enrich_broadcasts_dim(spark, sf_dir):
     df = registry.QUERIES["q_stream_enrich"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:800]
+
+
+def test_keyset_cursor_pushed_and_take_ordered(spark, sf_dir):
+    """The pagination cursor must reach the parquet scan (file pruning
+    at scale) and the page must plan as per-partition top-k, not a
+    global sort."""
+    from sparkifydb_datawarehouse_spark.plans.inspect import pushed_filters
+
+    df = registry.QUERIES["q_keyset_pagination"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    pushed = " ".join(pushed_filters(df))
+    assert "o_orderdate" in pushed, pushed
