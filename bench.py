@@ -85,6 +85,13 @@ HEADLINE = [
     "q_masked_view",                 # governed view: mask + RLS pushdown
     "q_text_repetition",             # repeated 3-gram share per doc
     "q_corpus_funnel",               # exact->near dedup funnel, staged counts
+    "q_ts_ohlc",                     # struct-extrema candle downsample
+    "q_rollup_timebucket",           # hypertable hour/day/series grouping sets
+    "q_agg_skew_kurt",               # power-sum moment statistics
+    "q_global_rownumber",            # range-partitioned global enumeration
+    "q_text_unigram_logprob",        # LM quality scoring, broadcast vocab
+    "q_islands_consecutive",         # gaps-and-islands day streaks
+    "q_keyset_pagination",           # cursor page: pushdown + top-k
 ]
 
 

@@ -337,3 +337,46 @@ def test_backfill_rebuilds_only_named_partitions(spark, tmp_path, sf_dir):
         if d != f"event_date={target_date}"
     }
     assert other_files_after == other_files_before  # untouched partitions' files intact
+
+
+def test_global_rownumber_dense_and_total_under_skewed_keys(spark):
+    """Every date identical (the range partitioner's worst case: one
+    key value dominates) — the enumeration must still be a dense
+    permutation of 1..N ordered by the tiebreaker."""
+    from pyspark.sql import Window, functions as F
+
+    n = 5000
+    df = spark.range(n).select(
+        F.col("id").alias("o_orderkey"),
+        F.lit("1997-01-01").cast("timestamp").alias("o_orderdate"),
+    )
+    ranged = (
+        df.repartitionByRange(8, "o_orderdate", "o_orderkey")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offsets = (
+        ranged.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("cnt").over(
+                    Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("pid", "offset")
+    )
+    w_local = Window.partitionBy("pid").orderBy("o_orderdate", "o_orderkey")
+    out = (
+        ranged.withColumn("rn_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select("o_orderkey", (F.col("offset") + F.col("rn_local")).alias("rn"))
+        .collect()
+    )
+    assert sorted(r.rn for r in out) == list(range(1, n + 1))
+    # total order respected: rn order == orderkey order (dates all equal)
+    by_key = sorted(out, key=lambda r: r.o_orderkey)
+    assert [r.rn for r in by_key] == list(range(1, n + 1))
