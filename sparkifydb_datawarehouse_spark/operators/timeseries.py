@@ -343,3 +343,64 @@ def islands_consecutive(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "start_day", "end_day", "n_days")
         .orderBy("user_id", "start_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (WAU) — sliding-window COUNT DISTINCT.
+# Distinct does not partially aggregate across overlapping windows, so
+# the scalable exact form inverts the problem: each active (user, day)
+# CONTRIBUTES itself to the 7 window-end days it falls in (explode of
+# a 7-element date sequence), then one distinct-agg per window end.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ROLLING_WAU = """
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+bounds AS (SELECT MAX(day) AS max_day FROM d),
+contrib AS (
+    SELECT user_id,
+           UNNEST(generate_series(day, day + 6, INTERVAL 1 DAY))::DATE AS win_day
+    FROM d
+)
+SELECT win_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS wau_7d
+FROM contrib, bounds
+WHERE win_day <= max_day
+GROUP BY win_day
+ORDER BY win_day
+"""
+
+
+@query("q_rolling_distinct_users", oracle=_ORACLE_ROLLING_WAU)
+def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every day, the number of distinct users active in the
+    trailing 7-day window ending that day (rolling WAU).
+
+    Scale design (100 TB): COUNT DISTINCT over SLIDING windows is the
+    one aggregate partial aggregation cannot save — overlapping
+    windows cannot merge distinct sets. The exact scalable form here:
+    (1) DISTINCT collapses events to (user, active-day) — event volume
+    is gone before anything widens; (2) each user-day explodes into
+    exactly window_width=7 (user, window-end) rows; (3) one hash
+    distinct-agg per window end. Shuffle volume is bounded by
+    active-user-days x 7, independent of raw event count, and the
+    fan-out factor is the WINDOW WIDTH, not the data. For wide windows
+    (rolling 90-day MAU) the factor grows linearly and the mergeable-
+    sketch path takes over: per-day HLL sketches unioned across the
+    window (q_agg_hll_sketch is that primitive) — exact here, approx
+    there, same query shape.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    max_day = d.agg(F.max("day").alias("max_day"))
+    contrib = d.select(
+        "user_id",
+        F.explode(F.sequence("day", F.date_add("day", 6))).alias("win_day"),
+    )
+    return (
+        contrib.crossJoin(F.broadcast(max_day))
+        .filter(F.col("win_day") <= F.col("max_day"))
+        .groupBy("win_day")
+        .agg(F.countDistinct("user_id").alias("wau_7d"))
+        .orderBy("win_day")
+    )
