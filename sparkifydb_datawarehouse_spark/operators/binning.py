@@ -78,3 +78,58 @@ def bin_by_quantiles(
     for c in cuts:  # monotone thresholds -> sum of indicators
         expr = expr + F.when(F.col(col) > F.lit(float(c)), 1).otherwise(0)
     return df.withColumn("bin", expr)
+
+
+# ---------------------------------------------------------------------------
+# Equi-WIDTH histogram (fixed-width bins over the data's own range)
+# — the counterpart to q_feature_binning's equi-frequency deciles.
+# ---------------------------------------------------------------------------
+
+_ORACLE_HIST_EQUIWIDTH = """
+WITH b AS (
+    SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+    FROM lineitem
+)
+SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(l_extendedprice), 4) AS bin_lo,
+       ROUND(MAX(l_extendedprice), 4) AS bin_hi
+FROM lineitem, b
+GROUP BY 1
+ORDER BY bin
+"""
+
+
+@query("q_histogram_equiwidth", oracle=_ORACLE_HIST_EQUIWIDTH)
+def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of l_extendedprice; the top edge
+    closes into the last bin (LEAST(..., 19)).
+
+    Scale design (100 TB): two scans, both trivially parallel — a
+    min/max agg (2 doubles broadcast back) and one hash agg keyed by
+    bin (≤20 groups after map-side combine). The bin expression is
+    identical IEEE algebra on both engines ((x-lo)/((hi-lo)/20),
+    FLOOR), so the assignment is cross-engine deterministic even at
+    bin boundaries. Equi-frequency (quantile) binning with its
+    sampled cut-points is q_feature_binning; this is the fixed-grid
+    profile a dashboard or drift monitor wants.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = li.agg(
+        F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
+    )
+    x = F.col("l_extendedprice")
+    bin_col = F.least(
+        F.floor((x - F.col("lo")) / ((F.col("hi") - F.col("lo")) / F.lit(20))),
+        F.lit(19),
+    ).cast("long")
+    return (
+        li.crossJoin(F.broadcast(bounds))
+        .groupBy(bin_col.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(x), 4).alias("bin_lo"),
+            F.round(F.max(x), 4).alias("bin_hi"),
+        )
+        .orderBy("bin")
+    )

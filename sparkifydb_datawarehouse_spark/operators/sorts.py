@@ -244,3 +244,44 @@ def keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
     )
     return page
+
+
+# ---------------------------------------------------------------------------
+# Schema-evolution union: unionByName over sources with different
+# column sets — the consolidation step when a table's schema grew
+# between ingestion epochs.
+# ---------------------------------------------------------------------------
+
+_ORACLE_UNION_BY_NAME = """
+SELECT o_orderkey, o_totalprice, CAST(NULL AS VARCHAR) AS o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS DOUBLE) AS o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 2 = 1
+ORDER BY o_orderkey
+"""
+
+
+@query("q_union_by_name", oracle=_ORACLE_UNION_BY_NAME)
+def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two epochs of the same logical table whose schemas
+    diverged (one has o_totalprice, the other o_orderpriority);
+    missing columns null-fill.
+
+    Spark's plain `union` is POSITIONAL (column i meets column i — a
+    silent corruption when schemas drift); `unionByName(
+    allowMissingColumns=True)` is the schema-evolution-safe form and
+    pairs with the parquet `mergeSchema` read option tested in
+    tests/test_new_ops_r2.py. Zero shuffle: union is a plan-level
+    concatenation of scans at any scale.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    epoch_a = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    epoch_b = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return epoch_a.unionByName(epoch_b, allowMissingColumns=True).orderBy(
+        "o_orderkey"
+    )
