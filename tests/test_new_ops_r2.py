@@ -380,3 +380,46 @@ def test_global_rownumber_dense_and_total_under_skewed_keys(spark):
     # total order respected: rn order == orderkey order (dates all equal)
     by_key = sorted(out, key=lambda r: r.o_orderkey)
     assert [r.rn for r in by_key] == list(range(1, n + 1))
+
+
+def test_ohlc_invariants(spark, sf_dir):
+    """Candle algebra: low <= open, close <= high; volumes sum to the
+    event count; open/close are real values from the bucket."""
+    import sparkifydb_datawarehouse_spark.registry as registry
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    registry.load_all_modules()
+    out = registry.QUERIES["q_ts_ohlc"](spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r.low <= r.high
+        assert r.low <= round(r.open, 4) <= r.high
+        assert r.low <= round(r.close, 4) <= r.high
+        assert r.volume >= 1
+    total = sum(r.volume for r in out)
+    assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_islands_partition_active_days_exactly(spark, sf_dir):
+    """Islands tile each user's active-day set: lengths sum to the
+    distinct active-day count and consecutive islands are separated by
+    at least one missing day."""
+    from pyspark.sql import functions as F
+
+    import sparkifydb_datawarehouse_spark.registry as registry
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["q_islands_consecutive"](spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_user_days = (
+        ev.select("user_id", F.to_date("ts").alias("d")).distinct().count()
+    )
+    assert sum(r.n_days for r in rows) == n_user_days
+    by_user = {}
+    for r in rows:
+        assert (r.end_day - r.start_day).days == r.n_days - 1
+        by_user.setdefault(r.user_id, []).append(r)
+    for islands in by_user.values():
+        for a, b in zip(islands, islands[1:]):
+            assert (b.start_day - a.end_day).days >= 2  # a real gap between islands
