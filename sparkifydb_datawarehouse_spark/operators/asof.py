@@ -130,3 +130,73 @@ def asof_join_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "user_id", "click_id")
         .orderBy("purchase_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# FORWARD as-of: for each click, the same user's NEXT purchase at or
+# after it — click→conversion attribution, the mirror image of the
+# backward lookup above.
+# ---------------------------------------------------------------------------
+
+_DUCK_PURCHASES = """
+    SELECT user_id, ts, MIN(event_id) AS purchase_id
+    FROM events WHERE event_type = 'purchase'
+    GROUP BY user_id, ts
+"""
+
+_ORACLE_ASOF_FORWARD = f"""
+SELECT c.event_id AS click_id,
+       c.user_id AS user_id,
+       c.ts AS click_ts,
+       p.purchase_id AS purchase_id,
+       p.ts AS purchase_ts
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+ASOF LEFT JOIN ({_DUCK_PURCHASES}) p
+  ON c.user_id = p.user_id AND c.ts <= p.ts
+ORDER BY click_id
+"""
+
+
+@query("q_asof_join_forward", oracle=_ORACLE_ASOF_FORWARD)
+def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each click attributed to the user's first purchase at-or-after
+    it (forward as-of; DuckDB native `ASOF ... ON c.ts <= p.ts` is the
+    oracle). Purchases deduped to one per (user, ts) so timestamp ties
+    are engine-independent, same discipline as the backward form.
+
+    Same scale posture as q_asof_join: the equi-key hash join fans out
+    before the window prunes to rn=1 — band the lookAHEAD window (the
+    q_asof_join_banded pattern, reversed) when per-user futures are
+    long. In streaming form this is exactly the watermarked
+    stream-stream interval join (streaming/joins.py): click↔purchase
+    within a bounded horizon.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("purchase_id"))
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "purchase_id",
+        )
+    )
+    w = Window.partitionBy("click_id").orderBy(F.col("purchase_ts").asc())
+    return (
+        clicks.join(
+            purchases,
+            (clicks.user_id == purchases.p_user_id)
+            & (F.col("click_ts") <= F.col("purchase_ts")),
+            "left",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+        .orderBy("click_id")
+    )
