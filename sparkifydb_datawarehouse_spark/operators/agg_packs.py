@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..registry import query
 from ..tables import load_table
@@ -112,3 +113,61 @@ def agg_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Percent-of-total contribution: each nation's share of global
+# revenue. The altitude rule this encodes: compute the window over
+# the AGGREGATED result (25 rows), never over raw lineitem — a
+# global window frame on the fact table would funnel 100 TB through
+# one partition.
+# ---------------------------------------------------------------------------
+
+_ORACLE_PCT_TOTAL = """
+WITH rev AS (
+    SELECT n.n_name AS nation,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+)
+SELECT nation, revenue,
+       ROUND(100 * revenue / SUM(revenue) OVER (), 4) AS pct_of_total
+FROM rev
+ORDER BY revenue DESC, nation
+"""
+
+
+@query("q_percent_of_total", oracle=_ORACLE_PCT_TOTAL)
+def percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by supplier nation with each nation's share of the
+    grand total.
+
+    The empty-partition window (`SUM() OVER ()`) IS a single-partition
+    sort-free exchange — harmless here because its input is the
+    25-row aggregate, catastrophic if applied to the fact table.
+    Shares are computed from the ROUNDED per-group revenues so both
+    engines divide identical doubles (ORACLES.md ROUND discipline).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    rev = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "nation",
+        "revenue",
+        F.round(F.lit(100) * F.col("revenue") / F.sum("revenue").over(w), 4).alias(
+            "pct_of_total"
+        ),
+    ).orderBy(F.col("revenue").desc(), "nation")
