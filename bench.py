@@ -92,6 +92,7 @@ HEADLINE = [
     "q_text_unigram_logprob",        # LM quality scoring, broadcast vocab
     "q_islands_consecutive",         # gaps-and-islands day streaks
     "q_keyset_pagination",           # cursor page: pushdown + top-k
+    "q_agg_robust_stats_approx",     # two-pass t-digest MAD (bounded-state)
 ]
 
 
@@ -112,14 +113,41 @@ def main() -> None:
     # min of 3: the harness host is shared (load spikes distort single
     # runs by 5-10x); the minimum estimates the plan's true cost
     timings = {name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE}
-    result = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "sf": sf_dir,
-    }
-    print(json.dumps(result))
+
+    # Full-precision detail to stderr for humans; stdout gets ONE compact
+    # JSON line. The driver keeps only the last ~2000 bytes of stdout and
+    # json-parses them (BENCH_r02 recorded "parsed": null because the line
+    # overflowed that window), so the stdout line is emitted with compact
+    # separators, 2-decimal timings, and a fit-guard: if it still exceeds
+    # the window, the fastest entries are folded out of the map (their cost
+    # stays in "value"; the drop is counted in "queries_omitted" — no
+    # silent cap).
+    print(json.dumps({"detail": timings}, sort_keys=True), file=sys.stderr)
+
+    compact = {name: round(sec, 2) for name, sec in timings.items()}
+    total = round(sum(timings.values()), 3)
+
+    def encode(queries: dict, omitted: int) -> str:
+        result = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+        }
+        if omitted:
+            result["queries_omitted"] = omitted
+        return json.dumps(result, separators=(",", ":"))
+
+    TAIL_WINDOW = 1950  # driver captures the last 2000 bytes of stdout;
+    # this line is the final stdout output, so only its own length counts
+    by_cost = sorted(compact, key=compact.get, reverse=True)
+    keep = len(by_cost)
+    line = encode({n: compact[n] for n in by_cost[:keep]}, len(by_cost) - keep)
+    while len(line) > TAIL_WINDOW and keep > 0:
+        keep -= 1
+        line = encode({n: compact[n] for n in by_cost[:keep]}, len(by_cost) - keep)
+    print(line)
 
 
 if __name__ == "__main__":

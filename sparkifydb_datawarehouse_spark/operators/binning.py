@@ -90,7 +90,9 @@ WITH b AS (
     SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
     FROM lineitem
 )
-SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin,
+SELECT CAST(CASE WHEN hi = lo THEN 0
+            ELSE LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 20)), 19)
+       END AS BIGINT) AS bin,
        CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(MIN(l_extendedprice), 4) AS bin_lo,
        ROUND(MAX(l_extendedprice), 4) AS bin_hi
@@ -119,9 +121,14 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_extendedprice").alias("lo"), F.max("l_extendedprice").alias("hi")
     )
     x = F.col("l_extendedprice")
-    bin_col = F.least(
-        F.floor((x - F.col("lo")) / ((F.col("hi") - F.col("lo")) / F.lit(20))),
-        F.lit(19),
+    # degenerate-range guard: a constant column (hi == lo) would make the
+    # bin expression 0/0 = NaN on both engines; pin it to bin 0 instead
+    # (mirrored in the oracle SQL's CASE)
+    bin_col = F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+        F.least(
+            F.floor((x - F.col("lo")) / ((F.col("hi") - F.col("lo")) / F.lit(20))),
+            F.lit(19),
+        )
     ).cast("long")
     return (
         li.crossJoin(F.broadcast(bounds))

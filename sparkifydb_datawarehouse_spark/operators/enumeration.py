@@ -63,9 +63,14 @@ def global_rownumber(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequence.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # K follows the session's shuffle parallelism (AQE/conf-tuned per
+    # deployment) rather than a literal — at 100 TB the operator scales
+    # with the cluster's configured width, keeping per-partition sorts
+    # memory-bounded
+    k = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     ranged = (
         orders.select("o_orderkey", "o_orderdate")
-        .repartitionByRange(32, "o_orderdate", "o_orderkey")
+        .repartitionByRange(k, "o_orderdate", "o_orderkey")
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )

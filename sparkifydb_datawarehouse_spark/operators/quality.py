@@ -58,7 +58,7 @@ def referential_audit(child: DataFrame, fk: str, parent: DataFrame, pk: str,
         parent.select(pk).distinct(), child[fk] == parent[pk], "left_anti"
     ).agg(F.count(F.lit(1)).alias("n_orphans"))
     total = child.agg(F.count(F.lit(1)).alias("n_rows"))
-    return orphans.crossJoin(total).select(
+    return orphans.crossJoin(F.broadcast(total)).select(
         F.lit(name).alias("relationship"),
         F.lit(ord_).alias("ord"),
         F.col("n_orphans"),

@@ -398,24 +398,38 @@ def rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch form. Sum/count are mergeable partials, so both compose.
     """
     ev = load_table(spark, sf_dir, "events")
-    ev.select(
+    base = ev.select(
         "event_type",
         F.date_trunc("day", "ts").alias("bucket_day"),
         F.date_trunc("hour", "ts").alias("bucket_hour"),
         "value",
-    ).createOrReplaceTempView("_multires_base")
-    return spark.sql(
-        """
-        SELECT CASE WHEN bucket_hour IS NOT NULL THEN 'hour'
-                    WHEN bucket_day  IS NOT NULL THEN 'day'
-                    ELSE 'series' END AS level,
-               event_type, bucket_day, bucket_hour,
-               ROUND(SUM(value), 4) AS sum_value,
-               COUNT(*) AS n_events
-        FROM _multires_base
-        GROUP BY GROUPING SETS ((event_type, bucket_day, bucket_hour),
-                                (event_type, bucket_day),
-                                (event_type))
-        ORDER BY level, event_type, bucket_day, bucket_hour
-        """
     )
+    # DataFrame groupingSets API (Spark 4) rather than a session-global
+    # temp view: a shared view name would let a second caller silently
+    # redirect this lazy plan before collection
+    agg = base.groupingSets(
+        [
+            ["event_type", "bucket_day", "bucket_hour"],
+            ["event_type", "bucket_day"],
+            ["event_type"],
+        ],
+        "event_type",
+        "bucket_day",
+        "bucket_hour",
+    ).agg(
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    level = (
+        F.when(F.col("bucket_hour").isNotNull(), F.lit("hour"))
+        .when(F.col("bucket_day").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("series"))
+    )
+    return agg.select(
+        level.alias("level"),
+        "event_type",
+        "bucket_day",
+        "bucket_hour",
+        "sum_value",
+        "n_events",
+    ).orderBy("level", "event_type", "bucket_day", "bucket_hour")

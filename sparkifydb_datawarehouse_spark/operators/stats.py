@@ -104,16 +104,25 @@ ORDER BY order_status NULLS FIRST, order_priority NULLS FIRST
 
 @query("q_agg_grouping_sets", oracle=_ORACLE_GROUPING_SETS)
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
-    return spark.sql(
-        """
-        SELECT o_orderstatus AS order_status,
-               o_orderpriority AS order_priority,
-               ROUND(SUM(o_totalprice), 2) AS total_price
-        FROM _gs_orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        ORDER BY order_status ASC NULLS FIRST, order_priority ASC NULLS FIRST
-        """
+    # DataFrame groupingSets API (Spark 4) — view-free (a shared
+    # temp-view name could be redirected before collection)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("order_status"),
+            F.col("o_orderpriority").alias("order_priority"),
+            "o_totalprice",
+        )
+        .groupingSets(
+            [["order_status"], ["order_priority"], []],
+            "order_status",
+            "order_priority",
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_price"))
+        .orderBy(
+            F.col("order_status").asc_nulls_first(),
+            F.col("order_priority").asc_nulls_first(),
+        )
     )
 
 
@@ -356,10 +365,11 @@ def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile(0.5) and DuckDB's median are both the interpolated
     quantile_cont on numerics, so the oracle matches exactly.
 
-    At 100 TB the exact two-pass form gives way to one pass of
-    approx_percentile for BOTH center and spread (q_agg_approx_
-    percentiles is that scale path); the algebra here is the
-    correctness reference for it.
+    This exact form is the CORRECTNESS REFERENCE only: Spark's exact
+    percentile buffers every group value in one reducer, so it cannot
+    scale past bounded groups. q_agg_robust_stats_approx below is the
+    registered scale path (benched in HEADLINE); this query stays the
+    sf0.01 oracle anchor the approx form is tested against.
     """
     li = load_table(spark, sf_dir, "lineitem")
     med = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
@@ -380,6 +390,57 @@ def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.expr(
                     "percentile(abs(l_extendedprice - med_price), 0.5)"
+                ),
+                4,
+            ).alias("mad_price"),
+        )
+        .orderBy("return_flag")
+    )
+
+
+@query("q_agg_robust_stats_approx")  # rows-only: t-digest estimates are engine-specific
+def agg_robust_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB robust-stats path: same weighted-mean + MAD semantics
+    as q_agg_robust_stats, with BOTH percentile passes replaced by
+    approx_percentile (t-digest, accuracy 10000).
+
+    Why this scales where the exact form does not: exact percentile is
+    a holistic aggregate — Spark buffers every group value in a single
+    reducer, so one hot group means one task holding the group's whole
+    column. approx_percentile is a bounded-state mergeable sketch:
+    map-side partials, O(accuracy) state per group, no value buffering.
+    Still two passes (MAD is a statistic OF a statistic — the spread
+    pass needs the center first), but each pass is now a plain
+    streaming hash agg; the group medians stay a groups-sized
+    broadcast, the fact table is never shuffled on anything but its
+    group key.
+
+    Registered rows-only (t-digest internals differ per engine);
+    accuracy vs the exact form is pinned by tests/test_new_ops_r3.py
+    (relative error bound at sf0.001) and the 10x scale behavior is
+    recorded in SCALING.md.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "med_price"
+        )
+    )
+    return (
+        li.join(F.broadcast(med), li["l_returnflag"] == med["return_flag"])
+        .groupBy("return_flag")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity"),
+                4,
+            ).alias("weighted_mean_price"),
+            F.round(F.any_value("med_price"), 4).alias("median_price"),
+            F.round(
+                F.approx_percentile(
+                    F.abs(F.col("l_extendedprice") - F.col("med_price")),
+                    F.lit(0.5),
+                    F.lit(10000),
                 ),
                 4,
             ).alias("mad_price"),

@@ -373,8 +373,14 @@ ORDER BY win_day
 
 @query("q_rolling_distinct_users", oracle=_ORACLE_ROLLING_WAU)
 def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """For every day, the number of distinct users active in the
-    trailing 7-day window ending that day (rolling WAU).
+    """Per-day distinct users active in the trailing 7-day window
+    ending that day (rolling WAU).
+
+    Contract: a day appears ONLY if its trailing window contains at
+    least one active user-day — empty-window days emit no wau_7d=0
+    row (the oracle shares this semantic). Callers needing a dense
+    calendar left-join this against a date spine (F.sequence over the
+    min..max day, as q_ts_resample builds one).
 
     Scale design (100 TB): COUNT DISTINCT over SLIDING windows is the
     one aggregate partial aggregation cannot save — overlapping

@@ -14,11 +14,15 @@ is also exactly what DuckDB's unnest computes.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.functions import udtf
 
 from ..registry import query
 from ..tables import load_table
+
+_VIEW_SEQ = itertools.count()  # unique view name per call (see below)
 
 
 @udtf(returnType="sent_idx int, sentence string, n_chars int")
@@ -54,13 +58,18 @@ ORDER BY doc_id, sent_idx
 @query("q_udtf_split_sentences", oracle=_ORACLE_UDTF)
 def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.udtf.register("split_sentences", SplitSentences)
+    # LATERAL table-function position requires SQL FROM, hence a temp
+    # view — but a SHARED view name could be redirected by a second
+    # call before this lazy plan is collected, so each call registers
+    # a unique one
+    view = f"udtf_docs_{next(_VIEW_SEQ)}"
     load_table(spark, sf_dir, "documents").filter(
         "doc_id % 20 = 0"
-    ).createOrReplaceTempView("udtf_docs")
+    ).createOrReplaceTempView(view)
     return spark.sql(
-        """
+        f"""
         SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
-        FROM udtf_docs d, LATERAL split_sentences(d.text) s
+        FROM {view} d, LATERAL split_sentences(d.text) s
         ORDER BY d.doc_id, s.sent_idx
         """
     )

@@ -195,21 +195,24 @@ ORDER BY order_key
 
 @query("q_window_range_frame", oracle=_ORACLE_RANGE_FRAME)
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Spark SQL (not the Window API): pyspark's rangeBetween only takes
+    # SQL-dialect window via F.expr: pyspark's rangeBetween only takes
     # integer bounds, while the SQL dialect supports fractional RANGE
-    # frames like the 1000.0 PRECEDING used here.
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rf_orders")
-    return spark.sql(
-        """
-        SELECT o_orderkey AS order_key,
-               o_custkey AS cust_key,
-               ROUND(SUM(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_totalprice
-                   RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
-               ), 2) AS near_sum
-        FROM _rf_orders
-        ORDER BY order_key
-        """
+    # frames like the 1000.0 PRECEDING used here. expr() keeps the
+    # query view-free (a shared temp-view name could be redirected by a
+    # later caller before this lazy plan is collected).
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_custkey").alias("cust_key"),
+            F.expr(
+                """ROUND(SUM(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_totalprice
+                       RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW
+                   ), 2)"""
+            ).alias("near_sum"),
+        )
+        .orderBy("order_key")
     )
 
 
@@ -238,18 +241,17 @@ ORDER BY event_id
 
 @query("q_window_time_range", oracle=_ORACLE_TIME_RANGE)
 def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SQL dialect again: pyspark's rangeBetween takes integer bounds
-    # only; INTERVAL range frames need the SQL form.
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("_tr_events")
-    return spark.sql(
-        """
-        SELECT event_id,
-               user_id,
-               COUNT(*) OVER w AS n_last_hour,
-               ROUND(SUM(value) OVER w, 4) AS value_last_hour
-        FROM _tr_events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
-        ORDER BY event_id
-        """
+    # SQL dialect again (via F.expr, view-free): pyspark's rangeBetween
+    # takes integer bounds only; INTERVAL range frames need the SQL form.
+    over = """OVER (PARTITION BY user_id ORDER BY ts
+                    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)"""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "user_id",
+            F.expr(f"COUNT(*) {over}").alias("n_last_hour"),
+            F.expr(f"ROUND(SUM(value) {over}, 4)").alias("value_last_hour"),
+        )
+        .orderBy("event_id")
     )
