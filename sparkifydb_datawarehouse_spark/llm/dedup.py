@@ -147,17 +147,37 @@ def _minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_dedup_fuzzy_minhash")  # rows-only: Spark-internal hash function
-def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    wide = _minhash_wide(docs)
+# Bucket-depth cap: pair generation is quadratic in bucket size, so a
+# degenerate bucket (an all-identical corpus hashes every doc into ONE
+# bucket per band) must be truncated before the pair explode. 64 keeps
+# per-bucket fan-out at C(64,2)=2016 pairs; real LSH buckets at sane
+# chunk/band widths are O(1) deep and never reach it. The cap is NOT
+# silent: the drop is counted per bucket and surfaced through an
+# optional Observation (pyspark.sql.Observation) riding the production
+# pass — callers that care assert `ids_dropped == 0` or log it.
+_MAX_BUCKET = 64
 
-    # Band signature = xxhash64 over the band's 4 minhash COLUMNS — a
-    # single hash call per band, emitted via the stack() generator
-    # (codegen) rather than building an array of structs and exploding.
-    # 64-bit collisions only add candidate pairs. Short docs never
-    # reach here (dropped before the shingle explode), so no null-hash
-    # bucket can form.
+
+def minhash_band_pairs(
+    docs: DataFrame, max_bucket: int = _MAX_BUCKET, observation=None
+) -> DataFrame:
+    """Candidate near-duplicate pairs from 8-band/4-row MinHash LSH.
+
+    Band signature = xxhash64 over the band's 4 minhash COLUMNS — a
+    single hash call per band, emitted via the stack() generator
+    (codegen) rather than building an array of structs and exploding.
+    64-bit collisions only add candidate pairs. Short docs never
+    reach here (dropped before the shingle explode), so no null-hash
+    bucket can form.
+
+    Pairs via groupBy + in-expression combination generation — ONE
+    shuffle and one signature computation, vs a self-join that
+    recomputes the whole sketch pipeline per side. Buckets deeper than
+    `max_bucket` are truncated to their `max_bucket` smallest doc_ids
+    (deterministic: ids are sorted) with the overflow counted into
+    `observation` as (buckets_capped, ids_dropped).
+    """
+    wide = _minhash_wide(docs)
     n_bands = _N_MINHASH // _BAND_ROWS
     stack_args = ", ".join(
         "{b}, xxhash64({cols})".format(
@@ -171,15 +191,22 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_sig)"),
     )
 
-    # Pairs via groupBy + in-expression combination generation — ONE
-    # shuffle and one signature computation, vs a self-join that
-    # recomputes the whole sketch pipeline per side. Production note:
-    # cap bucket sizes (a degenerate all-identical corpus makes one
-    # bucket quadratic) before exploding pairs.
-    return (
+    buckets = (
         banded.groupBy("band", "band_sig")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
         .filter(F.size("ids") > 1)
+        .withColumn(
+            "n_dropped", F.greatest(F.size("ids") - max_bucket, F.lit(0))
+        )
+    )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum((F.col("n_dropped") > 0).cast("long")).alias("buckets_capped"),
+            F.sum("n_dropped").alias("ids_dropped"),
+        )
+    return (
+        buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
         .select(
             F.explode(
                 F.expr(
@@ -195,6 +222,11 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q_dedup_fuzzy_minhash")  # rows-only: Spark-internal hash function
+def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_band_pairs(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit bit-vote sketch; candidates share one of four
 # 16-bit chunks, verified with bit_count(xor) <= hamming threshold.
@@ -204,27 +236,30 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # buckets per chunk; expected bucket depth is corpus/65536, and pair
 # generation is quadratic in depth. Keep chunk bits ≈ log2(corpus
 # size) + margin so depth stays O(1) — at 500k docs the quadratic
-# term is already visible (9.7× cost at 10× data). Widening chunks
-# lowers recall per the pigeonhole bound exactly like removing LSH
-# bands; compensate with a second hash family if recall matters.
+# term is already visible (9.7× cost at 10× data). Naively widening
+# chunks loses the hamming<=3 pigeonhole guarantee; large corpora
+# switch to the Manku block-combination tables instead — see
+# simhash_pairs for the design and its measured recall rationale.
 # ---------------------------------------------------------------------------
 
 _HAMMING_MAX = 12
 
 
-@query("q_dedup_simhash")  # rows-only: Spark-internal hash function
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Bit votes as 64 SUM aggregates over exploded token hashes —
-    # whole-stage codegen partial+final agg — instead of a 64-round
-    # interpreted fold that re-tokenized the document per bit. Bit b of
-    # the sketch is set iff more than half the token hashes have bit b
-    # set: sum((h >> b) & 1) * 2 > n_tokens.
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    # explode THEN hash: explode is a codegen generator and xxhash64 a
-    # plain column function, so tokenization+hashing has no interpreted
-    # higher-order lambda at all (unlike shingling, token hashing needs
-    # no adjacency, so the pure-explode path is available).
+def simhash_sketch(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash) — 64-bit bit-vote sketch per document.
+
+    Bit votes as 64 SUM aggregates over exploded token hashes —
+    whole-stage codegen partial+final agg — instead of a 64-round
+    interpreted fold that re-tokenized the document per bit. Bit b of
+    the sketch is set iff more than half the token hashes have bit b
+    set: sum((h >> b) & 1) * 2 > n_tokens.
+
+    explode THEN hash: explode is a codegen generator and xxhash64 a
+    plain column function, so tokenization+hashing has no interpreted
+    higher-order lambda at all (unlike shingling, token hashing needs
+    no adjacency, so the pure-explode path is available).
+    """
+    spread = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     tok_hashes = (
         spread.select(
             "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
@@ -242,35 +277,97 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash = F.expr(
         " | ".join(f"IF(b{b} * 2 > n_tok, shiftleft(1L, {b}), 0L)" for b in range(64))
     )
-    sketched = bit_sums.select("doc_id", simhash.alias("simhash"))
+    return bit_sums.select("doc_id", simhash.alias("simhash"))
 
-    # Adaptive chunk width (the SCALING.md finding): expected bucket
-    # depth = corpus / 2^chunk_bits and pair generation is quadratic
-    # in depth, so chunk_bits must grow with the corpus. count() here
-    # is parquet-footer metadata, not a scan.
-    n_docs = docs.count()
-    n_chunks = 4 if n_docs <= 200_000 else 2
-    chunk_bits = 64 // n_chunks
-    mask = (1 << chunk_bits) - 1
+
+def simhash_pairs(
+    docs: DataFrame,
+    widened: bool | None = None,
+    max_bucket: int = _MAX_BUCKET,
+    observation=None,
+) -> DataFrame:
+    """Near-duplicate pairs (doc_a, doc_b, hamming) with hamming <=
+    _HAMMING_MAX, candidates generated by bucket-key collision.
+
+    Two candidate-table designs, both with the hamming<=3 pigeonhole
+    GUARANTEE (<=3 differing bits leave some table's key bits fully
+    untouched), auto-selected by corpus size (count() is parquet-
+    footer metadata for fixture reads, not a scan):
+
+    - baseline (<=200k docs): 4 tables keyed on the 4 disjoint 16-bit
+      chunks. Cheap (4x fan-out) but expected bucket depth is
+      corpus/65536 — pair generation is quadratic in depth, so past
+      ~200k docs the buckets themselves become the cost
+      (SCALING.md:29-52).
+    - widened (>200k docs): the Manku/WWW'07 block-combination scheme
+      — the sketch splits into 6 blocks (11/11/11/11/10/10 bits) and
+      every C(6,3)=20 block TRIPLE becomes a table keyed on the
+      concatenated ~32-bit triple value. Bucket depth drops to
+      corpus/2^32 (O(1) at any realistic corpus) while the <=3-bit
+      guarantee survives: 3 differing bits touch <=3 blocks, leaving
+      >=3 untouched blocks whose triple IS one of the 20 tables. A
+      naive widening (2 chunks of 32 bits, or bit-rotated variants)
+      loses exactly this guarantee — measured recall 0.3 vs 0.93 on
+      planted near-dups — which is why the table count (20x fan-out of
+      16-byte rows, linear) is the honest price of depth control.
+      Recall parity with the baseline is pinned by
+      tests/test_llm_ops.py on planted <=3-bit near-duplicates.
+
+    Degenerate buckets are truncated at `max_bucket` members (smallest
+    doc_ids kept — members are sorted) with the overflow counted into
+    `observation`; see _MAX_BUCKET.
+    """
+    sketched = simhash_sketch(docs)
+    if widened is None:
+        widened = docs.count() > 200_000
+    tables = []
+    if not widened:
+        mask16 = (1 << 16) - 1
+        tables = [
+            f"struct({c} AS tbl, "
+            f"shiftrightunsigned(simhash, {c * 16}) & {mask16} AS tbl_key)"
+            for c in range(4)
+        ]
+    else:
+        from itertools import combinations
+
+        sizes = [11, 11, 11, 11, 10, 10]
+        starts = [sum(sizes[:i]) for i in range(6)]
+        block = [
+            f"(shiftrightunsigned(simhash, {starts[i]}) & {(1 << sizes[i]) - 1})"
+            for i in range(6)
+        ]
+        for tid, (a, b, c) in enumerate(combinations(range(6), 3)):
+            key = (
+                f"({block[a]} | shiftleft({block[b]}, 11) "
+                f"| shiftleft({block[c]}, 22))"
+            )
+            tables.append(f"struct({tid} AS tbl, {key} AS tbl_key)")
     chunks = sketched.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, {n_chunks - 1}), c -> struct("
-                f"c AS chunk, "
-                f"shiftrightunsigned(simhash, c * {chunk_bits}) & {mask} AS chunk_val))"
-            )
-        ).alias("cc"),
-    ).select("doc_id", "simhash", "cc.chunk", "cc.chunk_val")
+        F.explode(F.expr(f"array({', '.join(tables)})")).alias("cc"),
+    ).select("doc_id", "simhash", "cc.tbl", "cc.tbl_key")
 
     # one shuffle + expression-side pair generation (see minhash note)
-    return (
-        chunks.groupBy("chunk", "chunk_val")
+    buckets = (
+        chunks.groupBy("tbl", "tbl_key")
         .agg(
             F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("members")
         )
         .filter(F.size("members") > 1)
+        .withColumn(
+            "n_dropped", F.greatest(F.size("members") - max_bucket, F.lit(0))
+        )
+    )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum((F.col("n_dropped") > 0).cast("long")).alias("buckets_capped"),
+            F.sum("n_dropped").alias("ids_dropped"),
+        )
+    return (
+        buckets.withColumn("members", F.slice("members", 1, max_bucket))
         .select(
             F.explode(
                 F.expr(
@@ -290,6 +387,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _HAMMING_MAX)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query("q_dedup_simhash")  # rows-only: Spark-internal hash function
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------------------
