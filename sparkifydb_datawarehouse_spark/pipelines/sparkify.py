@@ -42,12 +42,14 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from ..sources.json_mapped import read_json_mapped
+from ..sources.json_mapped import mapping_from_jsonpaths, read_json_mapped
 
 FIXTURE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", "data", "sparkify")
 FIXTURE_DIR = os.path.abspath(FIXTURE_DIR)
 LOG_DIR = os.path.join(FIXTURE_DIR, "log_data")
 SONG_DIR = os.path.join(FIXTURE_DIR, "song_data")
+# analog of s3://udacity-dend/log_json_path.json (dwh.cfg:13)
+JSONPATHS_FILE = os.path.join(FIXTURE_DIR, "log_json_path.json")
 
 # ---------------------------------------------------------------------------
 # Deterministic reference-shaped fixture generation (seed fixed; files
@@ -127,6 +129,17 @@ def _gen_events(rng: random.Random, songs: list[dict]) -> list[dict]:
 def ensure_fixtures() -> None:
     """Generate the JSON-lines fixture files if absent (idempotent,
     deterministic: seed 42)."""
+    if not os.path.exists(JSONPATHS_FILE):
+        # the events JSONPaths document, byte-shaped like the
+        # reference's log_json_path.json: bracket-form top-level paths
+        # in staging_events DDL order (sql_queries.py:20-37)
+        os.makedirs(FIXTURE_DIR, exist_ok=True)
+        with open(JSONPATHS_FILE, "w") as f:
+            json.dump(
+                {"jsonpaths": [f"$['{key}']" for key in EVENTS_JSON_KEY_ORDER]},
+                f,
+                indent=4,
+            )
     if os.path.exists(os.path.join(LOG_DIR, "events.json")) and os.path.exists(
         os.path.join(SONG_DIR, "songs.json")
     ):
@@ -172,6 +185,25 @@ EVENTS_JSON_SCHEMA = StructType(
     ]
 )
 
+# camelCase JSON keys in the order the reference's JSONPaths file
+# lists them (mirrors the events record shape, README.md:52-71)
+EVENTS_JSON_KEY_ORDER = [
+    "artist", "auth", "firstName", "gender", "itemInSession", "lastName",
+    "length", "level", "location", "method", "page", "registration",
+    "sessionId", "song", "status", "ts", "userAgent", "userId",
+]
+
+# staging_events DDL column names in table-definition order
+# (sql_queries.py:20-37) — JSONPaths entries map to these by POSITION
+EVENTS_STAGING_COLUMNS = [
+    "artist", "auth", "first_name", "gender", "item_in_session", "last_name",
+    "length", "level", "location", "method", "page", "registration",
+    "session_id", "song", "status", "ts", "user_agent", "user_id",
+]
+
+# the expected parse result of (JSONPATHS_FILE x EVENTS_STAGING_COLUMNS)
+# — kept as a literal so tests can pin the parser's positional
+# semantics against it
 EVENTS_MAPPING = {  # camelCase JSON key -> snake_case column
     "artist": "artist",
     "auth": "auth",
@@ -210,13 +242,18 @@ SONGS_JSON_SCHEMA = StructType(
 
 
 def load_staging_events(spark: SparkSession) -> DataFrame:
-    """A1 — JSONPaths-mapped staging load (sql_queries.py:102-107)."""
+    """A1 — JSONPaths-mapped staging load (sql_queries.py:102-107).
+
+    The column mapping is parsed from an actual JSONPaths document
+    (JSONPATHS_FILE, the analog of s3://udacity-dend/log_json_path.json)
+    positionally against the staging_events DDL column list — the same
+    contract Redshift COPY applies."""
     ensure_fixtures()
     return read_json_mapped(
         spark,
         LOG_DIR,
         EVENTS_JSON_SCHEMA,
-        mapping=EVENTS_MAPPING,
+        mapping=mapping_from_jsonpaths(JSONPATHS_FILE, EVENTS_STAGING_COLUMNS),
         millis_columns=("ts", "registration"),
     )
 

@@ -16,11 +16,61 @@ mapped select.
 
 from __future__ import annotations
 
+import json
+import re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+# Redshift JSONPaths accepts two spellings for a top-level field:
+# bracket form $['key'] / $["key"] and dot form $.key
+_JSONPATH_RE = re.compile(
+    r"^\$(?:\[(?P<q>['\"])(?P<bracket>[^'\"\[\]]+)(?P=q)\]|\.(?P<dot>[A-Za-z0-9_]+))$"
+)
+
+
+def mapping_from_jsonpaths(
+    jsonpaths_path: str, columns: Sequence[str]
+) -> dict[str, str]:
+    """Parse a Redshift COPY JSONPaths document into a source-key →
+    target-column mapping for `read_json_mapped`.
+
+    The reference's events load maps columns through such a file
+    (`COPY ... json 's3://.../log_json_path.json'`,
+    /root/reference/sql_queries.py:102-107 + /root/reference/dwh.cfg:13).
+    Redshift's semantics, reproduced here: the file is
+    `{"jsonpaths": ["$['firstName']", ...]}` and each path is matched
+    to the target table's columns BY POSITION in table-definition
+    order — path names are never compared to column names
+    (`sql_queries.py:20-37` is that column order for staging_events).
+
+    Only top-level field paths are supported (all the reference uses);
+    a nested path or a path-count/column-count mismatch raises — a
+    mis-aligned positional mapping silently scrambles columns, the
+    worst possible failure mode for a loader.
+    """
+    with open(jsonpaths_path) as f:
+        doc = json.load(f)
+    paths = doc.get("jsonpaths")
+    if not isinstance(paths, list):
+        raise ValueError(f"{jsonpaths_path}: expected a top-level 'jsonpaths' array")
+    if len(paths) != len(columns):
+        raise ValueError(
+            f"{jsonpaths_path}: {len(paths)} jsonpaths vs {len(columns)} "
+            f"target columns — positional mapping requires an exact match"
+        )
+    mapping: dict[str, str] = {}
+    for path, col in zip(paths, columns):
+        m = _JSONPATH_RE.match(path.strip())
+        if not m:
+            raise ValueError(
+                f"{jsonpaths_path}: unsupported jsonpath {path!r} "
+                f"(only top-level $['field'] / $.field forms)"
+            )
+        mapping[m.group("bracket") or m.group("dot")] = col
+    return mapping
 
 
 def read_json_mapped(

@@ -52,3 +52,53 @@ def test_histogram_equiwidth_constant_column(spark, tmp_path):
     assert list(out.index) == [0]
     assert out.loc[0, "n"] == 100
     assert out.loc[0, "bin_lo"] == out.loc[0, "bin_hi"] == 42.5
+
+
+# ---------------------------------------------------------------------------
+# JSONPaths file parsing (reference COPY contract, sql_queries.py:102-107)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonpaths_positional_mapping(tmp_path):
+    import json
+
+    from sparkifydb_datawarehouse_spark.sources.json_mapped import (
+        mapping_from_jsonpaths,
+    )
+
+    p = tmp_path / "paths.json"
+    p.write_text(json.dumps({"jsonpaths": ["$['firstName']", "$.ts", '$["userId"]']}))
+    # names are ignored; position against the DDL column list decides
+    assert mapping_from_jsonpaths(str(p), ["first_name", "ts", "user_id"]) == {
+        "firstName": "first_name",
+        "ts": "ts",
+        "userId": "user_id",
+    }
+
+    with pytest.raises(ValueError, match="positional mapping"):
+        mapping_from_jsonpaths(str(p), ["only", "two"])
+
+    p.write_text(json.dumps({"jsonpaths": ["$['a']['nested']"]}))
+    with pytest.raises(ValueError, match="unsupported jsonpath"):
+        mapping_from_jsonpaths(str(p), ["a"])
+
+    p.write_text(json.dumps({"not_jsonpaths": []}))
+    with pytest.raises(ValueError, match="jsonpaths"):
+        mapping_from_jsonpaths(str(p), [])
+
+
+def test_sparkify_jsonpaths_file_round_trips_to_known_mapping():
+    """The generated log_json_path.json parsed against the DDL column
+    order must reproduce the literal camelCase->snake_case mapping the
+    pipeline has always used (so the staging_events oracle is
+    unaffected by the file indirection)."""
+    from sparkifydb_datawarehouse_spark.pipelines import sparkify
+    from sparkifydb_datawarehouse_spark.sources.json_mapped import (
+        mapping_from_jsonpaths,
+    )
+
+    sparkify.ensure_fixtures()
+    parsed = mapping_from_jsonpaths(
+        sparkify.JSONPATHS_FILE, sparkify.EVENTS_STAGING_COLUMNS
+    )
+    assert parsed == sparkify.EVENTS_MAPPING
