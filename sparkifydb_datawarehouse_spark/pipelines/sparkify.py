@@ -241,13 +241,25 @@ SONGS_JSON_SCHEMA = StructType(
 )
 
 
-def load_staging_events(spark: SparkSession) -> DataFrame:
+# the staging_events DDL's VARCHAR(n) caps (sql_queries.py:22,25,27,29,30)
+EVENTS_VARCHAR_CAPS = {
+    "first_name": 30,
+    "last_name": 30,
+    "level": 10,
+    "method": 3,
+    "page": 30,
+}
+
+
+def load_staging_events(spark: SparkSession, clamp_varchar: bool = False) -> DataFrame:
     """A1 — JSONPaths-mapped staging load (sql_queries.py:102-107).
 
     The column mapping is parsed from an actual JSONPaths document
     (JSONPATHS_FILE, the analog of s3://udacity-dend/log_json_path.json)
     positionally against the staging_events DDL column list — the same
-    contract Redshift COPY applies."""
+    contract Redshift COPY applies. `clamp_varchar` opts into the
+    VARCHAR(n) length clamp (see read_json_mapped.varchar_caps for why
+    it is off by default)."""
     ensure_fixtures()
     return read_json_mapped(
         spark,
@@ -255,6 +267,7 @@ def load_staging_events(spark: SparkSession) -> DataFrame:
         EVENTS_JSON_SCHEMA,
         mapping=mapping_from_jsonpaths(JSONPATHS_FILE, EVENTS_STAGING_COLUMNS),
         millis_columns=("ts", "registration"),
+        varchar_caps=EVENTS_VARCHAR_CAPS if clamp_varchar else None,
     )
 
 

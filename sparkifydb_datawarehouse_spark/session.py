@@ -20,8 +20,59 @@ import os
 
 from pyspark.sql import SparkSession
 
+# ---------------------------------------------------------------------------
+# Object-store (S3A) ingestion profile — the analog of the reference's
+# COPY-from-S3 path (`COPY staging_events FROM 's3://udacity-dend/...'
+# IAM_ROLE ...`, /root/reference/sql_queries.py:102-114). The engine
+# reads object stores through the same `spark.read.*` calls as local
+# paths; everything S3-specific is session configuration, so the seam
+# is one config dict. Unreachable from this sandbox (no network/creds)
+# — the profile is therefore unit-tested for shape, and path plumbing
+# is tested with `file://`-scheme URIs, which exercise the identical
+# Hadoop-FileSystem resolution the s3a:// scheme uses.
+# ---------------------------------------------------------------------------
 
-def get_spark(app_name: str = "sparkifydb-datawarehouse-spark") -> SparkSession:
+
+def object_store_profile() -> dict[str, str]:
+    """S3A session configs for cloud ingestion at scale.
+
+    - credentials: the default provider CHAIN (env vars -> profile ->
+      IAM instance/role) — the IAM_ROLE analog; no secrets in code.
+    - connection/thread pools sized for wide scans (a 1000-executor
+      cluster opens thousands of concurrent ranged GETs).
+    - committers: the S3A "magic" committer — S3 has no atomic rename,
+      so the classic FileOutputCommitter's rename-based commit is both
+      slow (copy+delete) and unsafe (non-atomic); the magic committer
+      stages multipart uploads and completes them at job commit.
+      Requires the spark-hadoop-cloud artifact on the cluster.
+    - fadvise=random: parquet reads are ranged (footer, then column
+      chunks); sequential prefetch would discard most of each stream.
+    """
+    return {
+        "spark.hadoop.fs.s3a.aws.credentials.provider": (
+            "com.amazonaws.auth.DefaultAWSCredentialsProviderChain"
+        ),
+        "spark.hadoop.fs.s3a.connection.maximum": "256",
+        "spark.hadoop.fs.s3a.threads.max": "64",
+        "spark.hadoop.fs.s3a.fast.upload": "true",
+        "spark.hadoop.fs.s3a.block.size": "128M",
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "random",
+        "spark.hadoop.fs.s3a.directory.marker.retention": "keep",
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.sources.commitProtocolClass": (
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol"
+        ),
+        "spark.sql.parquet.output.committer.class": (
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter"
+        ),
+    }
+
+
+def get_spark(
+    app_name: str = "sparkifydb-datawarehouse-spark",
+    object_store: bool | None = None,
+) -> SparkSession:
     """Build (or fetch) the engine's SparkSession.
 
     local[$SPARK_GRAFT_CPUS] for the harness; on a cluster the same
@@ -49,4 +100,12 @@ def get_spark(app_name: str = "sparkifydb-datawarehouse-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
     )
+    # S3A ingestion profile: opt-in via argument or env (the committer
+    # classes need spark-hadoop-cloud on the classpath, so this must
+    # never be ambient default in the local harness)
+    if object_store is None:
+        object_store = os.environ.get("SPARK_GRAFT_OBJECT_STORE", "") == "1"
+    if object_store:
+        for key, value in object_store_profile().items():
+            builder = builder.config(key, value)
     return builder.getOrCreate()

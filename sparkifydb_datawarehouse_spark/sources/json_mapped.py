@@ -79,18 +79,31 @@ def read_json_mapped(
     schema: StructType,
     mapping: Mapping[str, str] | None = None,
     millis_columns: Sequence[str] = (),
+    varchar_caps: Mapping[str, int] | None = None,
 ) -> DataFrame:
     """Read JSON-lines with an explicit schema, rename via `mapping`
     (source key → target column; identity for unlisted columns), then
     parse epoch-milliseconds columns into timestamps.
 
     `mapping=None` is the JSON 'auto' case: keys already match.
+
+    `varchar_caps` (target column → max length) reproduces the
+    reference DDL's VARCHAR(n) load semantics (sql_queries.py:20-37:
+    first_name/last_name/page 30, level 10, method 3) as a substring
+    clamp in the staging select. Off by default — Spark's StringType
+    is unbounded and strict Redshift COPY would REJECT over-length
+    rows rather than truncate (truncation requires TRUNCATECOLUMNS,
+    which the reference does not set); the clamp is the closest
+    non-failing analog, applied per CHARACTER (Redshift counts bytes;
+    identical for the fixtures' ASCII data).
     """
     df = spark.read.schema(schema).json(path)
     if mapping:
         df = df.select(
             *[F.col(src).alias(dst) for src, dst in mapping.items()]
         )
+    for col, cap in (varchar_caps or {}).items():
+        df = df.withColumn(col, F.substring(F.col(col), 1, cap))
     for col in millis_columns:
         # reference TIMEFORMAT 'epochmillisecs': numeric ms (possibly
         # float, e.g. registration) → TimestampType. cast('long')

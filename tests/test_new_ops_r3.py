@@ -102,3 +102,78 @@ def test_sparkify_jsonpaths_file_round_trips_to_known_mapping():
         sparkify.JSONPATHS_FILE, sparkify.EVENTS_STAGING_COLUMNS
     )
     assert parsed == sparkify.EVENTS_MAPPING
+
+
+# ---------------------------------------------------------------------------
+# Object-store ingestion seam (the COPY-from-S3 analog)
+# ---------------------------------------------------------------------------
+
+
+def test_object_store_profile_shape():
+    """The S3A profile must carry the three things the COPY analog
+    needs: a credentials CHAIN (IAM_ROLE analog, no secrets), a
+    rename-free committer (S3 has no atomic rename), and ranged-read
+    fadvise for parquet."""
+    from sparkifydb_datawarehouse_spark.session import object_store_profile
+
+    p = object_store_profile()
+    assert "credentials.provider" in "".join(p)
+    assert p["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert p["spark.hadoop.fs.s3a.experimental.input.fadvise"] == "random"
+    # every key is spark conf syntax; values are strings (builder contract)
+    assert all(k.startswith("spark.") and isinstance(v, str) for k, v in p.items())
+
+
+def test_scheme_qualified_paths_flow_through_loader(spark):
+    """file://-scheme URIs resolve through the same Hadoop FileSystem
+    machinery as s3a:// — proving sf_dir can be an object-store URI
+    with no loader changes."""
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    local = load_table(spark, SF_SMOKE, "region").collect()
+    via_uri = load_table(spark, f"file://{SF_SMOKE}", "region").collect()
+    assert sorted(map(tuple, local)) == sorted(map(tuple, via_uri))
+
+
+def test_varchar_clamp_matches_redshift_truncation(spark, tmp_path):
+    """The opt-in VARCHAR(n) clamp must truncate exactly at the DDL
+    cap and leave within-cap values (and the default path) untouched."""
+    import json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from sparkifydb_datawarehouse_spark.sources.json_mapped import read_json_mapped
+
+    f = tmp_path / "rows.json"
+    f.write_text(
+        json.dumps({"firstName": "A" * 50, "level": "free"}) + "\n"
+        + json.dumps({"firstName": "Bo", "level": "paid-tier-xx"}) + "\n"
+    )
+    schema = StructType(
+        [StructField("firstName", StringType()), StructField("level", StringType())]
+    )
+    mapping = {"firstName": "first_name", "level": "level"}
+    caps = {"first_name": 30, "level": 10}
+
+    clamped = read_json_mapped(
+        spark, str(f), schema, mapping=mapping, varchar_caps=caps
+    ).collect()
+    got = {r["first_name"]: r["level"] for r in clamped}
+    assert "A" * 30 in got and got["A" * 30] == "free"
+    assert got["Bo"] == "paid-tier-"  # 10-char cap
+
+    plain = read_json_mapped(spark, str(f), schema, mapping=mapping).collect()
+    assert {r["first_name"] for r in plain} == {"A" * 50, "Bo"}
+
+
+def test_sparkify_clamp_is_noop_on_fixture_corpus(spark):
+    """Fixture values all fit the DDL caps, so the clamped and default
+    staging loads must be identical — clamp parity with a Redshift
+    load that succeeds without TRUNCATECOLUMNS."""
+    from sparkifydb_datawarehouse_spark.pipelines.sparkify import load_staging_events
+
+    a = load_staging_events(spark).orderBy("ts", "session_id", "item_in_session")
+    b = load_staging_events(spark, clamp_varchar=True).orderBy(
+        "ts", "session_id", "item_in_session"
+    )
+    assert a.collect() == b.collect()
