@@ -267,3 +267,27 @@ def test_keyset_cursor_pushed_and_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan[:800]
     pushed = " ".join(pushed_filters(df))
     assert "o_orderdate" in pushed, pushed
+
+
+def test_scalar_crossjoins_are_broadcast_not_cartesian(spark, sf_dir):
+    """Every 1-row-side crossJoin in the repo carries an explicit
+    F.broadcast hint; the physical plan must show BroadcastNestedLoop
+    (a broadcast of one row) and never CartesianProduct (a full
+    shuffle-side pairing that would be catastrophic at 100 TB if the
+    'scalar' side ever stopped being scalar). Representative queries
+    covering every crossJoin call site family: referential audit,
+    equi-width histogram, percent-of-total style share, and the
+    rolling-WAU bound filter."""
+    for qid in (
+        "q_dq_referential",
+        "q_histogram_equiwidth",
+        "q_rolling_distinct_users",
+    ):
+        plan = (
+            registry.QUERIES[qid](spark, sf_dir)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan, (qid, plan[:800])
+        assert "BroadcastNestedLoop" in plan, (qid, plan[:800])
