@@ -680,3 +680,129 @@ def dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fingerprint")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup — the cheapest web-corpus dedup signal:
+# the same page crawled under scheme/host case variants, tracking
+# query params, trailing slashes, and fragments must collapse to ONE
+# canonical URL before any content hashing runs (it prunes refetches
+# for free, upstream of text-level dedup). The fixture has no URL
+# column, so URLs are SYNTHESIZED deterministically from doc columns
+# with injected variant noise — the same discipline as the PII
+# detector's injected PII (llm/textstats.py): a deterministic
+# generator makes the canonicalizer oracle-checkable value-for-value.
+#
+# Scale design (100 TB): canonicalization is pure map-side string
+# algebra (codegen); the dedup groupBy shuffles (canonical_url,
+# doc_id) only — identical shape to exact dedup above.
+# ---------------------------------------------------------------------------
+
+_TRACKING_PREFIXES = ("utm_", "ref=", "fbclid=", "gclid=")
+
+
+def _synth_url() -> Column:
+    """Deterministic raw URL with variant noise keyed by doc_id % 4:
+    0 plain, 1 tracking params (+ one real param to keep), 2 uppercase
+    scheme+host, 3 trailing slash + fragment."""
+    host = F.concat_ws("", F.lit("https://"), F.col("source"), F.lit(".example.com"))
+    path = F.concat_ws(
+        "/", F.lit(""), F.col("lang"), F.lit("item"), (F.col("doc_id") % 50)
+    )
+    variant = F.col("doc_id") % 4
+    return (
+        F.when(variant == 1, F.concat(host, path, F.lit("?utm_source=news&ref=tw&page=2")))
+        .when(variant == 2, F.concat(F.upper(host), path))
+        .when(variant == 3, F.concat(host, path, F.lit("/#section")))
+        .otherwise(F.concat(host, path))
+    )
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form: strip fragment; lowercase scheme+host; drop
+    trailing slashes; drop tracking query params (utm_*, ref, fbclid,
+    gclid) but KEEP real ones, sorted for order-independence. Spelled
+    as engine-portable string algebra (regexp + array ops) rather than
+    parse_url so the DuckDB oracle can run the identical expressions."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    head = F.lower(F.regexp_extract(u, r"(?i)^(https?://[^/?]+)", 1))
+    rest = F.regexp_replace(u, r"(?i)^https?://[^/?]+", "")
+    path = F.regexp_replace(F.regexp_replace(rest, r"\?.*$", ""), r"/+$", "")
+    qs = F.when(rest.contains("?"), F.regexp_extract(rest, r"\?(.*)$", 1)).otherwise(
+        F.lit("")
+    )
+    kept = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda p: (p != "")
+            & ~p.startswith("utm_")
+            & ~p.startswith("ref=")
+            & ~p.startswith("fbclid=")
+            & ~p.startswith("gclid="),
+        )
+    )
+    return F.concat(
+        head,
+        path,
+        F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+_ORACLE_URL_CANONICAL = """
+WITH raw AS (
+    SELECT doc_id,
+           CASE doc_id % 4
+             WHEN 1 THEN 'https://' || source || '.example.com/' || lang || '/item/'
+                         || (doc_id % 50) || '?utm_source=news&ref=tw&page=2'
+             WHEN 2 THEN UPPER('https://' || source || '.example.com')
+                         || '/' || lang || '/item/' || (doc_id % 50)
+             WHEN 3 THEN 'https://' || source || '.example.com/' || lang || '/item/'
+                         || (doc_id % 50) || '/#section'
+             ELSE 'https://' || source || '.example.com/' || lang || '/item/'
+                  || (doc_id % 50)
+           END AS url
+    FROM documents
+), canon AS (
+    SELECT doc_id, url,
+           LOWER(regexp_extract(regexp_replace(url, '#.*$', ''), '(?i)^(https?://[^/?]+)', 1))
+           || regexp_replace(regexp_replace(regexp_replace(regexp_replace(url, '#.*$', ''), '(?i)^https?://[^/?]+', ''), '\\?.*$', ''), '/+$', '')
+           || CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END
+           AS canonical
+    FROM (
+        SELECT doc_id, url,
+               list_sort(list_filter(
+                   string_split(CASE WHEN contains(regexp_replace(url, '#.*$', ''), '?')
+                                     THEN regexp_extract(regexp_replace(url, '#.*$', ''), '\\?(.*)$', 1)
+                                     ELSE '' END, '&'),
+                   p -> p <> '' AND NOT starts_with(p, 'utm_') AND NOT starts_with(p, 'ref=')
+                        AND NOT starts_with(p, 'fbclid=') AND NOT starts_with(p, 'gclid=')
+               )) AS kept
+        FROM raw
+    ) q JOIN raw USING (doc_id, url)
+)
+SELECT canonical AS canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_copies,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_forms,
+       MIN(doc_id) AS keeper_doc_id
+FROM canon
+GROUP BY canonical
+ORDER BY canonical_url
+"""
+
+
+@query("q_dedup_url_canonical", oracle=_ORACLE_URL_CANONICAL)
+def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select("doc_id", _synth_url().alias("url"))
+    return (
+        with_url.select("doc_id", "url", canonical_url(F.col("url")).alias("canonical"))
+        .groupBy(F.col("canonical").alias("canonical_url"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("url").alias("n_raw_forms"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .orderBy("canonical_url")
+    )

@@ -174,3 +174,44 @@ def histogram_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics — the pre-flight check before any big join or
+# aggregation on a candidate key: per-key cardinality profile, the
+# hot key's share, and the self-join fan-out estimate sum(cnt^2) (the
+# exact row count a self-join on this key would produce, and the
+# quantity AQE's skew-join threshold reasons about). At 100 TB you run
+# THIS first, then decide salting/broadcast strategy; the shuffle here
+# carries one row per distinct key (map-side combined), never events.
+# All sums are integers — exact, order-independent, oracle-identical.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SKEW = """
+WITH c AS (
+    SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top1_share,
+       ROUND(MAX(cnt) * COUNT(*) * 1.0 / SUM(cnt), 4) AS skew_factor,
+       CAST(SUM(cnt * cnt) AS BIGINT) AS self_join_rows
+FROM c
+"""
+
+
+@query("q_skew_diagnostics", oracle=_ORACLE_SKEW)
+def skew_diagnostics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.max("cnt") * F.lit(1.0) / F.sum("cnt"), 6).alias("top1_share"),
+        F.round(
+            F.max("cnt") * F.count(F.lit(1)) * F.lit(1.0) / F.sum("cnt"), 4
+        ).alias("skew_factor"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("self_join_rows"),
+    )

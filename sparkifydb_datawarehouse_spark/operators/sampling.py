@@ -250,3 +250,86 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted multi-source sampling — the standard mixing
+# rule for imbalanced corpora (multilingual / multi-domain training
+# sets): sample source s with probability proportional to n_s^alpha,
+# alpha in (0,1), so small sources are UP-weighted relative to their
+# share and giant sources stop dominating the mix. alpha=0.5 here
+# (sqrt, not pow: sqrt is IEEE-correctly-rounded in both engines,
+# pow's libm may differ in the last ulp — the q_agg_skew_kurt lesson).
+#
+# Scale design (100 TB): per-source counts are one hash agg (sources
+# are few); the rates table broadcasts; membership is the same
+# hash-bucket scan filter as q_sample_hash — deterministic, layout-
+# independent, zero extra shuffle. Fixture sources are uniform
+# (src{doc_id % 20}), so the float rate algebra is summation-order-
+# independent; for skewed real corpora, compute w_total from the
+# sorted counts (driver-side, model-state discipline) if bit-exact
+# reproducibility across engines is required at the rate boundary.
+# ---------------------------------------------------------------------------
+
+_ALPHA_TARGET_FRAC = 0.3  # expected overall sample share
+
+
+_ORACLE_TEMPERATURE = f"""
+WITH counts AS (
+    SELECT source, COUNT(*) AS n_source FROM documents GROUP BY source
+), tot AS (
+    SELECT SUM(SQRT(n_source)) AS w_total, SUM(n_source) AS n_total FROM counts
+), rates AS (
+    SELECT source, n_source,
+           LEAST(1.0, {_ALPHA_TARGET_FRAC} * n_total * SQRT(n_source) / w_total / n_source) AS rate
+    FROM counts, tot
+)
+SELECT d.source,
+       CAST(ANY_VALUE(r.n_source) AS BIGINT) AS n_source,
+       ROUND(ANY_VALUE(r.rate), 6) AS rate,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM documents d JOIN rates r ON d.source = r.source
+WHERE {_duck_bucket("d.doc_id::VARCHAR")} < CAST(FLOOR(r.rate * 1000) AS BIGINT)
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+@query("q_sample_temperature", oracle=_ORACLE_TEMPERATURE)
+def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source accounting of a temperature-balanced (alpha=0.5)
+    deterministic sample targeting ~30% of the corpus. FLOOR is spelled
+    explicitly on both sides of the rate->bucket threshold (the
+    q_sample_weighted lesson: Spark's long cast truncates, DuckDB's
+    rounds)."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_source"))
+    tot = counts.agg(
+        F.sum(F.sqrt("n_source")).alias("w_total"),
+        F.sum("n_source").alias("n_total"),
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_source",
+        F.least(
+            F.lit(1.0),
+            F.lit(_ALPHA_TARGET_FRAC)
+            * F.col("n_total")
+            * F.sqrt("n_source")
+            / F.col("w_total")
+            / F.col("n_source"),
+        ).alias("rate"),
+    )
+    sampled = docs.join(F.broadcast(rates), "source").filter(
+        hash_bucket(F.col("doc_id").cast("string"))
+        < F.floor(F.col("rate") * 1000).cast("long")
+    )
+    return (
+        sampled.groupBy("source")
+        .agg(
+            F.any_value("n_source").alias("n_source"),
+            F.round(F.any_value("rate"), 6).alias("rate"),
+            F.count(F.lit(1)).alias("n_sampled"),
+        )
+        .orderBy("source")
+    )

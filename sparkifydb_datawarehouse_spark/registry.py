@@ -78,6 +78,7 @@ def load_all_modules() -> None:
         windows,
     )
     from .llm import (  # noqa: F401
+        chunking,
         clustering,
         corpus,
         dedup,
