@@ -447,3 +447,63 @@ def agg_robust_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("return_flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted median — the order statistic under a weight column (here:
+# price level at which half the QUANTITY sits, per return flag). No
+# native form in either engine, so both spell the definition: sort by
+# value, running weight, first value whose cumulative weight reaches
+# half the total. The window order carries a unique tiebreaker so the
+# cumulative sums add in the SAME sequence on both engines; weights
+# are integral quantities, so every partial sum is exact in doubles.
+#
+# Scale design (100 TB): one shuffle on the group key + per-group
+# sort (same shape as any exact order statistic; for unbounded groups
+# the t-digest path takes over — approx_percentile has no weighted
+# form, so the documented approximation is duplicating rows by
+# integer weight into the sketch, or a weighted t-digest UDAF).
+# ---------------------------------------------------------------------------
+
+_ORACLE_WEIGHTED_MEDIAN = """
+WITH cum AS (
+    SELECT l_returnflag AS return_flag, l_extendedprice, l_quantity,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS cumw,
+           SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS totw
+    FROM lineitem
+)
+SELECT return_flag,
+       MIN(l_extendedprice) AS weighted_median_price,
+       CAST(ANY_VALUE(totw) AS BIGINT) AS total_weight
+FROM cum
+WHERE cumw >= totw / 2
+GROUP BY return_flag
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_weighted_median", oracle=_ORACLE_WEIGHTED_MEDIAN)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w_cum = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    cum = li.select(
+        F.col("l_returnflag").alias("return_flag"),
+        "l_extendedprice",
+        F.sum("l_quantity").over(w_cum).alias("cumw"),
+        F.sum("l_quantity").over(w_all).alias("totw"),
+    )
+    return (
+        cum.filter(F.col("cumw") >= F.col("totw") / 2)
+        .groupBy("return_flag")
+        .agg(
+            F.min("l_extendedprice").alias("weighted_median_price"),
+            F.any_value("totw").cast("long").alias("total_weight"),
+        )
+        .orderBy("return_flag")
+    )

@@ -410,3 +410,84 @@ def rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("user_id").alias("wau_7d"))
         .orderBy("win_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA — exponentially weighted moving average over each user's value
+# stream, bounded lookback. The true EWMA recurrence (y_t = a*x_t +
+# (1-a)*y_{t-1}) is sequential per key and would serialize the
+# partition; the bounded form truncates the tail (decay 0.5 -> the
+# 8th-oldest term already weighs 2^-7), turning it into a plain
+# window computation. Weights are powers of two, so every weight and
+# weight-sum is EXACT in doubles, and both engines fold the window
+# array sequentially (Spark aggregate(), DuckDB list_dot_product —
+# the same sequential-association pairing proven in the cosine
+# oracle), making the comparison exact before the cosmetic ROUND.
+#
+# Scale design (100 TB): one shuffle on user_id, per-row state is the
+# <=8-element frame array; no self-join, no fan-out. The W-element
+# HOF fold is interpreted but O(W) per row with W=8 — far under the
+# threshold where the explode+agg rewrite pays (SURVEY §4).
+# ---------------------------------------------------------------------------
+
+_EWMA_WINDOW = 8  # rows of lookback; decay 0.5 per step
+
+_ORACLE_EWMA = f"""
+WITH r AS (
+    SELECT user_id, event_id, value,
+           ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+    FROM events
+), framed AS (
+    SELECT user_id, event_id, rn,
+           list(value) OVER (PARTITION BY user_id ORDER BY rn
+                             ROWS BETWEEN {_EWMA_WINDOW - 1} PRECEDING AND CURRENT ROW) AS vals
+    FROM r
+)
+SELECT user_id, event_id, rn,
+       ROUND(
+         list_dot_product(
+             vals,
+             list_transform(generate_series(1, len(vals)),
+                            i -> 1.0 / POWER(2.0, len(vals) - i))
+         ) / (2.0 - 1.0 / POWER(2.0, len(vals) - 1)),
+         6
+       ) AS ewma_value
+FROM framed
+ORDER BY user_id, rn
+"""
+
+
+@query("q_ts_ewma", oracle=_ORACLE_EWMA)
+def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w_rn = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.select(
+        "user_id", "event_id", "value", F.row_number().over(w_rn).alias("rn")
+    )
+    w_frame = (
+        Window.partitionBy("user_id")
+        .orderBy("rn")
+        .rowsBetween(-(_EWMA_WINDOW - 1), 0)
+    )
+    framed = r.select(
+        "user_id",
+        "event_id",
+        "rn",
+        F.collect_list("value").over(w_frame).alias("vals"),
+    )
+    s = F.size("vals")
+    # weights 2^-(s-1) .. 2^0 oldest->current; dot product folded
+    # sequentially left-to-right, mirroring list_dot_product
+    weights = F.transform(
+        F.sequence(F.lit(1), s),
+        lambda i: F.lit(1.0) / F.pow(F.lit(2.0), (s - i).cast("double")),
+    )
+    dot = F.aggregate(
+        F.zip_with("vals", weights, lambda v, w: v * w),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    norm = F.lit(2.0) - F.lit(1.0) / F.pow(F.lit(2.0), (s - 1).cast("double"))
+    return framed.select(
+        "user_id", "event_id", "rn", F.round(dot / norm, 6).alias("ewma_value")
+    ).orderBy("user_id", "rn")
