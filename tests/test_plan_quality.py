@@ -291,3 +291,28 @@ def test_scalar_crossjoins_are_broadcast_not_cartesian(spark, sf_dir):
         )
         assert "CartesianProduct" not in plan, (qid, plan[:800])
         assert "BroadcastNestedLoop" in plan, (qid, plan[:800])
+
+
+def test_chunking_is_map_only(spark, sf_dir):
+    """Document chunking must compute chunk rows without ANY shuffle —
+    the only Exchange allowed is the deterministic output sort. At
+    100 TB the chunker inherits upstream partitioning for free."""
+    plan = (
+        registry.QUERIES["q_text_chunking"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") == 1, plan[:1200]
+
+
+def test_ewma_single_key_shuffle(spark, sf_dir):
+    """EWMA = one user_id window shuffle + the output sort; a
+    self-join or fan-out formulation would show more."""
+    plan = (
+        registry.QUERIES["q_ts_ewma"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2, plan[:1200]
