@@ -277,3 +277,62 @@ def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding QA: per-label centroid + cosine-to-centroid per vector —
+# the standard embedding-space health check (mislabeled / off-cluster
+# vectors score low against their own cluster's mean). Two passes:
+# centroids via posexplode + (label, pos) hash agg (shuffle carries
+# labels x dims rows, never vectors), rebuilt into arrays and
+# broadcast; the scoring pass is map-side. Centroid components are
+# ROUNDed to 6 on BOTH engines before the cosine so the unordered
+# AVG's last-ulp noise cannot reach the comparison; the cosine itself
+# is the sequential fold proven bit-identical to DuckDB's
+# list_dot_product (see dedup._dot_fold).
+# ---------------------------------------------------------------------------
+
+_ORACLE_EMB_OUTLIERS = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+comp AS (
+    SELECT label, generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
+),
+cent AS (
+    SELECT label, pos, ROUND(AVG(v), 6) AS c FROM comp GROUP BY label, pos
+),
+carr AS (
+    SELECT label, list(c ORDER BY pos) AS centroid FROM cent GROUP BY label
+)
+SELECT e.vec_id, e.label,
+       ROUND(list_dot_product(e.emb, carr.centroid)
+             / (SQRT(list_dot_product(e.emb, e.emb))
+                * SQRT(list_dot_product(carr.centroid, carr.centroid))), 6)
+           AS cos_to_centroid
+FROM e JOIN carr ON e.label = carr.label
+ORDER BY e.label, e.vec_id
+"""
+
+
+@query("q_embedding_outliers", oracle=_ORACLE_EMB_OUTLIERS)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    comp = emb.select("label", F.posexplode("emb").alias("pos", "v"))
+    cent = comp.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+    carr = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+        ).alias("centroid")
+    )
+    return (
+        emb.join(F.broadcast(carr), "label")
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine(F.col("emb"), F.col("centroid")), 6).alias(
+                "cos_to_centroid"
+            ),
+        )
+        .orderBy("label", "vec_id")
+    )

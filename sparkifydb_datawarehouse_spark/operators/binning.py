@@ -140,3 +140,51 @@ def histogram_equiwidth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature scaling — z-score and min-max normalization per stratum
+# (the last step before features leave the warehouse for training).
+# Group stats are a groups-sized broadcast back under the fact (the
+# model-vs-data split again); the scaling itself is map-side codegen.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SCALING = """
+WITH s AS (
+    SELECT c_mktsegment,
+           AVG(c_acctbal) AS mu, STDDEV_SAMP(c_acctbal) AS sigma,
+           MIN(c_acctbal) AS lo, MAX(c_acctbal) AS hi
+    FROM customer GROUP BY c_mktsegment
+)
+SELECT c.c_custkey AS cust_key,
+       c.c_mktsegment AS segment,
+       ROUND((c.c_acctbal - s.mu) / s.sigma, 6) AS acctbal_zscore,
+       ROUND((c.c_acctbal - s.lo) / (s.hi - s.lo), 6) AS acctbal_minmax
+FROM customer c JOIN s ON c.c_mktsegment = s.c_mktsegment
+ORDER BY cust_key
+"""
+
+
+@query("q_feature_scaling", oracle=_ORACLE_SCALING)
+def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    stats = cust.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("mu"),
+        F.stddev_samp("c_acctbal").alias("sigma"),
+        F.min("c_acctbal").alias("lo"),
+        F.max("c_acctbal").alias("hi"),
+    )
+    return (
+        cust.join(F.broadcast(stats), "c_mktsegment")
+        .select(
+            F.col("c_custkey").alias("cust_key"),
+            F.col("c_mktsegment").alias("segment"),
+            F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 6).alias(
+                "acctbal_zscore"
+            ),
+            F.round(
+                (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+            ).alias("acctbal_minmax"),
+        )
+        .orderBy("cust_key")
+    )

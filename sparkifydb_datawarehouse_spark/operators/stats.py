@@ -507,3 +507,81 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("return_flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square contingency test — independence of two categoricals
+# (lang x source), the profiling statistic behind "is this column
+# correlated with that stratum" checks on a corpus. The full cell grid
+# (including zero-observed cells, which still contribute their
+# expectation) is the distinct-lang x distinct-source cross product —
+# dimensions-sized, broadcast; the only data-sized pass is one
+# (lang, source) hash agg whose shuffle carries distinct pairs.
+# ---------------------------------------------------------------------------
+
+_ORACLE_CHI2 = """
+WITH obs AS (
+    SELECT lang, source, COUNT(*) AS o FROM documents GROUP BY lang, source
+), rt AS (SELECT lang, COUNT(*) AS row_tot FROM documents GROUP BY lang),
+   ct AS (SELECT source, COUNT(*) AS col_tot FROM documents GROUP BY source),
+   n AS (SELECT COUNT(*) AS total FROM documents),
+   cells AS (
+    SELECT rt.lang, ct.source, rt.row_tot, ct.col_tot, n.total,
+           COALESCE(obs.o, 0) AS o,
+           rt.row_tot * ct.col_tot * 1.0 / n.total AS e
+    FROM rt CROSS JOIN ct CROSS JOIN n
+    LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+)
+SELECT CAST(ANY_VALUE(total) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       CAST((COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1) AS BIGINT) AS dof,
+       ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+       ROUND(SQRT(SUM((o - e) * (o - e) / e)
+             / (ANY_VALUE(total) * LEAST(COUNT(DISTINCT lang) - 1,
+                                         COUNT(DISTINCT source) - 1))), 6) AS cramers_v
+FROM cells
+"""
+
+
+@query("q_agg_chisquare", oracle=_ORACLE_CHI2)
+def agg_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("row_tot"))
+    ct = docs.groupBy("source").agg(F.count(F.lit(1)).alias("col_tot"))
+    n = docs.agg(F.count(F.lit(1)).alias("total"))
+    cells = (
+        rt.crossJoin(F.broadcast(ct))
+        .crossJoin(F.broadcast(n))
+        .join(obs, ["lang", "source"], "left")
+        .select(
+            "lang",
+            "source",
+            "total",
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("row_tot") * F.col("col_tot") * F.lit(1.0) / F.col("total")).alias(
+                "e"
+            ),
+        )
+    )
+    chi2 = F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e"))
+    return cells.agg(
+        F.any_value("total").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_cells"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("dof"),
+        F.round(chi2, 4).alias("chi2"),
+        F.round(
+            F.sqrt(
+                chi2
+                / (
+                    F.any_value("total")
+                    * F.least(
+                        F.countDistinct("lang") - 1, F.countDistinct("source") - 1
+                    )
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
