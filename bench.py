@@ -93,6 +93,8 @@ HEADLINE = [
     "q_islands_consecutive",         # gaps-and-islands day streaks
     "q_keyset_pagination",           # cursor page: pushdown + top-k
     "q_agg_robust_stats_approx",     # two-pass t-digest MAD (bounded-state)
+    "q_text_chunking",               # map-only sliding-window chunker
+    "q_skew_diagnostics",            # per-key skew profile agg
 ]
 
 
