@@ -209,3 +209,63 @@ def dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "latest", lag_min.alias("lag_minutes"), "n_events")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Uniqueness audit — the candidate-key check that the referential and
+# constraint audits assume: for each proposed key, how many key values
+# are duplicated and how deep. One hash agg per key (shuffle carries
+# distinct key values), then a dimensions-sized summary. The
+# reference's PKs are unenforced (SURVEY §1) — this measures what that
+# tolerates, completing the DQ family (referential/constraints/
+# freshness/uniqueness).
+# ---------------------------------------------------------------------------
+
+_ORACLE_UNIQUENESS = """
+WITH e1 AS (
+    SELECT event_id, COUNT(*) AS m FROM events GROUP BY event_id
+), e2 AS (
+    SELECT user_id, ts, COUNT(*) AS m FROM events GROUP BY user_id, ts
+)
+SELECT candidate_key, ord, n_keys, n_dup_keys, n_excess_rows, max_multiplicity,
+       CAST(n_dup_keys AS BIGINT) = 0 AS is_unique
+FROM (
+    SELECT 'events(event_id)' AS candidate_key, 1 AS ord,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) FILTER (WHERE m > 1) AS BIGINT) AS n_dup_keys,
+           CAST(SUM(m - 1) AS BIGINT) AS n_excess_rows,
+           CAST(MAX(m) AS BIGINT) AS max_multiplicity
+    FROM e1
+    UNION ALL
+    SELECT 'events(user_id, ts)', 2,
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (WHERE m > 1) AS BIGINT),
+           CAST(SUM(m - 1) AS BIGINT),
+           CAST(MAX(m) AS BIGINT)
+    FROM e2
+)
+ORDER BY ord
+"""
+
+
+def uniqueness_audit(df: DataFrame, key_cols: list[str], name: str, ord_: int) -> DataFrame:
+    m = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("m"))
+    return m.agg(
+        F.lit(name).alias("candidate_key"),
+        F.lit(ord_).alias("ord"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum((F.col("m") > 1).cast("long")).alias("n_dup_keys"),
+        F.sum(F.col("m") - 1).alias("n_excess_rows"),
+        F.max("m").alias("max_multiplicity"),
+    ).select(
+        "candidate_key", "ord", "n_keys", "n_dup_keys", "n_excess_rows",
+        "max_multiplicity", (F.col("n_dup_keys") == 0).alias("is_unique"),
+    )
+
+
+@query("q_dq_uniqueness", oracle=_ORACLE_UNIQUENESS)
+def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = uniqueness_audit(ev, ["event_id"], "events(event_id)", 1)
+    b = uniqueness_audit(ev, ["user_id", "ts"], "events(user_id, ts)", 2)
+    return a.unionByName(b).orderBy("ord")

@@ -333,3 +333,48 @@ def sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-k per-group sampling — "give me exactly 5 eval docs per
+# source", the fixed-budget counterpart to fractional stratified
+# sampling (q_sample_stratified). Selection order is the md5 hash of
+# the row key: uniform, deterministic, layout-independent, identical
+# in both engines — so the k winners per group are stable across
+# runs/engines/cluster sizes. One window shuffle on the group key;
+# per-group state is the sort, bounded by group size (for huge groups
+# the scale form is rank-within-hash-prefix: filter to buckets < t
+# first, then window only the survivors — documented, same contract).
+# ---------------------------------------------------------------------------
+
+_K_PER_GROUP = 5
+
+_ORACLE_SAMPLE_K = f"""
+SELECT source, doc_id, lang
+FROM (
+    SELECT source, doc_id, lang,
+           ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(doc_id::VARCHAR), doc_id
+           ) AS rk
+    FROM documents
+)
+WHERE rk <= {_K_PER_GROUP}
+ORDER BY source, doc_id
+"""
+
+
+@query("q_sample_k_per_group", oracle=_ORACLE_SAMPLE_K)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("source", "doc_id", "lang", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= _K_PER_GROUP)
+        .drop("rk")
+        .orderBy("source", "doc_id")
+    )
