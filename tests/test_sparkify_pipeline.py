@@ -34,3 +34,22 @@ def test_surrogate_key_unique(spark, tmp_path):
     sparkify.run_pipeline(spark, str(tmp_path / "wh"))
     sp = spark.read.parquet(str(tmp_path / "wh" / "songplays"))
     assert sp.select("songplay_id").distinct().count() == sp.count()
+
+
+def test_cli_etl_end_to_end(tmp_path):
+    """`python -m sparkifydb_datawarehouse_spark etl` — the reference's
+    `make etl` (create then process) as one command: star tables land
+    in the warehouse dir and re-running is idempotent (drop-then-create
+    semantics)."""
+    from sparkifydb_datawarehouse_spark.__main__ import STAR_TABLES, main
+
+    wh = str(tmp_path / "wh")
+    assert main(["etl", "--warehouse", wh]) == 0
+    import os
+
+    first = {t: os.listdir(os.path.join(wh, t)) for t in STAR_TABLES}
+    assert all(first.values())
+    # idempotent rerun: same tables, fresh contents
+    assert main(["etl", "--warehouse", wh]) == 0
+    for t in STAR_TABLES:
+        assert os.path.exists(os.path.join(wh, t, "_SUCCESS"))
