@@ -482,3 +482,120 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Intra-document segment dedup accounting (RefinedWeb/Falcon-style
+# line dedup): how much of each document is made of repeated segments,
+# and which segments the corpus repeats across documents (boilerplate:
+# headers, disclaimers). The fixture corpus has no sentence
+# punctuation, so a "line" is a fixed non-overlapping 3-token segment
+# — the same accounting, a degenerate segmenter; a punctuated corpus
+# swaps the segment expression for a split on newline/period.
+#
+# Scale design (100 TB): segmenting is a map-side generator; the
+# per-doc accounting aggregates (doc_id, segment) with map-side
+# combine; the cross-doc boilerplate agg keys on md5(segment) so the
+# wide shuffle carries hashes, never text.
+# ---------------------------------------------------------------------------
+
+_SEG_TOKENS = 3
+
+_DUCK_SEGMENTS = f"""
+    SELECT doc_id,
+           array_to_string(list_slice(toks, s * {_SEG_TOKENS} + 1,
+                                      s * {_SEG_TOKENS} + {_SEG_TOKENS}), ' ') AS segment
+    FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(LOWER(text), '\\s+'), x -> x <> '') AS toks
+        FROM documents
+    ) t,
+    UNNEST(generate_series(0, CAST(len(toks) / {_SEG_TOKENS} AS BIGINT))) AS u(s)
+    WHERE s * {_SEG_TOKENS} + {_SEG_TOKENS} <= len(toks)
+"""
+
+_ORACLE_SEGMENT_DEDUP = f"""
+WITH seg AS ({_DUCK_SEGMENTS}),
+per_doc AS (
+    SELECT doc_id, segment, COUNT(*) AS m FROM seg GROUP BY doc_id, segment
+)
+SELECT doc_id,
+       CAST(SUM(m) AS BIGINT) AS n_segments,
+       CAST(COUNT(*) AS BIGINT) AS n_unique,
+       ROUND(SUM(m - 1) * 1.0 / SUM(m), 6) AS intra_dup_share
+FROM per_doc
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+def _segments(docs: DataFrame) -> DataFrame:
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").alias("n"),
+            F.explode(
+                F.expr(f"sequence(0, size(toks) div {_SEG_TOKENS})")
+            ).alias("s"),
+            "toks",
+        )
+        .filter(F.col("s") * _SEG_TOKENS + _SEG_TOKENS <= F.col("n"))
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.slice("toks", F.col("s") * _SEG_TOKENS + 1, _SEG_TOKENS)
+            ).alias("segment"),
+        )
+    )
+
+
+@query("q_text_segment_dedup", oracle=_ORACLE_SEGMENT_DEDUP)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = _segments(docs).groupBy("doc_id", "segment").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    return (
+        per_doc.groupBy("doc_id")
+        .agg(
+            F.sum("m").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_unique"),
+            F.round(F.sum(F.col("m") - 1) * F.lit(1.0) / F.sum("m"), 6).alias(
+                "intra_dup_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_BOILERPLATE = f"""
+WITH seg AS ({_DUCK_SEGMENTS}),
+norm AS (SELECT DISTINCT doc_id, segment FROM seg)
+SELECT md5(segment) AS segment_hash,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS example_doc_id
+FROM norm
+GROUP BY md5(segment)
+HAVING COUNT(*) >= 3
+ORDER BY n_docs DESC, segment_hash
+"""
+
+
+@query("q_text_boilerplate", oracle=_ORACLE_BOILERPLATE)
+def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated segments (>= 3 docs) — the boilerplate
+    table a cleaning pass subtracts. DISTINCT per (doc, segment)
+    first so a doc's internal repetition can't inflate doc counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = _segments(docs).distinct()
+    return (
+        norm.groupBy(F.md5("segment").alias("segment_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .orderBy(F.desc("n_docs"), "segment_hash")
+    )
