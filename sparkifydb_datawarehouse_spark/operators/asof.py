@@ -200,3 +200,107 @@ def asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
         .orderBy("click_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# NEAREST-event join: each purchase matched to the closest click of
+# the same user in EITHER direction (the sensor-alignment shape; the
+# backward and forward as-of joins above are its two halves). The
+# implementation beats join+prune entirely: interleave both event
+# kinds in ONE per-user time-sorted window and read the previous /
+# next click with frame-bounded IGNORE NULLS navigation — zero joins,
+# zero fan-out, one user_id shuffle. Ties at equal timestamps order
+# clicks before purchases (so an equal-ts click is "previous", gap 0),
+# and equal prev/next gaps prefer the previous click. Gap comparisons
+# run on integer epoch-micros — exact on both engines.
+# ---------------------------------------------------------------------------
+
+_ORACLE_NEAREST = """
+WITH tagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS kind
+    FROM events WHERE event_type IN ('click', 'purchase')
+), nav AS (
+    SELECT user_id, ts, event_id, kind,
+           last_value(CASE WHEN kind = 0 THEN {'ts': ts, 'id': event_id} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click,
+           first_value(CASE WHEN kind = 0 THEN {'ts': ts, 'id': event_id} END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, kind, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_click
+    FROM tagged
+)
+SELECT event_id AS purchase_id, user_id, ts AS purchase_ts,
+       CASE WHEN use_prev THEN (prev_click).id ELSE (next_click).id END AS click_id,
+       CASE WHEN use_prev THEN (prev_click).ts ELSE (next_click).ts END AS click_ts,
+       CASE WHEN use_prev THEN 'prev' ELSE 'next' END AS direction,
+       ROUND(CASE WHEN use_prev THEN epoch_us(ts) - epoch_us((prev_click).ts)
+                  ELSE epoch_us((next_click).ts) - epoch_us(ts) END / 1000000.0, 6) AS gap_sec
+FROM (
+    SELECT *,
+           next_click IS NULL OR (prev_click IS NOT NULL AND
+               epoch_us(ts) - epoch_us((prev_click).ts)
+               <= epoch_us((next_click).ts) - epoch_us(ts)) AS use_prev
+    FROM nav WHERE kind = 1
+)
+WHERE prev_click IS NOT NULL OR next_click IS NOT NULL
+ORDER BY purchase_id
+"""
+
+
+@query("q_join_nearest_event", oracle=_ORACLE_NEAREST)
+def join_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "click", 0).otherwise(1).alias("kind"),
+    )
+    click = F.when(
+        F.col("kind") == 0, F.struct(F.col("ts"), F.col("event_id").alias("id"))
+    )
+    order = ["ts", "kind", "event_id"]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nav = tagged.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        F.last(click, ignorenulls=True).over(w_prev).alias("prev_click"),
+        F.first(click, ignorenulls=True).over(w_next).alias("next_click"),
+    ).filter(F.col("kind") == 1)
+
+    prev_gap = F.unix_micros("ts") - F.unix_micros("prev_click.ts")
+    next_gap = F.unix_micros("next_click.ts") - F.unix_micros("ts")
+    use_prev = F.col("next_click").isNull() | (
+        F.col("prev_click").isNotNull() & (prev_gap <= next_gap)
+    )
+    return (
+        nav.filter(F.col("prev_click").isNotNull() | F.col("next_click").isNotNull())
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.when(use_prev, F.col("prev_click.id"))
+            .otherwise(F.col("next_click.id"))
+            .alias("click_id"),
+            F.when(use_prev, F.col("prev_click.ts"))
+            .otherwise(F.col("next_click.ts"))
+            .alias("click_ts"),
+            F.when(use_prev, F.lit("prev")).otherwise(F.lit("next")).alias("direction"),
+            F.round(
+                F.when(use_prev, prev_gap).otherwise(next_gap) / F.lit(1000000.0), 6
+            ).alias("gap_sec"),
+        )
+        .orderBy("purchase_id")
+    )
