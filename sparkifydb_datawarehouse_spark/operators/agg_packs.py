@@ -171,3 +171,53 @@ def percent_of_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pct_of_total"
         ),
     ).orderBy(F.col("revenue").desc(), "nation")
+
+
+# ---------------------------------------------------------------------------
+# Arg-extrema pack — "WHICH row achieves the group's max/min": the
+# lexicographic struct-extremum (C69's OHLC pattern generalized).
+# Engines' native arg_max/max_by leave tie-breaking unspecified, so
+# both sides take MIN/MAX over a (key, tiebreak, payload) struct —
+# mergeable partial agg, deterministic under ties, one exchange.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ARG_EXTREMA = """
+SELECT n.n_name AS nation,
+       (MAX({'b': s.s_acctbal, 'k': s.s_suppkey, 'nm': s.s_name})).nm AS richest_supplier,
+       ROUND((MAX({'b': s.s_acctbal, 'k': s.s_suppkey, 'nm': s.s_name})).b, 2) AS richest_balance,
+       (MIN({'b': s.s_acctbal, 'k': s.s_suppkey, 'nm': s.s_name})).nm AS poorest_supplier,
+       ROUND((MIN({'b': s.s_acctbal, 'k': s.s_suppkey, 'nm': s.s_name})).b, 2) AS poorest_balance,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+"""
+
+
+@query("q_agg_arg_extrema", oracle=_ORACLE_ARG_EXTREMA)
+def agg_arg_extrema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    key = F.struct(
+        F.col("s_acctbal").alias("b"),
+        F.col("s_suppkey").alias("k"),
+        F.col("s_name").alias("nm"),
+    )
+    return (
+        s.join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.max(key).alias("mx"),
+            F.min(key).alias("mn"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .select(
+            "nation",
+            F.col("mx.nm").alias("richest_supplier"),
+            F.round(F.col("mx.b"), 2).alias("richest_balance"),
+            F.col("mn.nm").alias("poorest_supplier"),
+            F.round(F.col("mn.b"), 2).alias("poorest_balance"),
+            "n_suppliers",
+        )
+        .orderBy("nation")
+    )

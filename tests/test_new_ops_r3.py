@@ -177,3 +177,116 @@ def test_sparkify_clamp_is_noop_on_fixture_corpus(spark):
         "ts", "session_id", "item_in_session"
     )
     assert a.collect() == b.collect()
+
+
+# ---------------------------------------------------------------------------
+# Invariants for the round-3 helpers
+# ---------------------------------------------------------------------------
+
+
+def test_canonical_url_is_idempotent_and_variant_insensitive(spark):
+    """canonical(canonical(u)) == canonical(u), and every synthesized
+    variant family (tracking params, case, trailing slash + fragment)
+    maps to the plain form's canonical."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.llm.dedup import canonical_url
+
+    base = "https://srcx.example.com/en/item/7"
+    variants = [
+        base,
+        base + "?utm_source=news&ref=tw&page=2",
+        "HTTPS://SRCX.EXAMPLE.COM/en/item/7",
+        base + "/#section",
+        base + "?page=2&utm_campaign=x&fbclid=abc",
+    ]
+    df = spark.createDataFrame([(u,) for u in variants], "url string")
+    out = df.select(
+        canonical_url(F.col("url")).alias("c1"),
+    ).withColumn("c2", canonical_url(F.col("c1")))
+    rows = out.collect()
+    # idempotent
+    assert all(r["c1"] == r["c2"] for r in rows), rows
+    # variant-insensitive up to kept real params
+    canons = {r["c1"] for r in rows}
+    assert canons == {base, base + "?page=2"}, canons
+
+
+def test_ewma_stays_within_window_bounds(spark, sf_dir):
+    """EWMA is a convex combination of the frame's values, so it must
+    lie within [min, max] of the trailing window for every row."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark import registry
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    ewma = registry.QUERIES["q_ts_ewma"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-7, 0)
+    )
+    bounds = ev.select(
+        "event_id",
+        F.min("value").over(w).alias("lo"),
+        F.max("value").over(w).alias("hi"),
+    )
+    joined = ewma.join(bounds, "event_id")
+    bad = joined.filter(
+        (F.col("ewma_value") < F.col("lo") - 1e-9)
+        | (F.col("ewma_value") > F.col("hi") + 1e-9)
+    ).count()
+    assert bad == 0
+
+
+def test_weighted_median_reduces_to_lower_median_under_unit_weights(spark):
+    """With all weights equal, the cumulative-crossing definition picks
+    the lower median — verify on a hand-computed frame."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    rows = [("a", 10.0), ("a", 20.0), ("a", 30.0), ("a", 40.0), ("b", 5.0), ("b", 7.0), ("b", 9.0)]
+    df = spark.createDataFrame(rows, "g string, v double").withColumn("w", F.lit(1.0))
+    w_cum = Window.partitionBy("g").orderBy("v")
+    cum = df.select(
+        "g", "v",
+        F.sum("w").over(w_cum).alias("cumw"),
+        F.sum("w").over(Window.partitionBy("g")).alias("totw"),
+    )
+    got = {
+        r["g"]: r["m"]
+        for r in cum.filter(F.col("cumw") >= F.col("totw") / 2)
+        .groupBy("g")
+        .agg(F.min("v").alias("m"))
+        .collect()
+    }
+    # even count -> lower median; odd count -> true median
+    assert got == {"a": 20.0, "b": 7.0}
+
+
+def test_chunking_covers_every_token_exactly_once_per_stride_window(spark, sf_dir):
+    """Chunk accounting: per doc, the union of [start, start+n_tokens)
+    intervals must cover [0, n) with overlap exactly CHUNK-STRIDE
+    between consecutive chunks (except possibly the last)."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark import registry
+    from sparkifydb_datawarehouse_spark.llm.chunking import CHUNK_TOKENS, STRIDE
+
+    chunks = registry.QUERIES["q_text_chunking"](spark, sf_dir).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r["chunk_idx"])
+        assert [r["chunk_idx"] for r in rs] == list(range(len(rs)))
+        for i, r in enumerate(rs):
+            start = i * STRIDE
+            assert r["n_tokens"] >= 1
+            if i < len(rs) - 1:
+                assert r["n_tokens"] == CHUNK_TOKENS
+        # last chunk must reach the end and contribute new tokens
+        last = rs[-1]
+        assert last["n_tokens"] >= 1
