@@ -1,0 +1,108 @@
+"""Plan-shape regression gate: every headline query's physical plan
+must not grow NEW shuffles. Exchange count is the single best proxy
+for "the plan you'd want at 100x" — broadcast demotions, lost
+partial-agg, or a join strategy regression all show up as extra
+Exchanges long before they show up in local wall-clock (which the
+shared harness host makes noisy). Budgets are the counts measured at
+round 3 (sf0.001 build-time plans, pre-AQE — deterministic); a query
+may IMPROVE below its budget, never exceed it. When a legitimate
+change adds a shuffle, update the budget in the same commit and say
+why in its message.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkifydb_datawarehouse_spark import registry
+
+registry.load_all_modules()
+
+EXCHANGE_BUDGETS = {
+    "q_agg_groupby": 2,
+    "q_agg_robust_stats_approx": 4,
+    "q_agg_rollup": 2,
+    "q_agg_skew_kurt": 2,
+    "q_anomaly_zscore": 2,
+    "q_asof_join": 4,
+    "q_cdc_apply": 2,
+    "q_cohort_retention": 5,
+    "q_corpus_funnel": 9,
+    "q_dedup_clusters": 1,
+    "q_dedup_exact": 2,
+    "q_dedup_fuzzy_minhash": 5,
+    "q_dedup_representative": 2,
+    "q_dedup_simhash": 5,
+    "q_dq_referential": 15,
+    "q_drift_psi": 2,
+    "q_feature_binning": 1,
+    "q_flagship_revenue_by_region": 6,
+    "q_global_rownumber": 5,
+    "q_graph_pagerank": 1,
+    "q_graph_triangles": 22,
+    "q_islands_consecutive": 3,
+    "q_join_fuzzy_levenshtein": 2,
+    "q_join_interval_overlap": 2,
+    "q_join_left": 2,
+    "q_join_range": 2,
+    "q_keyset_pagination": 0,
+    "q_kmeans_embeddings": 1,
+    "q_masked_view": 1,
+    "q_merge_upsert": 3,
+    "q_pattern_sequence": 2,
+    "q_pit_join": 3,
+    "q_profile_columns": 2,
+    "q_rollup_timebucket": 2,
+    "q_sample_hash": 1,
+    "q_sample_weighted": 2,
+    "q_sessionize_gap": 2,
+    "q_similarity_batch_knn": 3,
+    "q_similarity_ivf": 5,
+    "q_similarity_topk": 1,
+    "q_skew_diagnostics": 2,
+    "q_sort_limit": 0,
+    "q_sparkify_songplays": 2,
+    "q_stream_stream_join": 2,
+    "q_stream_tumbling": 2,
+    "q_table_diff": 3,
+    "q_text_chunking": 1,
+    "q_text_quality": 1,
+    "q_text_repetition": 2,
+    "q_text_tfidf": 5,
+    "q_text_unigram_logprob": 7,
+    "q_topk_per_group": 2,
+    "q_tpch_q10_returned_items": 4,
+    "q_tpch_q13_customer_distribution": 4,
+    "q_tpch_q17_small_quantity": 3,
+    "q_tpch_q18_large_customers": 5,
+    "q_tpch_q1_pricing_summary": 2,
+    "q_tpch_q21_waiting_suppliers": 7,
+    "q_tpch_q2_min_cost_supplier": 5,
+    "q_tpch_q3_shipping_priority": 3,
+    "q_tpch_q4_order_priority": 3,
+    "q_tpch_q5_local_supplier": 7,
+    "q_tpch_q6_forecast_revenue": 1,
+    "q_tpch_q7_volume_shipping": 7,
+    "q_tpch_q9_product_profit": 5,
+    "q_ts_interpolate": 4,
+    "q_ts_ohlc": 2,
+    "q_udaf_trimmed_mean": 2,
+    "q_variant_json": 1,
+    "q_window_rank": 2,
+    "q_window_time_range": 2,
+}
+
+
+@pytest.mark.parametrize("query_id", sorted(EXCHANGE_BUDGETS))
+def test_exchange_budget(spark, sf_dir, query_id):
+    plan = (
+        registry.QUERIES[query_id](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    got = plan.count("Exchange")
+    assert got <= EXCHANGE_BUDGETS[query_id], (
+        f"{query_id}: {got} exchanges vs budget {EXCHANGE_BUDGETS[query_id]} — "
+        f"a new shuffle appeared; plan head:\n{plan[:1200]}"
+    )
