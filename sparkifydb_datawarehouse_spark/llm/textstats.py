@@ -599,3 +599,68 @@ def text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 3)
         .orderBy(F.desc("n_docs"), "segment_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Keyword extraction — top-3 TF-IDF terms per document (the cheap
+# content tagger / index-term generator). Composition of the TF-IDF
+# pieces with a per-doc ranking window; document frequencies stay a
+# vocabulary-sized broadcast; the window partitions by doc_id, so the
+# sort is per-document-vocabulary-bounded at any corpus size. Ties
+# pinned by (tfidf DESC, term ASC) on both engines.
+# ---------------------------------------------------------------------------
+
+_ORACLE_KEYWORDS = """
+WITH toks AS (
+    SELECT doc_id, UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                      x -> x <> '')) AS term
+    FROM documents
+), tf AS (
+    SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+), df AS (
+    SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term,
+           ROUND(tf.tf * LN(n.n_docs * 1.0 / df.df), 6) AS tfidf
+    FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+)
+SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+FROM (
+    SELECT doc_id, term, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+    FROM scored
+)
+WHERE rk <= 3
+ORDER BY doc_id, rk
+"""
+
+
+@query("q_text_keywords", oracle=_ORACLE_KEYWORDS)
+def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 3)
+        .orderBy("doc_id", "rk")
+    )

@@ -255,3 +255,47 @@ def window_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Moving (trailing-frame) median — the robust rolling statistic the
+# trailing z-score (q_anomaly_zscore) can't give when outliers pollute
+# the mean. Neither engine shares a windowed-median implementation
+# detail, so BOTH sides spell the definition: sort the 9-row frame,
+# interpolate the middle (DuckDB's window median IS quantile_cont 0.5
+# — same interpolation). The frame array is <=9 elements: sorting is
+# exact, per-row cost O(W log W), state O(W) — linear overall, one
+# user_id shuffle.
+# ---------------------------------------------------------------------------
+
+_MED_WINDOW = 9
+
+_ORACLE_MOVING_MEDIAN = f"""
+SELECT user_id, event_id,
+       ROUND(median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN {_MED_WINDOW - 1} PRECEDING AND CURRENT ROW),
+             6) AS moving_median
+FROM events
+ORDER BY user_id, event_id
+"""
+
+
+@query("q_window_moving_median", oracle=_ORACLE_MOVING_MEDIAN)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_MED_WINDOW - 1), 0)
+    )
+    vals = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(vals)
+    odd = F.element_at(vals, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(vals, (n / 2).cast("int"))
+        + F.element_at(vals, (n / 2).cast("int") + 1)
+    ) / 2
+    med = F.when(n % 2 == 1, odd).otherwise(even)
+    return ev.select(
+        "user_id", "event_id", F.round(med, 6).alias("moving_median")
+    ).orderBy("user_id", "event_id")
