@@ -79,3 +79,38 @@ def test_kmeans_empty_raises_cleanly(spark):
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
     with pytest.raises(Exception):
         kmeans_fit_assign(empty, dim=4).collect()
+
+
+def test_round3_helpers_empty(spark):
+    """Round-3 composable helpers on empty inputs: empty out, right
+    schema, no crash."""
+    from sparkifydb_datawarehouse_spark.llm import dedup
+    from sparkifydb_datawarehouse_spark.llm.chunking import text_chunking  # noqa: F401
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert dedup.minhash_band_pairs(empty_docs).count() == 0
+    assert dedup.simhash_pairs(empty_docs, widened=False).count() == 0
+    assert dedup.simhash_pairs(empty_docs, widened=True).count() == 0
+    assert dedup.simhash_sketch(empty_docs).count() == 0
+
+    from sparkifydb_datawarehouse_spark.llm.textstats import _segments
+
+    seg = _segments(empty_docs)
+    assert seg.count() == 0
+    assert set(seg.columns) == {"doc_id", "segment"}
+
+
+def test_chunking_single_token_doc(spark):
+    """A 1-token doc must yield exactly one 1-token chunk (the stride
+    guard's lower bound)."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.llm import chunking as C
+
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    docs = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
+    out = base.select(
+        "doc_id", F.explode(F.expr(C._STARTS)).alias("start")
+    ).collect()
+    assert [r["start"] for r in out] == [0]
