@@ -285,3 +285,67 @@ def union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
     return epoch_a.unionByName(epoch_b, allowMissingColumns=True).orderBy(
         "o_orderkey"
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with an OTHERS bucket — the BI presentation shape: the top-5
+# brands by revenue stay named, the long tail collapses into one
+# 'OTHER' row so the result always sums to the total. Two levels: the
+# brand aggregate (shuffle carries brands), then rank + conditional
+# regroup over the brands-sized result — the second pass never touches
+# fact rows.
+# ---------------------------------------------------------------------------
+
+_ORACLE_TOPK_OTHERS = """
+WITH rev AS (
+    SELECT p.p_brand AS brand,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+), ranked AS (
+    SELECT brand, revenue,
+           ROW_NUMBER() OVER (ORDER BY revenue DESC, brand) AS rk
+    FROM rev
+)
+SELECT CASE WHEN rk <= 5 THEN brand ELSE 'OTHER' END AS brand,
+       CAST(MIN(rk) AS BIGINT) AS rank_order,
+       ROUND(SUM(revenue), 2) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_brands
+FROM ranked
+GROUP BY CASE WHEN rk <= 5 THEN brand ELSE 'OTHER' END
+ORDER BY rank_order
+"""
+
+
+@query("q_topk_with_others", oracle=_ORACLE_TOPK_OTHERS)
+def topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    ranked = rev.select(
+        "brand",
+        "revenue",
+        F.row_number()
+        .over(Window.orderBy(F.desc("revenue"), "brand"))
+        .alias("rk"),
+    )
+    bucket = F.when(F.col("rk") <= 5, F.col("brand")).otherwise(F.lit("OTHER"))
+    return (
+        ranked.groupBy(bucket.alias("brand"))
+        .agg(
+            F.min("rk").alias("rank_order"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_brands"),
+        )
+        .orderBy("rank_order")
+    )

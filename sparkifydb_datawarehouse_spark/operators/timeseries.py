@@ -491,3 +491,54 @@ def ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     return framed.select(
         "user_id", "event_id", "rn", F.round(dot / norm, 6).alias("ewma_value")
     ).orderBy("user_id", "rn")
+
+
+# ---------------------------------------------------------------------------
+# Event-transition matrix — first-order Markov view of user behavior:
+# for each (from_type, to_type) pair of CONSECUTIVE events per user,
+# the transition count and the row-normalized probability. One lag
+# window on user_id + one pair-keyed hash agg; the matrix is
+# event-type² rows (dimensions-sized) whatever the event volume.
+# ---------------------------------------------------------------------------
+
+_ORACLE_TRANSITIONS = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+    FROM events
+), pairs AS (
+    SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+)
+SELECT from_type, to_type,
+       CAST(n AS BIGINT) AS n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
+@query("q_event_transitions", oracle=_ORACLE_TRANSITIONS)
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # row-normalize OVER THE MATRIX (type² rows), never the event table
+    # — the percent-of-total altitude rule (C76)
+    w_row = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w_row), 6).alias("p"),
+    ).orderBy("from_type", "to_type")
