@@ -1,0 +1,165 @@
+"""Spark 4 API surface: native Arrow UDFs, SQL scripting
+(BEGIN...END procedural blocks), and parameterized SQL.
+
+These complete the UDF/SQL matrix next to row UDFs, pandas UDFs,
+UDAFs, and UDTFs (operators/udfs.py, udtfs.py): the Arrow UDF is the
+newest vectorized-Python tier (pyarrow arrays in/out — no pandas
+conversion layer), SQL scripting is the multi-statement procedural
+form the reference drives from Python loops (etl.py's statement
+lists), and parameterized SQL is the injection-safe way to template
+the SQL strings the reference interpolates at import time
+(/root/reference/sql_queries.py:105-114 interpolates config into COPY
+statements with % formatting — named parameters are the hardened
+analog).
+
+Scale posture: Arrow UDFs batch through the same Arrow channel as
+pandas UDFs (vectorized, JVM<->Python per batch, still the slow path
+vs built-ins); SQL scripting executes statement-at-a-time on the
+driver like any multi-action pipeline; parameterized SQL is pure
+plan-build sugar with zero runtime cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+import itertools
+
+_VIEW_SEQ = itertools.count()  # unique temp-view name per call (a
+# shared name could be redirected by a second call before collection)
+
+# ---------------------------------------------------------------------------
+# Native Arrow UDF — pyarrow in, pyarrow out.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ARROW_UDF = """
+SELECT l_orderkey AS order_key,
+       l_linenumber AS line_number,
+       CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100) AS BIGINT)
+           AS charge_cents
+FROM lineitem
+WHERE l_returnflag = 'R'
+ORDER BY order_key, line_number
+"""
+
+
+@query("q_udf_arrow", oracle=_ORACLE_ARROW_UDF)
+def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H charge formula as a native Arrow UDF: pyarrow.compute
+    kernels on pa.Array batches — the same IEEE multiply chain as the
+    SQL. Output is FLOOR-of-cents, not ROUND: engines' ROUND
+    implementations disagree at exact half-boundaries (observed
+    101226.8121 vs 101226.812 on identical doubles) while
+    floor(double) is unambiguous. (A built-in expression is still the
+    right production form — this registers the API tier and proves
+    its numeric fidelity.)"""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udf
+
+    def _charge(price, discount, tax):
+        return pc.multiply(
+            pc.multiply(price, pc.subtract(pa.scalar(1.0), discount)),
+            pc.add(pa.scalar(1.0), tax),
+        )
+
+    # real type objects, not strings: this module's `from __future__
+    # import annotations` would stringify inline hints and arrow_udf
+    # resolves hints at decoration time
+    _charge.__annotations__ = {
+        "price": pa.Array,
+        "discount": pa.Array,
+        "tax": pa.Array,
+        "return": pa.Array,
+    }
+    charge = arrow_udf(_charge, "double")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("order_key"),
+            F.col("l_linenumber").alias("line_number"),
+            F.floor(
+                charge("l_extendedprice", "l_discount", "l_tax") * 100
+            ).alias("charge_cents"),
+        )
+        .orderBy("order_key", "line_number")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQL scripting — BEGIN ... END with DECLAREd variables.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SCRIPTING = """
+SELECT o_orderstatus AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_big_orders,
+       ROUND(SUM(o_totalprice), 2) AS total_price
+FROM orders
+WHERE o_totalprice > (SELECT 1.5 * AVG(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+ORDER BY order_status
+"""
+
+
+@query("q_sql_scripting", oracle=_ORACLE_SCRIPTING)
+def sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procedural SQL: DECLARE a threshold from one statement, use it
+    in the next — the scalar-subquery plan split into explicit steps
+    (what the reference does from Python, expressed in SQL itself).
+    The script's last statement is the returned result."""
+    view = f"_script_orders_{next(_VIEW_SEQ)}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        BEGIN
+          DECLARE big_threshold DOUBLE DEFAULT 0;
+          SET big_threshold = (SELECT 1.5 * AVG(o_totalprice) FROM {view});
+          SELECT o_orderstatus AS order_status,
+                 COUNT(*) AS n_big_orders,
+                 ROUND(SUM(o_totalprice), 2) AS total_price
+          FROM {view}
+          WHERE o_totalprice > big_threshold
+          GROUP BY o_orderstatus
+          ORDER BY order_status;
+        END
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parameterized SQL — named parameters instead of string interpolation.
+# ---------------------------------------------------------------------------
+
+_ORACLE_PARAMETERIZED = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase') AND value >= 10.0
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query("q_sql_parameterized", oracle=_ORACLE_PARAMETERIZED)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = f"_param_events_{next(_VIEW_SEQ)}"
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT event_type,
+               COUNT(*) AS n_events,
+               ROUND(SUM(value), 4) AS total_value
+        FROM {view}
+        WHERE event_type IN (:a, :b) AND value >= :minv
+        GROUP BY event_type
+        ORDER BY event_type
+        """,
+        args={"a": "click", "b": "purchase", "minv": 10.0},
+    )

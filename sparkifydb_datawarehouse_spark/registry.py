@@ -66,6 +66,7 @@ def load_all_modules() -> None:
         resample,
         skew,
         sorts,
+        spark4_surface,
         stats,
         subqueries,
         profiling,
