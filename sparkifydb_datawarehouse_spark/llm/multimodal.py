@@ -231,3 +231,82 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA).orderBy(
         "doc_id", "frame_no"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio plumbing — completes the modality triple (image features /
+# image resize / video frame-sample above). Payload = fake PCM16
+# little-endian mono samples, deterministic per doc; metadata carries
+# sample_rate + n_samples (the queryable part). Features = RMS energy
+# and zero-crossing count via numpy over Arrow batches — the exact
+# shape a real decoder (soundfile/librosa, absent in this container)
+# would slot into; the codec boundary stays decode_image-style honest.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATE = 8000
+
+
+def attach_fake_audio(docs: DataFrame) -> DataFrame:
+    """Deterministic PCM16 mono payload: n_samples = 64 + doc_id % 192,
+    sample[i] = ((doc_id * 7919 + i * 104729) % 4096) - 2048 (int16),
+    packed little-endian. Computed JVM-side via expressions so the
+    payload generation itself is codegen, not Python."""
+    n = (F.lit(64) + F.col("doc_id") % 192).cast("int")
+    # hex-encode each sample as 4 hex chars (little-endian int16)
+    sample = (
+        "((doc_id * 7919 + i * 104729) % 4096) - 2048"
+    )
+    le16 = (
+        f"concat(lpad(hex(({sample} + 65536) % 256), 2, '0'), "
+        f"lpad(hex((({sample} + 65536) div 256) % 256), 2, '0'))"
+    )
+    pcm_hex = F.expr(
+        f"array_join(transform(sequence(0, {'(64 + doc_id % 192)'} - 1), "
+        f"i -> {le16}), '')"
+    )
+    audio = F.to_binary(pcm_hex, F.lit("hex"))
+    meta = F.struct(
+        F.lit("audio/pcm16").alias("kind"),
+        F.lit(_SAMPLE_RATE).alias("sample_rate"),
+        n.alias("n_samples"),
+        (n.cast("double") / _SAMPLE_RATE).alias("duration_sec"),
+    )
+    return docs.select("doc_id", audio.alias("audio"), meta.alias("audio_meta"))
+
+
+_AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_samples", IntegerType()),
+        StructField("rms", LongType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, blob in zip(pdf["doc_id"], pdf["audio"]):
+            x = np.frombuffer(bytes(blob), dtype="<i2").astype(np.int64)
+            rms = int(np.sqrt(np.mean(x * x))) if len(x) else 0
+            zc = int(np.sum(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0
+            out.append((int(doc_id), len(x), rms, zc))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in _AUDIO_FEATURE_SCHEMA.fields]
+        )
+
+
+@query("q_multimodal_audio")  # rows-only: binary plumbing, no SQL analog
+def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over mapInPandas: payloads stay inside
+    their partition (features out, PCM never shuffles) — identical
+    batch shape to the image/video paths."""
+    docs = load_table(spark, sf_dir, "documents")
+    with_audio = attach_fake_audio(docs)
+    return (
+        with_audio.mapInPandas(_audio_features, _AUDIO_FEATURE_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -59,3 +59,20 @@ def test_frame_sampling_strides(spark, sf_dir):
 
     per_doc = Counter(r["doc_id"] for r in rows)
     assert max(per_doc.values()) > 1
+
+
+def test_audio_features_deterministic_and_consistent(spark, sf_dir):
+    """PCM plumbing invariants: n_samples matches the metadata contract
+    (64 + doc_id % 192), features are deterministic across runs, and
+    RMS is positive for the nonzero synthetic waveform."""
+    from sparkifydb_datawarehouse_spark.llm import multimodal as M
+
+    a = {r["doc_id"]: (r["n_samples"], r["rms"], r["zero_crossings"])
+         for r in M.multimodal_audio(spark, sf_dir).collect()}
+    b = {r["doc_id"]: (r["n_samples"], r["rms"], r["zero_crossings"])
+         for r in M.multimodal_audio(spark, sf_dir).collect()}
+    assert a == b
+    for doc_id, (n, rms, zc) in a.items():
+        assert n == 64 + doc_id % 192
+        assert rms > 0
+        assert 0 <= zc < n
