@@ -13,8 +13,9 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from ..llm.dedup import _word_shingles as word_shingles  # noqa: F401
-from ..llm.dedup import cosine  # noqa: F401
+from ..llm.dedup import canonical_url, cosine  # noqa: F401
 from ..llm.similarity import sign_bucket  # noqa: F401
+from ..operators.sampling import hash_bucket  # noqa: F401
 
 
 def dow(col: str | Column) -> Column:
@@ -37,9 +38,11 @@ def nullif_sentinel(col: str | Column, sentinel) -> Column:
 
 
 __all__ = [
+    "canonical_url",
     "cosine",
     "dow",
     "epoch_millis_to_ts",
+    "hash_bucket",
     "nullif_sentinel",
     "sign_bucket",
     "word_shingles",
