@@ -86,6 +86,7 @@ def load_all_modules() -> None:
         grouped,
         multimodal,
         packing,
+        prep_pipeline,
         pipeline,
         similarity,
         textstats,
