@@ -91,7 +91,13 @@ def load_all_modules() -> None:
         similarity,
         textstats,
     )
-    from .sources import csv_source, json_source, orc_source, pysource  # noqa: F401
+    from .sources import (  # noqa: F401
+        csv_source,
+        json_source,
+        orc_source,
+        pysource,
+        text_source,
+    )
     from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import stateful, windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401
