@@ -94,6 +94,7 @@ HEADLINE = [
     "q_keyset_pagination",           # cursor page: pushdown + top-k
     "q_agg_robust_stats_approx",     # two-pass t-digest MAD (bounded-state)
     "q_text_chunking",               # map-only sliding-window chunker
+    "q_dedup_ngram_jaccard",         # exploded-intersection exact jaccard
     "q_skew_diagnostics",            # per-key skew profile agg
 ]
 

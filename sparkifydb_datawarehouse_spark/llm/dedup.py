@@ -428,27 +428,100 @@ ORDER BY doc_a, doc_b
 
 @query("q_dedup_ngram_jaccard", oracle=_ORACLE_JACCARD)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard per candidate pair WITHOUT per-pair array ops.
+
+    The first formulation evaluated array_intersect/array_distinct on
+    every pair — interpreted collection calls over ~100-element arrays,
+    measured 27.6 s at sf0.1 (the same trap the corpus funnel hit,
+    SCALING.md (c)). This form computes |A∩B| as an AGGREGATION over
+    the exploded shingle-match join — whole-stage codegen end to end:
+
+      matches:  (doc_a, doc_b, inter) from a shingle-keyed self-join of
+                the exploded distinct shingles, restricted by the same
+                source/id-window predicate — each shared shingle is one
+                joined row, counted per pair (shuffle carries hashes);
+      pairs:    the array-free candidate frame (so ZERO-overlap
+                neighbors still emit jaccard = 0, like the oracle);
+      jaccard:  inter / (|A| + |B| - inter) — integers, exact.
+
+    Measured 27.6 → ~2 s at sf0.1. The candidate window stays the
+    oracle-friendly id-band; at 100 TB the LSH bucket join above is
+    the candidate generator and this verify stage is unchanged.
+
+    (window of 100 ids: fixture sources are src{doc_id % 20}, so
+    same-source neighbors sit at id strides of 20 — a ±5 window would
+    never match and the candidate set would be empty)
+    """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", "source", _word_shingles("text").alias("shingles")
-    ).filter(F.size("shingles") > 0)
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.shingles"), F.col("b.shingles")))
-    union = F.size(F.array_distinct(F.concat(F.col("a.shingles"), F.col("b.shingles"))))
-    return (
-        a.join(
-            b,
-            (F.col("a.source") == F.col("b.source"))
-            & (F.col("b.doc_id") > F.col("a.doc_id"))
-            # window of 100 ids: fixture sources are src{doc_id % 20}, so
-            # same-source neighbors sit at id strides of 20 — a ±5 window
-            # would never match and the candidate set would be empty
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 100),
-        )
+    # the interpreted shingling HOF is the dominant cost (~4 s at
+    # sf0.1 across all cores) and THREE plan branches need its output
+    # (sizes, both self-join sides) — localCheckpoint materializes the
+    # exploded shingles exactly once (the corpus-funnel discipline);
+    # the repartition spreads the single-file fixture scan first
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    ex = spread.select(
+        "doc_id", "source", F.explode(_word_shingles("text")).alias("shingle")
+    ).localCheckpoint(eager=True)
+    # _word_shingles emits DISTINCT shingles, so per-doc row count IS
+    # the shingle-set size; zero-shingle docs are absent from the
+    # explode, matching the size>0 filter the oracle applies
+    sized = ex.groupBy("doc_id", "source").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    pair_cond = (
+        (F.col("a.source") == F.col("b.source"))
+        & (F.col("b.doc_id") > F.col("a.doc_id"))
+        & (F.col("b.doc_id") <= F.col("a.doc_id") + 100)
+    )
+    pairs = (
+        sized.alias("a")
+        .join(sized.alias("b"), pair_cond)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+    )
+
+    # the id-band rides IN the join key (the corpus-funnel lesson:
+    # posting-list depth of a common shingle must not set the bucket
+    # fan-out) — probe side explodes over [band, band+1] so every
+    # in-window pair meets in exactly one (source, shingle, band)
+    # bucket, whose depth is bounded by docs-per-window
+    ex_a = ex.select(
+        "doc_id",
+        "source",
+        "shingle",
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / 100), F.floor(F.col("doc_id") / 100) + 1
+            )
+        ).alias("band"),
+    )
+    ex_b = ex.withColumn("band", F.floor(F.col("doc_id") / 100))
+    matches = (
+        ex_a.alias("a")
+        .join(
+            ex_b.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & pair_cond,
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+
+    inter = F.coalesce(F.col("inter"), F.lit(0))
+    return (
+        pairs.join(matches, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                inter.cast("double") / (F.col("n_a") + F.col("n_b") - inter), 6
+            ).alias("jaccard"),
         )
         .orderBy("doc_a", "doc_b")
     )

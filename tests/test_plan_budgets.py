@@ -31,6 +31,7 @@ EXCHANGE_BUDGETS = {
     "q_dedup_clusters": 1,
     "q_dedup_exact": 2,
     "q_dedup_fuzzy_minhash": 5,
+    "q_dedup_ngram_jaccard": 7,
     "q_dedup_representative": 2,
     "q_dedup_simhash": 5,
     "q_dq_referential": 15,
