@@ -64,9 +64,20 @@ ORDER BY user_id
 
 @query("q_grouped_trend", oracle=_ORACLE_TREND)
 def grouped_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group Python cost is per CALL, not per row — and AQE
+    coalesces the applyInPandas shuffle to ONE partition when the
+    byte volume is small, serializing tens of thousands of pandas
+    calls into a single task (measured 11.2 s at sf0.1). The explicit
+    hash repartition on the group key already satisfies the required
+    distribution, so no further exchange is added, AQE leaves the
+    user-specified partition count alone, and the groups fan across
+    all cores: 11.2 → 0.6 s. At 100 TB the same line is what pins
+    Python-call parallelism when group payloads are small."""
     ev = load_table(spark, sf_dir, "events")
+    k = spark.sparkContext.defaultParallelism
     return (
         ev.select("user_id", "ts", "value")
+        .repartition(k, "user_id")
         .groupBy("user_id")
         .applyInPandas(_fit_trend, schema=_TREND_SCHEMA)
         .orderBy("user_id")
