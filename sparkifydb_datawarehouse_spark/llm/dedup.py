@@ -115,9 +115,18 @@ def _shingle_hashes_exploded(docs: DataFrame, text_col: str = "text") -> DataFra
 
 
 def _minhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """doc_id → 32 minhash columns m0..m31 (one per arithmetic
-    "permutation" h * (2k+1) + k — odd multiplier, a bijection mod
-    2^64).
+    """doc_id → 32 minhash columns m0..m31, permutation k realized as
+    the REHASH xxhash64(h, k) — an independent uniform draw per k, so
+    P(m_k(A) = m_k(B)) = J(A,B) exactly (min-stability) with no
+    overflow under ANSI mode.
+
+    Why not the earlier `h * (2k+1) + k` arithmetic "permutation": h
+    is 32-bit, the multiplier ≤ 63, so the product NEVER wraps 2^64 —
+    every permutation was order-preserving, every argmin was the same
+    min-h shingle, and the 32 columns were one minhash repeated (the
+    round-3 calibration op exposed it: signature agreement was binary
+    0/1 instead of graded ≈J, and the banded LSH threshold claim was
+    void — collision probability per band was J, not J^4).
 
     Perf-critical shape (230s → ~2s → ~1s at sf0.1 across rounds): the
     32 permutation-mins run as partial+final hash AGGREGATION over the
@@ -126,7 +135,8 @@ def _minhash_wide(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Map-side combine means the shuffle carries one 32-column row per
     (doc_id, input partition), never the shingles."""
     mins = [
-        F.min(F.col("h") * (2 * k + 1) + k).alias(f"m{k}") for k in range(_N_MINHASH)
+        F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
+        for k in range(_N_MINHASH)
     ]
     return _shingle_hashes_exploded(docs, text_col).groupBy("doc_id").agg(*mins)
 
@@ -878,4 +888,47 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("keeper_doc_id"),
         )
         .orderBy("canonical_url")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch calibration — minhash-estimated Jaccard vs EXACT Jaccard on
+# the same neighbor pairs: the accuracy report that justifies trusting
+# the sketch at scales where exact verification is unaffordable. The
+# estimator is the signature agreement fraction (unbiased for true
+# Jaccard, stderr ≈ sqrt(J(1-J)/32)); the exact side reuses the
+# exploded-intersection aggregation. rows-only (xxhash64 sketches);
+# the estimator's error is pinned by tests/test_llm_ops.py.
+# ---------------------------------------------------------------------------
+
+
+@query("q_dedup_minhash_calibration")  # rows-only: Spark-internal hash
+def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dedup_ngram_jaccard(spark, sf_dir)
+    sigs = _minhash_wide(docs)
+    a = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"m{k}").alias(f"a{k}") for k in range(_N_MINHASH)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"m{k}").alias(f"b{k}") for k in range(_N_MINHASH)],
+    )
+    agree = sum(
+        (F.col(f"a{k}") == F.col(f"b{k}")).cast("int") for k in range(_N_MINHASH)
+    )
+    return (
+        exact.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            F.round(agree / F.lit(_N_MINHASH), 6).alias("jaccard_est"),
+            F.round(F.abs(agree / F.lit(_N_MINHASH) - F.col("jaccard")), 6).alias(
+                "abs_err"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
     )

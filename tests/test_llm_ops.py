@@ -266,3 +266,14 @@ def test_simhash_widened_tables_keep_recall(spark):
     assert baseline == 1.0, baseline
     assert widened == 1.0, widened
     assert widened >= baseline
+
+
+def test_minhash_estimator_calibration(spark, sf_dir):
+    """The 32-permutation signature agreement must track exact Jaccard:
+    mean |err| well under the single-pair stderr bound (~0.09 at J=0.5)
+    and max |err| bounded by a few sigma."""
+    rows = dedup.dedup_minhash_calibration(spark, sf_dir).collect()
+    assert rows, "calibration needs candidate pairs"
+    errs = [r["abs_err"] for r in rows]
+    assert sum(errs) / len(errs) <= 0.08, sum(errs) / len(errs)
+    assert max(errs) <= 0.35, max(errs)
