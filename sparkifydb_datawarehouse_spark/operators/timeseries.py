@@ -542,3 +542,43 @@ def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * F.lit(1.0) / F.sum("n").over(w_row), 6).alias("p"),
     ).orderBy("from_type", "to_type")
+
+
+# ---------------------------------------------------------------------------
+# Cumulative distinct users (the "total unique users ever" growth
+# curve). An EXPANDING COUNT DISTINCT window would re-scan every
+# prefix; the scalable identity is that a user contributes exactly
+# once — at their FIRST day: collapse events to (user, first_day),
+# count per day, cumulative-sum over the days spine. Shuffles carry
+# users then days; the window runs over the days-sized series (the
+# C76 altitude rule again).
+# ---------------------------------------------------------------------------
+
+_ORACLE_CUMULATIVE_USERS = """
+WITH first_seen AS (
+    SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+), per_day AS (
+    SELECT first_day AS day, COUNT(*) AS new_users FROM first_seen GROUP BY first_day
+)
+SELECT day,
+       CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS total_users
+FROM per_day
+ORDER BY day
+"""
+
+
+@query("q_cumulative_distinct_users", oracle=_ORACLE_CUMULATIVE_USERS)
+def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("first_day"))
+    per_day = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).alias("total_users"),
+    ).orderBy("day")
