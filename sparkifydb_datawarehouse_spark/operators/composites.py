@@ -308,3 +308,67 @@ def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("total_price").desc(), F.col("order_key"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year revenue per brand — the TPC-DS-style "compare a
+# period to its predecessor" shape: a self-JOIN OVER AGGREGATES
+# (brand×year rows), never over facts. One fact scan + one hash agg;
+# the YoY join touches only the dimensions-sized result — the same
+# altitude rule as percent-of-total (C76). LAG over (brand ORDER BY
+# year) would be equivalent here; the join form is kept because it
+# generalizes to non-adjacent comparisons (same quarter last year).
+# ---------------------------------------------------------------------------
+
+_ORACLE_YOY = """
+WITH rev AS (
+    SELECT p.p_brand AS brand,
+           CAST(year(l.l_shipdate) AS BIGINT) AS yr,
+           SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY brand, yr
+)
+SELECT cur.brand, cur.yr,
+       ROUND(cur.revenue, 2) AS revenue,
+       ROUND(prev.revenue, 2) AS prev_revenue,
+       ROUND(cur.revenue / prev.revenue - 1, 6) AS yoy_growth
+FROM rev cur JOIN rev prev
+  ON cur.brand = prev.brand AND cur.yr = prev.yr + 1
+ORDER BY cur.brand, cur.yr
+"""
+
+
+@query("q_yoy_revenue", oracle=_ORACLE_YOY)
+def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    rev = (
+        li.join(p, li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.year("l_shipdate").cast("long").alias("yr"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+    )
+    cur, prev = rev.alias("cur"), rev.alias("prev")
+    return (
+        cur.join(
+            prev,
+            (F.col("cur.brand") == F.col("prev.brand"))
+            & (F.col("cur.yr") == F.col("prev.yr") + 1),
+        )
+        .select(
+            F.col("cur.brand").alias("brand"),
+            F.col("cur.yr").alias("yr"),
+            F.round(F.col("cur.revenue"), 2).alias("revenue"),
+            F.round(F.col("prev.revenue"), 2).alias("prev_revenue"),
+            F.round(F.col("cur.revenue") / F.col("prev.revenue") - 1, 6).alias(
+                "yoy_growth"
+            ),
+        )
+        .orderBy("brand", "yr")
+    )
