@@ -94,6 +94,7 @@ def load_all_modules() -> None:
     from .sources import (  # noqa: F401
         csv_source,
         json_source,
+        layout,
         orc_source,
         pysource,
         text_source,

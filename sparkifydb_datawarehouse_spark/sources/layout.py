@@ -19,8 +19,10 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..registry import query
 
 DEFAULT_BITS = 16
 
@@ -92,3 +94,78 @@ def zorder_by(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS,
         else z.repartitionByRange("__z")
     )
     return parted.sortWithinPartitions("__z").drop("__z")
+
+
+# ---------------------------------------------------------------------------
+# Bucketed co-located join as a REGISTERED query (the infra is proven
+# shuffle-free in tests/test_sinks.py; this surfaces it on the query
+# registry with a value oracle): orders and lineitem bucketed+sorted
+# on the order key join with ZERO exchanges — at 100 TB, bucketing is
+# the difference between shuffling the fact table on every join and
+# never shuffling it at all. Tables are (re)materialized once per
+# sf_dir into the session catalog.
+# ---------------------------------------------------------------------------
+
+_BUCKETS_N = 8
+_BUCKETED_READY: set[str] = set()
+
+
+def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    import hashlib
+
+    from ..tables import load_table
+
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
+    if sf_dir not in _BUCKETED_READY:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        for name, src, key in (
+            (t_orders, load_table(spark, sf_dir, "orders"), "o_orderkey"),
+            (t_li, load_table(spark, sf_dir, "lineitem"), "l_orderkey"),
+        ):
+            # DROP only clears THIS session's catalog entry; a previous
+            # session may have left the managed location on disk, which
+            # saveAsTable refuses (LOCATION_ALREADY_EXISTS) — clear both
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+            shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+            src.write.mode("overwrite").bucketBy(_BUCKETS_N, key).sortBy(
+                key
+            ).saveAsTable(name)
+        _BUCKETED_READY.add(sf_dir)
+    return t_orders, t_li
+
+
+_ORACLE_BUCKETED_JOIN = """
+SELECT o.o_orderkey AS order_key,
+       o.o_orderstatus AS order_status,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_extendedprice), 2) AS total_price
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderkey, o.o_orderstatus
+ORDER BY order_key
+"""
+
+
+@query("q_join_bucketed", oracle=_ORACLE_BUCKETED_JOIN)
+def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + per-order aggregate over the bucketed pair. The bucketed
+    layout satisfies BOTH the join distribution and the groupBy
+    distribution (group keys start with the bucket key), so the whole
+    plan runs exchange-free up to the output sort — plan-gated in
+    tests/test_plan_quality.py."""
+    t_orders, t_li = _ensure_bucketed_pair(spark, sf_dir)
+    o, li = spark.table(t_orders), spark.table(t_li)
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy(
+            F.col("o_orderkey").alias("order_key"),
+            F.col("o_orderstatus").alias("order_status"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("order_key")
+    )

@@ -316,3 +316,23 @@ def test_ewma_single_key_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange") <= 2, plan[:1200]
+
+
+def test_bucketed_join_query_has_no_hash_shuffle(spark, sf_dir):
+    """q_join_bucketed: the bucketed layout satisfies both the join
+    and the groupBy distribution, so NO hash-partitioning Exchange may
+    appear — not for the join, not for the aggregate. (At fixture
+    scale Catalyst may still pick a broadcast join — a broadcast
+    exchange is not a shuffle of the fact table; at production scale,
+    past the broadcast threshold, the bucketed sort-merge join engages
+    with the same zero-shuffle property. The output sort's range
+    exchange is allowed.)"""
+    plan = (
+        registry.QUERIES["q_join_bucketed"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange hashpartitioning" not in plan, plan[:1500]
+    assert plan.count("Exchange rangepartitioning") <= 1, plan[:1500]
+    assert "Bucketed: true" in plan, plan[:1500]
