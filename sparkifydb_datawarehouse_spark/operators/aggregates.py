@@ -256,3 +256,71 @@ def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("part_key", "n", F.round(share, 6).alias("share"))
         .orderBy(F.col("n").desc(), "part_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audience overlap matrix — exact distinct-user overlap between every
+# PAIR of event types (the "how much do these segments share" report).
+# Collapse to distinct (user, type) FIRST (events never widen
+# anything), then a self-join over that dimensions-bounded set builds
+# the pair counts. At 100 TB the per-type audiences are user-set
+# sized; the approx path is per-type HLL sketches with
+# inclusion-exclusion (q_agg_hll_sketch is the primitive) — exact
+# here, approx there, same output shape.
+# ---------------------------------------------------------------------------
+
+_ORACLE_AUDIENCE_OVERLAP = """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+), sizes AS (
+    SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type
+)
+SELECT a.event_type AS type_a,
+       b.event_type AS type_b,
+       CAST(ANY_VALUE(sa.n) AS BIGINT) AS n_a,
+       CAST(ANY_VALUE(sb.n) AS BIGINT) AS n_b,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       ROUND(COUNT(*) * 1.0 / (ANY_VALUE(sa.n) + ANY_VALUE(sb.n) - COUNT(*)), 6)
+           AS jaccard
+FROM ut a
+JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+JOIN sizes sa ON sa.event_type = a.event_type
+JOIN sizes sb ON sb.event_type = b.event_type
+GROUP BY a.event_type, b.event_type
+ORDER BY type_a, type_b
+"""
+
+
+@query("q_audience_overlap", oracle=_ORACLE_AUDIENCE_OVERLAP)
+def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    overlap = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        overlap.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_overlap",
+            F.round(
+                F.col("n_overlap")
+                * F.lit(1.0)
+                / (F.col("n_a") + F.col("n_b") - F.col("n_overlap")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
