@@ -582,3 +582,78 @@ def cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "new_users",
         F.sum("new_users").over(w).alias("total_users"),
     ).orderBy("day")
+
+
+# ---------------------------------------------------------------------------
+# Time-bounded funnel — conversions only count within an attribution
+# window (view -> click within 3 days -> purchase within 3 days of the
+# click): how real funnels are defined, vs the unbounded q_funnel_
+# conversion. Same cascading min-agg shape; the window is a residual
+# predicate on each stage's join, so the plan cost is unchanged.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_WINDOW_DAYS = 3
+
+_ORACLE_FUNNEL_BOUND = f"""
+WITH v AS (
+    SELECT user_id, MIN(ts) AS view_ts FROM events
+    WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+    SELECT e.user_id, MIN(e.ts) AS click_ts
+    FROM events e JOIN v ON e.user_id = v.user_id
+    WHERE e.event_type = 'click' AND e.ts > v.view_ts
+      AND e.ts <= v.view_ts + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+    GROUP BY e.user_id
+), p AS (
+    SELECT e.user_id, MIN(e.ts) AS purchase_ts
+    FROM events e JOIN c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase' AND e.ts > c.click_ts
+      AND e.ts <= c.click_ts + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+    GROUP BY e.user_id
+)
+SELECT stage, n_users FROM (
+    SELECT 'view' AS stage, 1 AS ord, CAST(COUNT(*) AS BIGINT) AS n_users FROM v
+    UNION ALL SELECT 'click_3d', 2, CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT 'purchase_3d', 3, CAST(COUNT(*) AS BIGINT) FROM p
+) ORDER BY ord
+"""
+
+
+@query("q_funnel_time_bound", oracle=_ORACLE_FUNNEL_BOUND)
+def funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAY")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("view_ts"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("ts") > F.col("view_ts")) & (F.col("ts") <= F.col("view_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter((F.col("ts") > F.col("click_ts")) & (F.col("ts") <= F.col("click_ts") + win))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+
+    def stage(df: DataFrame, name: str, ord_: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(ord_).alias("ord"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return (
+        stage(v, "view", 1)
+        .unionByName(stage(c, "click_3d", 2))
+        .unionByName(stage(p, "purchase_3d", 3))
+        .orderBy("ord")
+        .select("stage", "n_users")
+    )
