@@ -1,0 +1,347 @@
+"""Distribution tests & concentration statistics: Kolmogorov–Smirnov,
+Benford first-digit audit, Gini / Lorenz concentration, CUSUM
+change-point. The analytical layer a warehouse user runs AFTER the
+aggregates: "are these two populations the same?", "is this ledger
+fabricated?", "how concentrated is revenue?", "when did the level
+shift?".
+
+The reference (drpdr/sparkifydb-datawarehouse, sql_queries.py) stops at
+plain aggregates; these are the standard follow-on statistics expressed
+warehouse-side, each written in its 100 TB shape:
+
+- KS: the ECDF prefix-sums use the SAME two-phase range-partition +
+  per-partition-offset scan as `enumeration.global_rownumber` — no
+  single-partition global window anywhere near fact-sized data. The
+  per-distinct-value grid is an aggregate (map-side combined), not the
+  facts.
+- Benford: map-side digit extraction → 9-row aggregate. Pure codegen.
+- Gini: ranks come from the same two-phase enumeration over the
+  per-customer AGGREGATE (never facts); the rank-weighted sum
+  Σ i·xᵢ is a mergeable partial.
+- CUSUM: computed on integer CENTS with the mean division eliminated
+  algebraically (argmax |n·prefixᵢ − i·total|), so the statistic is
+  EXACT integer arithmetic end-to-end — no cross-engine float-sum
+  drift at any scale (see ORACLES.md round-3 notes).
+
+Float discipline: every division is integer/integer → double (IEEE-
+deterministic); every transcendental (log10 in Benford) is rounded
+independently on each side BEFORE differencing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+
+def _ranged_enumerate(df: DataFrame, order_cols: list[str], k: int) -> DataFrame:
+    """Two-phase global row_number over `order_cols` (must be a total
+    order): range exchange → per-partition offsets → offset + local
+    rank. Same scheme as enumeration.global_rownumber; localCheckpoint
+    pins the sampled range boundaries so both passes see one
+    partitioning."""
+    ranged = (
+        df.repartitionByRange(k, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_cnt").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_rn_local", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn("_rank", F.col("_offset") + F.col("_rn_local"))
+        .drop("_pid", "_rn_local", "_offset")
+    )
+
+
+_ORACLE_KS = """
+WITH vals AS (
+    SELECT l_extendedprice AS v,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS ca,
+           COUNT(*) FILTER (WHERE l_returnflag = 'A') AS cb
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'A')
+    GROUP BY l_extendedprice
+), cum AS (
+    SELECT CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+           CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+           CAST(SUM(ca) OVER () AS BIGINT) AS na,
+           CAST(SUM(cb) OVER () AS BIGINT) AS nb
+    FROM vals
+)
+SELECT ROUND(MAX(ABS(cum_a * 1.0 / na - cum_b * 1.0 / nb)), 6) AS ks_stat,
+       MAX(na) AS n_a,
+       MAX(nb) AS n_b
+FROM cum
+"""
+
+
+@query("q_ks_two_sample", oracle=_ORACLE_KS)
+def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov D between the price distributions
+    of returned ('R') vs accepted ('A') lineitems.
+
+    D = max over distinct values of |ECDF_R − ECDF_A|. The value grid
+    is a per-distinct-price aggregate with per-group counts of each
+    population (one shuffle, map-side combined); the cumulative counts
+    come from the two-phase range scan (see module docstring), so no
+    stage ever sorts more than one balanced range partition. Counts are
+    integers → the ECDFs are exact rationals → cross-engine
+    deterministic.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    vals = li.groupBy(F.col("l_extendedprice").alias("v")).agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("ca"),
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("cb"),
+    )
+    k = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranged = (
+        vals.repartitionByRange(k, "v")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    # per-partition subtotals of BOTH counters -> exclusive prefix offsets
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum("ca").alias("pa"), F.sum("cb").alias("pb"))
+        .select(
+            "_pid",
+            F.coalesce(
+                F.sum("pa").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off_a"),
+            F.coalesce(
+                F.sum("pb").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off_b"),
+        )
+    )
+    w_local = Window.partitionBy("_pid").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = (
+        ranged.withColumn("la", F.sum("ca").over(w_local))
+        .withColumn("lb", F.sum("cb").over(w_local))
+        .join(F.broadcast(offsets), "_pid")
+        .select(
+            (F.col("off_a") + F.col("la")).alias("cum_a"),
+            (F.col("off_b") + F.col("lb")).alias("cum_b"),
+        )
+    )
+    totals = li.agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("na"),
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("nb"),
+    )
+    return cum.crossJoin(F.broadcast(totals)).agg(
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cum_a") / F.col("na") - F.col("cum_b") / F.col("nb")
+                )
+            ),
+            6,
+        ).alias("ks_stat"),
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+    )
+
+
+_ORACLE_BENFORD = """
+WITH digits AS (
+    SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INTEGER) AS digit
+    FROM orders
+    WHERE o_totalprice > 0
+)
+SELECT digit,
+       COUNT(*) AS n_orders,
+       ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share,
+       ROUND(LOG10(1.0 + 1.0 / digit), 6) AS benford_expected,
+       ROUND(ABS(ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6)
+                 - ROUND(LOG10(1.0 + 1.0 / digit), 6)), 6) AS abs_deviation
+FROM digits
+GROUP BY digit
+ORDER BY digit
+"""
+
+
+@query("q_benford_digits", oracle=_ORACLE_BENFORD)
+def benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals vs Benford's
+    law — the standard ledger-fraud / synthetic-data audit.
+
+    Map-side digit extraction (floor(x / 10^floor(log10 x))) → 9-group
+    aggregate; the grand total for the share rides the same aggregation
+    as a windowless broadcast. share is count/total (exact rational);
+    share and the log10 expectation are each rounded to 6 BEFORE the
+    deviation is taken, so a 1-ulp libm difference between engines
+    cannot leak into the result (ORACLES.md float discipline).
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.floor(
+        F.col("o_totalprice") / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("int")
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    total = counts.agg(F.sum("n_orders").alias("n_total"))
+    share = F.round(F.col("n_orders") / F.col("n_total"), 6)
+    benford = F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6)
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_orders",
+            share.alias("share"),
+            benford.alias("benford_expected"),
+            F.round(F.abs(share - benford), 6).alias("abs_deviation"),
+        )
+        .orderBy("digit")
+    )
+
+
+_ORACLE_GINI = """
+WITH rev AS (
+    SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS x
+    FROM orders
+    GROUP BY o_custkey
+), ranked AS (
+    SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i FROM rev
+), tot AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx,
+           COUNT(*) - CAST(FLOOR(COUNT(*) * 0.1) AS BIGINT) AS cutoff
+    FROM ranked
+)
+SELECT ROUND(2.0 * SUM(i * x) / (MAX(n) * MAX(sx)) - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+       CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(SUM(CASE WHEN i > cutoff THEN x ELSE 0 END) / MAX(sx), 6) AS top_decile_share
+FROM ranked, tot
+GROUP BY cutoff
+"""
+
+
+@query("q_gini_concentration", oracle=_ORACLE_GINI)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer revenue plus the Lorenz
+    top-decile share — "how concentrated is our revenue?".
+
+    G = 2·Σ i·xᵢ / (n·Σx) − (n+1)/n over revenues sorted ascending
+    (i = 1..n, ties broken by custkey so the order is total). Ranks
+    come from the two-phase range enumeration over the per-customer
+    AGGREGATE — never the fact table — and Σ i·xᵢ is an ordinary
+    mergeable SUM partial, so every stage stays balanced at 100 TB.
+    Per-customer revenue is rounded to cents first: both engines then
+    rank and weight identical doubles (ORACLES.md intermediate-rounding
+    rule).
+    """
+    rev = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("x"))
+    )
+    k = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    ranked = _ranged_enumerate(rev, ["x", "o_custkey"], k)
+    totals = ranked.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("sx")
+    ).withColumn("cutoff", F.col("n") - F.floor(F.col("n") * 0.1).cast("long"))
+    return ranked.crossJoin(F.broadcast(totals)).agg(
+        F.round(
+            2.0 * F.sum(F.col("_rank") * F.col("x")) / (F.max("n") * F.max("sx"))
+            - (F.max("n") + 1.0) / F.max("n"),
+            6,
+        ).alias("gini"),
+        F.max("n").alias("n_customers"),
+        F.round(
+            F.sum(F.when(F.col("_rank") > F.col("cutoff"), F.col("x")).otherwise(0.0))
+            / F.max("sx"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
+_ORACLE_CUSUM = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY day
+), scanned AS (
+    SELECT day,
+           CAST(SUM(cents) OVER (ORDER BY day) AS BIGINT) AS prefix,
+           ROW_NUMBER() OVER (ORDER BY day) AS i,
+           CAST(SUM(cents) OVER () AS BIGINT) AS total,
+           COUNT(*) OVER () AS n
+    FROM daily
+)
+SELECT day AS change_day,
+       ROUND(ABS(n * prefix - i * total) * 1.0 / (n * 100.0), 2) AS cusum_abs,
+       CAST(n AS BIGINT) AS n_days
+FROM scanned
+ORDER BY ABS(n * prefix - i * total) DESC, day
+LIMIT 1
+"""
+
+
+@query("q_cusum_changepoint", oracle=_ORACLE_CUSUM)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point over the daily-revenue series: the day i
+    maximizing |Σ_{j≤i}(x_j − mean)| — the classic level-shift detector.
+
+    The mean division is eliminated algebraically: with integer cents,
+    n·prefixᵢ − i·total = n·Σ_{j≤i}(x_j − mean), so the argmax is
+    computed in EXACT integer arithmetic — zero cross-engine float
+    drift, at any scale factor. Only the final reported magnitude
+    divides back to dollars. The scan runs over the per-day AGGREGATE
+    (calendar-bounded: ~thousands of rows regardless of fact volume),
+    so the single-partition window is over days, never facts.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents")
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    totals = daily.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    scanned = (
+        daily.withColumn("prefix", F.sum("cents").over(w))
+        .withColumn("i", F.row_number().over(Window.orderBy("day")))
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "dev", F.abs(F.col("n") * F.col("prefix") - F.col("i") * F.col("total"))
+        )
+    )
+    return (
+        scanned.orderBy(F.col("dev").desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("change_day"),
+            F.round(F.col("dev") / (F.col("n") * 100.0), 2).alias("cusum_abs"),
+            F.col("n").cast("long").alias("n_days"),
+        )
+    )

@@ -68,6 +68,7 @@ def load_all_modules() -> None:
         sorts,
         spark4_surface,
         stats,
+        stats_tests,
         subqueries,
         profiling,
         quality,

@@ -25,6 +25,10 @@ EXCHANGE_BUDGETS = {
     "q_agg_skew_kurt": 2,
     "q_anomaly_zscore": 2,
     "q_asof_join": 4,
+    "q_benford_digits": 5,
+    "q_cusum_changepoint": 5,
+    "q_gini_concentration": 9,
+    "q_ks_two_sample": 7,
     "q_cdc_apply": 2,
     "q_cohort_retention": 5,
     "q_corpus_funnel": 9,
