@@ -1,0 +1,100 @@
+"""Customer segmentation: RFM (recency / frequency / monetary)
+quintile scoring — the classic warehouse marketing rollup over exactly
+the customer/order star the reference carries.
+
+100 TB shape: everything happens on the per-customer AGGREGATE (one
+map-side-combined shuffle over orders), never on facts. The three
+NTILE windows are global sorts over that aggregate — |customers| rows,
+3-4 orders of magnitude below the fact volume; if customers themselves
+outgrew a sort partition, each ntile is the same two-phase
+range-enumeration as `stats_tests._ranged_enumerate` (rank → bucket =
+ceil(5·rank/n)), which is exactly how NTILE decomposes. Averages are
+reported as exact integer ratios (cents / counts) so no float-sum
+ordering can drift across engines.
+
+NTILE tie discipline: every ORDER BY carries o_custkey so the
+assignment is a total order — both engines then place the same
+customers in the same quintile (NTILE's uneven-bucket rule — first
+buckets take the remainder — is identical in Spark and DuckDB).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_ORACLE_RFM = """
+WITH cust AS (
+    SELECT o_custkey,
+           DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                     (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS recency_days,
+           COUNT(*) AS frequency,
+           CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS monetary_cents
+    FROM orders
+    GROUP BY o_custkey
+), scored AS (
+    SELECT recency_days, frequency, monetary_cents,
+           NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_score
+    FROM cust
+)
+SELECT r_score, f_score, m_score,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(monetary_cents) AS BIGINT) / (100.0 * COUNT(*)), 4) AS avg_monetary,
+       ROUND(SUM(frequency) * 1.0 / COUNT(*), 4) AS avg_frequency,
+       ROUND(SUM(recency_days) * 1.0 / COUNT(*), 4) AS avg_recency_days
+FROM scored
+GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+"""
+
+
+@query("q_rfm_segments", oracle=_ORACLE_RFM)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation: score 1 = most recent / most
+    frequent / highest spend; report each (R,F,M) cell's population and
+    exact-ratio averages (≤125 output rows regardless of scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("anchor"))
+    cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .withColumn("recency_days", F.datediff("anchor", "last_order"))
+    )
+    scored = (
+        cust.withColumn(
+            "r_score",
+            F.ntile(5).over(Window.orderBy("recency_days", "o_custkey")),
+        )
+        .withColumn(
+            "f_score",
+            F.ntile(5).over(Window.orderBy(F.col("frequency").desc(), "o_custkey")),
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(Window.orderBy(F.col("monetary_cents").desc(), "o_custkey")),
+        )
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("monetary_cents") / (100.0 * F.count(F.lit(1))), 4).alias(
+                "avg_monetary"
+            ),
+            F.round(F.sum("frequency") / F.count(F.lit(1)), 4).alias("avg_frequency"),
+            F.round(F.sum("recency_days") / F.count(F.lit(1)), 4).alias(
+                "avg_recency_days"
+            ),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

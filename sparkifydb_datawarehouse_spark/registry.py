@@ -42,7 +42,9 @@ def load_all_modules() -> None:
     """Import every module that registers queries (import side effects
     populate QUERIES/ORACLE). Called once by __spark_entry__."""
     from .operators import (  # noqa: F401
+        affinity,
         agg_packs,
+        allocation,
         aggregates,
         asof,
         binning,
@@ -55,6 +57,7 @@ def load_all_modules() -> None:
         flagship,
         functions_pack,
         fuzzy,
+        geo,
         graph,
         intervals,
         joins,
@@ -73,6 +76,7 @@ def load_all_modules() -> None:
         profiling,
         quality,
         sampling,
+        segmentation,
         sequences,
         timeseries,
         udfs,

@@ -25,8 +25,12 @@ EXCHANGE_BUDGETS = {
     "q_agg_skew_kurt": 2,
     "q_anomaly_zscore": 2,
     "q_asof_join": 4,
+    "q_basket_pairs": 9,
     "q_benford_digits": 5,
     "q_cusum_changepoint": 5,
+    "q_geo_nearest": 3,
+    "q_greedy_allocation": 3,
+    "q_rfm_segments": 4,
     "q_gini_concentration": 9,
     "q_ks_two_sample": 7,
     "q_cdc_apply": 2,
