@@ -169,6 +169,150 @@ def ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ORACLE_MANNWHITNEY = """
+WITH vals AS (
+    SELECT l_quantity AS v,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS ca,
+           COUNT(*) FILTER (WHERE l_returnflag = 'A') AS cb
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'A')
+    GROUP BY l_quantity
+), ranked AS (
+    SELECT ca, cb, ca + cb AS t,
+           CAST(COALESCE(SUM(ca + cb) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) AS BIGINT) AS before
+    FROM vals
+), agg AS (
+    SELECT CAST(SUM(ca) AS BIGINT) AS n1,
+           CAST(SUM(cb) AS BIGINT) AS n2,
+           SUM(ca * (before + (t + 1) / 2.0)) AS r1,
+           SUM(CAST(t AS DOUBLE) * t * t - t) AS tie_term
+    FROM ranked
+)
+SELECT ROUND(r1 - n1 * (n1 + 1) / 2.0, 1) AS u_stat,
+       n1, n2,
+       ROUND((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+             / SQRT(n1 * 1.0 * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - tie_term / ((n1 + n2) * 1.0 * (n1 + n2 - 1)))), 6) AS z_score
+FROM agg
+"""
+
+
+@query("q_mannwhitney_u", oracle=_ORACLE_MANNWHITNEY)
+def mannwhitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U rank-sum test (returned vs accepted lineitem
+    quantities) with midrank tie handling and the tie-corrected normal
+    approximation z.
+
+    The rank machinery never ranks rows: quantities collapse to a
+    per-distinct-value grid (domain-bounded — ~50 values here, and in
+    general |grid| ≪ |facts| after the map-side-combined count), and
+    midranks come from an exclusive prefix sum over that grid. Every
+    quantity is a count or a half-integer — sums are EXACT in doubles
+    (< 2^53), so U is cross-engine deterministic; only the final z
+    divides/roots.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    vals = li.groupBy(F.col("l_quantity").alias("v")).agg(
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("ca"),
+        F.count(F.when(F.col("l_returnflag") == "A", 1)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = vals.withColumn("t", F.col("ca") + F.col("cb")).withColumn(
+        "before", F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(w), F.lit(0))
+    )
+    agg = ranked.agg(
+        F.sum("ca").alias("n1"),
+        F.sum("cb").alias("n2"),
+        F.sum(F.col("ca") * (F.col("before") + (F.col("t") + 1) / 2.0)).alias("r1"),
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_term"),
+    )
+    u = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    n = F.col("n1") + F.col("n2")
+    sigma = F.sqrt(
+        F.col("n1") * 1.0 * F.col("n2") / 12.0
+        * ((n + 1.0) - F.col("tie_term") / (n * 1.0 * (n - 1)))
+    )
+    return agg.select(
+        F.round(u, 1).alias("u_stat"),
+        "n1",
+        "n2",
+        F.round((u - F.col("n1") * F.col("n2") / 2.0) / sigma, 6).alias("z_score"),
+    )
+
+
+_ORACLE_WELCH = """
+WITH g AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n, AVG(l_extendedprice) AS m, VAR_SAMP(l_extendedprice) AS v
+    FROM lineitem
+    WHERE l_returnflag IN ('R', 'A')
+    GROUP BY l_returnflag
+), w AS (
+    SELECT MAX(CASE WHEN l_returnflag = 'R' THEN n END) AS n1,
+           MAX(CASE WHEN l_returnflag = 'R' THEN m END) AS m1,
+           MAX(CASE WHEN l_returnflag = 'R' THEN v END) AS v1,
+           MAX(CASE WHEN l_returnflag = 'A' THEN n END) AS n2,
+           MAX(CASE WHEN l_returnflag = 'A' THEN m END) AS m2,
+           MAX(CASE WHEN l_returnflag = 'A' THEN v END) AS v2
+    FROM g
+)
+SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+       ROUND(m1 - m2, 4) AS mean_diff,
+       ROUND((m1 - m2) / SQRT(v1 / n1 + v2 / n2), 6) AS t_stat,
+       ROUND(POWER(v1 / n1 + v2 / n2, 2)
+             / (POWER(v1 / n1, 2) / (n1 - 1) + POWER(v2 / n2, 2) / (n2 - 1)), 2) AS df_welch
+FROM w
+"""
+
+
+@query("q_welch_ttest", oracle=_ORACLE_WELCH)
+def welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between returned and accepted
+    price populations: single-pass streaming moments per group (same
+    mergeable-partial shuffle shape as SUM — two rows leave the agg),
+    then the t statistic and Welch–Satterthwaite df on the driver-sized
+    result. Rounded at 6/4/2: the moments are float sums whose last
+    ulps differ by engine summation order; t is O(1) so ulp-level input
+    drift is invisible at 6 decimals."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("R", "A")
+    )
+    g = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("l_extendedprice").alias("m"),
+        F.var_samp("l_extendedprice").alias("v"),
+    )
+    w = g.agg(
+        *[
+            F.max(F.when(F.col("l_returnflag") == flag, F.col(c))).alias(f"{c}{i}")
+            for i, flag in ((1, "R"), (2, "A"))
+            for c in ("n", "m", "v")
+        ]
+    )
+    se2 = F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    return w.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.round(F.col("m1") - F.col("m2"), 4).alias("mean_diff"),
+        F.round((F.col("m1") - F.col("m2")) / F.sqrt(se2), 6).alias("t_stat"),
+        F.round(
+            F.pow(se2, 2)
+            / (
+                F.pow(F.col("v1") / F.col("n1"), 2) / (F.col("n1") - 1)
+                + F.pow(F.col("v2") / F.col("n2"), 2) / (F.col("n2") - 1)
+            ),
+            2,
+        ).alias("df_welch"),
+    )
+
+
 _ORACLE_BENFORD = """
 WITH digits AS (
     SELECT CAST(FLOOR(o_totalprice / POWER(10, FLOOR(LOG10(o_totalprice)))) AS INTEGER) AS digit

@@ -33,6 +33,8 @@ EXCHANGE_BUDGETS = {
     "q_rfm_segments": 4,
     "q_gini_concentration": 9,
     "q_ks_two_sample": 7,
+    "q_mannwhitney_u": 2,
+    "q_welch_ttest": 2,
     "q_cdc_apply": 2,
     "q_cohort_retention": 5,
     "q_corpus_funnel": 9,
