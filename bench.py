@@ -96,6 +96,14 @@ HEADLINE = [
     "q_text_chunking",               # map-only sliding-window chunker
     "q_dedup_ngram_jaccard",         # exploded-intersection exact jaccard
     "q_skew_diagnostics",            # per-key skew profile agg
+    "q_ks_two_sample",               # ECDF via two-phase range prefix scan
+    "q_gini_concentration",          # range-enumerated rank-weighted sum
+    "q_basket_pairs",                # in-expression pair-gen + lift
+    "q_rfm_segments",                # triple-ntile segmentation on aggregates
+    "q_greedy_allocation",           # per-key cumulative allocation window
+    "q_geo_nearest",                 # 3x3 grid-cell haversine join
+    "q_event_trigrams",              # in-buffer journey sort + array grams
+    "q_regression_slope",            # grouped OLS sufficient statistics
 ]
 
 

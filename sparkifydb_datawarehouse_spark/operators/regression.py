@@ -1,0 +1,143 @@
+"""Grouped OLS regression and winsorized (outlier-clipped) aggregation
+— the in-warehouse modeling layer: "what's the price elasticity per
+brand?" and "what's the mean once the tails are clipped?".
+
+Both are single-shuffle shapes at 100 TB:
+
+- OLS per group needs only the 5 classic sufficient statistics
+  (n, Σx, Σy, Σxy, Σx²) — all mergeable SUM partials; the slope /
+  intercept / r² algebra runs on the per-group aggregate row. No
+  matrix library, no iteration, no second pass.
+- Winsorization is two passes by construction (you cannot know p05/p95
+  until you've seen the group): pass 1 computes the exact per-group
+  quantile cut-points (bounded groups here; approx_percentile is the
+  documented unbounded-cardinality swap-in), pass 2 re-aggregates the
+  clipped values. The cut-point table is groups-sized and broadcast.
+
+Float discipline (ORACLES.md): the regression inputs are log-
+transformed — a libm transcendental — so each x/y is rounded to 6
+BEFORE any sum; both engines then aggregate identical doubles and the
+final ratios are rounded. Winsorized means are rounded at 2 on ~1e9
+magnitude sums (drift ~1e-5, far inside the rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_ORACLE_OLS = """
+WITH pts AS (
+    SELECT p.p_brand AS brand,
+           ROUND(LN(l.l_extendedprice / l.l_quantity), 6) AS x,
+           ROUND(LN(l.l_quantity), 6) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+), s AS (
+    SELECT brand, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pts
+    GROUP BY brand
+)
+SELECT brand,
+       CAST(n AS BIGINT) AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope,
+       ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 4) AS intercept,
+       ROUND(POWER(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+FROM s
+ORDER BY brand
+"""
+
+
+@query("q_regression_slope", oracle=_ORACLE_OLS)
+def regression_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log OLS per brand: slope = price elasticity of quantity.
+    One shuffle (the brand aggregation); everything after runs on one
+    row per brand."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_brand").alias("brand"),
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("x"),
+        F.round(F.log("l_quantity"), 6).alias("y"),
+    )
+    s = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        "brand",
+        F.col("n").cast("long").alias("n_points"),
+        F.round(num / den, 4).alias("slope"),
+        F.round((F.col("sy") - num / den * F.col("sx")) / F.col("n"), 4).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(num, 2)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            4,
+        ).alias("r2"),
+    ).orderBy("brand")
+
+
+_ORACLE_WINSOR = """
+WITH cuts AS (
+    SELECT l_returnflag AS return_flag,
+           quantile_cont(l_extendedprice, 0.05) AS lo,
+           quantile_cont(l_extendedprice, 0.95) AS hi
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l.l_returnflag AS return_flag,
+       COUNT(*) AS n_rows,
+       COUNT(*) FILTER (WHERE l.l_extendedprice < c.lo OR l.l_extendedprice > c.hi)
+           AS n_clipped,
+       ROUND(AVG(LEAST(GREATEST(l.l_extendedprice, c.lo), c.hi)), 2) AS winsorized_mean,
+       ROUND(AVG(l.l_extendedprice), 2) AS raw_mean
+FROM lineitem l
+JOIN cuts c ON l.l_returnflag = c.return_flag
+GROUP BY l.l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_winsorized_agg", oracle=_ORACLE_WINSOR)
+def winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per return flag: clip at the exact per-group
+    [p05, p95] (pass 1, broadcast cut-point table) then re-aggregate
+    (pass 2). The clipped-vs-raw delta is the outlier influence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cuts = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("l_extendedprice"), F.col("lo")), F.col("hi"))
+    return (
+        li.join(
+            F.broadcast(cuts), li.l_returnflag == cuts.return_flag
+        )
+        .groupBy("return_flag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(
+                F.when(
+                    (F.col("l_extendedprice") < F.col("lo"))
+                    | (F.col("l_extendedprice") > F.col("hi")),
+                    1,
+                )
+            ).alias("n_clipped"),
+            F.round(F.avg(clipped), 2).alias("winsorized_mean"),
+            F.round(F.avg("l_extendedprice"), 2).alias("raw_mean"),
+        )
+        .orderBy("return_flag")
+    )

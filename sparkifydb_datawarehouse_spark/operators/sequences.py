@@ -77,3 +77,58 @@ def pattern_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_conversions") > 0)
         .orderBy("user_id")
     )
+
+
+_ORACLE_TRIGRAMS = """
+WITH journeys AS (
+    SELECT list(event_type ORDER BY ts, event_id) AS l
+    FROM events
+    GROUP BY user_id
+), grams AS (
+    SELECT unnest(list_transform(range(1, len(l) - 1),
+                  i -> l[i] || '>' || l[i + 1] || '>' || l[i + 2])) AS seq
+    FROM journeys
+)
+SELECT seq, COUNT(*) AS n_occurrences
+FROM grams
+GROUP BY seq
+ORDER BY n_occurrences DESC, seq
+LIMIT 20
+"""
+
+
+@query("q_event_trigrams", oracle=_ORACLE_TRIGRAMS)
+def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event-type trigrams across user journeys — "what are users'
+    most common 3-step paths?".
+
+    Same shape as the pattern matcher above: ONE shuffle on user_id,
+    journey ordered inside the aggregation buffer (array_sort on
+    (ts, event_id, type) structs — no window sort), then trigram
+    generation is a pure array expression (sliding index transform)
+    followed by explode + count. The gram stream is ≤ |events| rows
+    (every event starts at most one trigram), so the final count is the
+    same linear shuffle as any word-count.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    journeys = ev.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, event_type))), "
+            "s -> s.event_type)"
+        ).alias("l")
+    )
+    grams = journeys.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 3 THEN transform(sequence(1, size(l) - 2), "
+                "i -> concat(element_at(l, i), '>', element_at(l, i + 1), '>', "
+                "element_at(l, i + 2))) ELSE array() END"
+            )
+        ).alias("seq")
+    )
+    return (
+        grams.groupBy("seq")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "seq")
+        .limit(20)
+    )

@@ -75,6 +75,7 @@ def load_all_modules() -> None:
         subqueries,
         profiling,
         quality,
+        regression,
         sampling,
         segmentation,
         sequences,
@@ -97,6 +98,7 @@ def load_all_modules() -> None:
         textstats,
     )
     from .sources import (  # noqa: F401
+        binaryfile_source,
         csv_source,
         json_source,
         layout,

@@ -290,3 +290,16 @@ def test_chunking_covers_every_token_exactly_once_per_stride_window(spark, sf_di
         # last chunk must reach the end and contribute new tokens
         last = rs[-1]
         assert last["n_tokens"] >= 1
+
+
+def test_scan_binaryfile_magic_and_catalog(spark):
+    """binaryFile scan: every fixture file surfaces with the parquet
+    magic and the listing covers the whole catalog."""
+    from sparkifydb_datawarehouse_spark.tables import TABLE_NAMES
+
+    rows = registry.QUERIES["q_scan_binaryfile"](spark, SF_SMOKE).collect()
+    names = {r.file_name for r in rows}
+    assert names == {f"{t}.parquet" for t in TABLE_NAMES}
+    for r in rows:
+        assert r.magic_hex == "50415231", r  # b"PAR1"
+        assert r.n_bytes > 0

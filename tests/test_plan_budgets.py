@@ -46,7 +46,11 @@ EXCHANGE_BUDGETS = {
     "q_dedup_simhash": 5,
     "q_dq_referential": 15,
     "q_drift_psi": 2,
+    "q_event_trigrams": 2,
     "q_feature_binning": 1,
+    "q_regression_slope": 3,
+    "q_scan_binaryfile": 1,
+    "q_winsorized_agg": 4,
     "q_flagship_revenue_by_region": 6,
     "q_global_rownumber": 5,
     "q_graph_pagerank": 1,
