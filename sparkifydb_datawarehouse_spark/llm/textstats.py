@@ -664,3 +664,65 @@ def text_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 3)
         .orderBy("doc_id", "rk")
     )
+
+
+_ORACLE_INVERTED = """
+WITH td AS (
+    SELECT DISTINCT
+        UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> ''))
+            AS term,
+        doc_id
+    FROM documents
+), postings AS (
+    SELECT term,
+           COUNT(*) AS df,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') AS posting_head
+    FROM td
+    GROUP BY term
+)
+SELECT term, df, posting_head
+FROM postings
+ORDER BY df DESC, term
+LIMIT 20
+"""
+
+
+@query("q_text_inverted_index", oracle=_ORACLE_INVERTED)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: term → document frequency + the head of
+    the sorted posting list (top-20 terms by df shown).
+
+    The index IS the groupBy: distinct (term, doc) pairs — one
+    map-side-combined shuffle on term — then df = count and the
+    posting list collects doc ids sorted inside the agg buffer. At
+    100 TB the only watch item is posting-list skew on stopword-grade
+    terms, which is why the registered output carries a SLICED head
+    (the full-list variant would cap or bucket hot terms before
+    collect, the same cap discipline as the minhash buckets). This is
+    the candidate-generation backbone the corpus-funnel join already
+    uses inline (llm/corpus.py); registered standalone so the
+    structure itself is value-checked.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    td = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+            ).alias("term"),
+            "doc_id",
+        )
+        .distinct()
+    )
+    return (
+        td.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            # comma-joined head, not a raw array: the cross-engine value
+            # compare needs one canonical serialization (q_collect_set rule)
+            F.concat_ws(
+                ",", F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10)
+            ).alias("posting_head"),
+        )
+        .orderBy(F.col("df").desc(), "term")
+        .limit(20)
+    )

@@ -249,3 +249,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vertex", F.round("rank", 6).alias("rank"))
         .orderBy("vertex")
     )
+
+
+_BFS_MAX_DEPTH = 20
+
+_ORACLE_BFS = f"""
+WITH RECURSIVE {_EDGE_SQL_CTE},
+bi AS (SELECT src AS u, dst AS v FROM edges
+       UNION ALL SELECT dst, src FROM edges),
+start AS (SELECT MIN(src) AS s FROM edges),
+walk(v, d) AS (
+    SELECT s, 0 FROM start
+    UNION
+    SELECT bi.v, walk.d + 1
+    FROM walk JOIN bi ON bi.u = walk.v
+    WHERE walk.d < {_BFS_MAX_DEPTH}
+)
+SELECT v AS supp_key, CAST(MIN(d) AS BIGINT) AS dist
+FROM walk
+GROUP BY v
+ORDER BY supp_key
+"""
+
+
+@query("q_graph_shortest_path", oracle=_ORACLE_BFS)
+def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unweighted single-source shortest paths (BFS levels) over the
+    sparsified co-supply graph, source = the minimum supplier key.
+
+    Distributed frontier expansion: each round joins the current
+    frontier against the (broadcast-eligible, degree≤2k) adjacency
+    list, anti-joins the visited set, and localCheckpoints both — the
+    standard O(diameter)-round BFS whose per-round shuffle carries only
+    (vertex, dist), never payloads. kNN sparsification bounds degree,
+    so frontier growth is ≤2k× per round at any scale. The oracle is a
+    DuckDB recursive CTE with UNION-distinct termination, depth-capped
+    at the same {_BFS_MAX_DEPTH} as the loop (both sides see identical
+    reachability: the kNN graph's diameter here is far below the cap).
+    """
+    e = supplier_edges(spark, sf_dir)
+    bi = e.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        e.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    ).localCheckpoint()
+    start = bi.agg(F.min("u")).collect()[0][0]  # 1 scalar to the driver
+    spark_ = e.sparkSession
+    dist = spark_.createDataFrame([(start, 0)], "v long, d int").localCheckpoint()
+    frontier = dist
+    for depth in range(1, _BFS_MAX_DEPTH + 1):
+        nxt = (
+            frontier.join(bi, frontier.v == bi.u)
+            .select(bi.v.alias("v"))
+            .distinct()
+            .join(dist, "v", "left_anti")
+            .withColumn("d", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint()
+        frontier = nxt
+    return dist.select(
+        F.col("v").alias("supp_key"), F.col("d").cast("long").alias("dist")
+    ).orderBy("supp_key")

@@ -54,6 +54,7 @@ def load_all_modules() -> None:
         diffing,
         drift,
         enumeration,
+        experiments,
         flagship,
         functions_pack,
         fuzzy,

@@ -23,6 +23,7 @@ EXCHANGE_BUDGETS = {
     "q_agg_robust_stats_approx": 4,
     "q_agg_rollup": 2,
     "q_agg_skew_kurt": 2,
+    "q_ab_cuped": 4,
     "q_anomaly_zscore": 2,
     "q_asof_join": 4,
     "q_basket_pairs": 9,
@@ -34,6 +35,7 @@ EXCHANGE_BUDGETS = {
     "q_gini_concentration": 9,
     "q_ks_two_sample": 7,
     "q_mannwhitney_u": 2,
+    "q_text_inverted_index": 2,
     "q_welch_ttest": 2,
     "q_cdc_apply": 2,
     "q_cohort_retention": 5,
