@@ -141,3 +141,116 @@ def winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("return_flag")
     )
+
+
+_ORACLE_KFOLD = """
+WITH pts AS (
+    SELECT (('0x' || substr(md5(l_orderkey::VARCHAR || '#' || l_linenumber::VARCHAR), 1, 15))::BIGINT % 1000) % 5 AS fold,
+           ROUND(LN(l_extendedprice / l_quantity), 6) AS x,
+           ROUND(LN(l_quantity), 6) AS y
+    FROM lineitem
+), per_fold AS (
+    SELECT fold, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx
+    FROM pts
+    GROUP BY fold
+), tot AS (
+    SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+           SUM(sxy) AS tsxy, SUM(sxx) AS tsxx
+    FROM per_fold
+), params AS (
+    SELECT fold,
+           ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+               / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)) AS slope,
+           ((tsy - sy) - ((tn - n) * (tsxy - sxy) - (tsx - sx) * (tsy - sy))
+               / ((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx)) * (tsx - sx))
+               / (tn - n) AS icept
+    FROM per_fold, tot
+)
+SELECT p.fold,
+       COUNT(*) AS n_test,
+       ROUND(ANY_VALUE(pa.slope), 4) AS slope_train,
+       ROUND(SQRT(AVG(POWER(p.y - pa.icept - pa.slope * p.x, 2))), 6) AS rmse_test
+FROM pts p JOIN params pa ON p.fold = pa.fold
+GROUP BY p.fold
+ORDER BY p.fold
+"""
+
+
+@query("q_kfold_metrics", oracle=_ORACLE_KFOLD)
+def kfold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated OLS via leave-one-out ALGEBRA: the
+    complement's sufficient statistics are totals − fold statistics, so
+    "train on 4/5, test on 1/5" ×5 costs ONE aggregation pass plus one
+    scoring pass — never 5 re-trainings. Folds are the portable md5
+    bucket mod 5 (deterministic cross-engine). The scoring pass joins
+    the 5-row broadcast parameter table back against the (pinned)
+    point set. This is the warehouse-native model-selection loop at
+    100 TB: both passes are plain mergeable aggregations.
+    """
+    from .sampling import hash_bucket
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pts = li.select(
+        (
+            hash_bucket(
+                F.concat_ws(
+                    "#",
+                    F.col("l_orderkey").cast("string"),
+                    F.col("l_linenumber").cast("string"),
+                )
+            )
+            % 5
+        ).alias("fold"),
+        F.round(F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias("x"),
+        F.round(F.log("l_quantity"), 6).alias("y"),
+    ).localCheckpoint(eager=True)  # consumed by the stats pass AND the scoring pass
+    per_fold = pts.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    tot = per_fold.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxy").alias("tsxy"),
+        F.sum("sxx").alias("tsxx"),
+    )
+    j = per_fold.crossJoin(F.broadcast(tot))
+    num = (F.col("tn") - F.col("n")) * (F.col("tsxy") - F.col("sxy")) - (
+        F.col("tsx") - F.col("sx")
+    ) * (F.col("tsy") - F.col("sy"))
+    den = (F.col("tn") - F.col("n")) * (F.col("tsxx") - F.col("sxx")) - (
+        F.col("tsx") - F.col("sx")
+    ) * (F.col("tsx") - F.col("sx"))
+    params = j.select(
+        "fold",
+        (num / den).alias("slope"),
+        (
+            ((F.col("tsy") - F.col("sy")) - num / den * (F.col("tsx") - F.col("sx")))
+            / (F.col("tn") - F.col("n"))
+        ).alias("icept"),
+    )
+    return (
+        pts.join(F.broadcast(params), "fold")
+        .groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.round(F.any_value("slope"), 4).alias("slope_train"),
+            F.round(
+                F.sqrt(
+                    F.avg(
+                        F.pow(
+                            F.col("y") - F.col("icept") - F.col("slope") * F.col("x"),
+                            2,
+                        )
+                    )
+                ),
+                6,
+            ).alias("rmse_test"),
+        )
+        .orderBy("fold")
+    )
