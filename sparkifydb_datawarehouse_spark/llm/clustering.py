@@ -24,7 +24,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -286,3 +286,108 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_fit_assign(emb, dim=EMBED_DIM).orderBy("vec_id")
+
+
+_ORACLE_GOLDEN = """
+WITH RECURSIVE
+ edges AS (
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
+    SELECT a.vec_id AS src, b.vec_id AS dst
+    FROM e a
+    JOIN e b ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 10
+    WHERE ROUND(list_dot_product(a.emb, b.emb)
+                / (SQRT(list_dot_product(a.emb, a.emb))
+                   * SQRT(list_dot_product(b.emb, b.emb))), 6) > 0.3
+ ),
+ bi AS (SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+ verts AS (SELECT DISTINCT src AS v FROM bi),
+ reach(v, l) AS (
+    SELECT v, v FROM verts
+    UNION
+    SELECT b.dst, r.l FROM reach r JOIN bi b ON b.src = r.v
+ ),
+ labels AS (
+    SELECT v AS vertex, MIN(l) AS cluster_id FROM reach GROUP BY v
+ ),
+ members AS (
+    SELECT lb.cluster_id, lb.vertex, em.label
+    FROM labels lb JOIN embeddings em ON em.vec_id = lb.vertex
+ ),
+ label_votes AS (
+    SELECT cluster_id, label, COUNT(*) AS votes,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id
+                              ORDER BY COUNT(*) DESC, label) AS rk
+    FROM members
+    GROUP BY cluster_id, label
+ )
+SELECT m.cluster_id,
+       COUNT(*) AS n_members,
+       MIN(m.vertex) AS representative_id,
+       ANY_VALUE(v.label) AS majority_label,
+       array_to_string(list_sort(list(m.vertex)), ',') AS member_ids
+FROM members m
+JOIN label_votes v ON v.cluster_id = m.cluster_id AND v.rk = 1
+GROUP BY m.cluster_id
+ORDER BY m.cluster_id
+"""
+
+
+@query("q_golden_record", oracle=_ORACLE_GOLDEN)
+def golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship / golden-record synthesis: after connected-component
+    entity resolution, collapse each cluster to ONE canonical row —
+    representative = smallest member id, majority vote for the
+    categorical attribute (ties broken by label order, pinned), plus
+    the full member roster (canonically serialized).
+
+    Scale shape: the cluster labels come from the adaptive CC operator
+    (driver union-find under 1M edges, distributed min-label +
+    pointer-jumping above — llm/clustering.py:90-160); survivorship
+    itself is two groupBys on the LABELED set (members, label votes)
+    with a rank-1 filter — all mergeable, no fan-out. The roster
+    column is the bounded-cluster-size analog of the posting-list
+    head; entity clusters are small by construction (near-dup radius),
+    so collect is per-cluster bounded. Oracle replays the identical
+    fixpoint via RECURSIVE CTE plus the same vote/tiebreak.
+    """
+    from ..tables import load_table
+
+    pairs = dedup_embedding_cosine(spark, sf_dir)
+    labels = connected_components(pairs, "vec_a", "vec_b").localCheckpoint(eager=True)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    members = labels.join(emb, labels.vertex == emb.vec_id).select(
+        "cluster_id", "vertex", "label"
+    ).localCheckpoint(eager=True)  # consumed by roster agg AND label votes
+    votes = (
+        members.groupBy("cluster_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(
+                    F.col("votes").desc(), "label"
+                )
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cluster_id", F.col("label").alias("majority_label"))
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("vertex").alias("representative_id"),
+            F.concat_ws(",", F.sort_array(F.collect_list("vertex"))).alias(
+                "member_ids"
+            ),
+        )
+        .join(F.broadcast(votes), "cluster_id")
+        .select(
+            "cluster_id",
+            "n_members",
+            "representative_id",
+            "majority_label",
+            "member_ids",
+        )
+        .orderBy("cluster_id")
+    )
