@@ -56,6 +56,7 @@ def load_all_modules() -> None:
         enumeration,
         experiments,
         flagship,
+        forecast,
         functions_pack,
         fuzzy,
         geo,
@@ -67,6 +68,7 @@ def load_all_modules() -> None:
         parity,
         pit,
         pivots,
+        privacy,
         resample,
         skew,
         sorts,

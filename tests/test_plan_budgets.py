@@ -51,6 +51,9 @@ EXCHANGE_BUDGETS = {
     "q_drift_psi": 2,
     "q_event_trigrams": 2,
     "q_feature_binning": 1,
+    "q_forecast_eval": 3,
+    "q_funnel_latency": 5,
+    "q_k_anonymity": 3,
     "q_regression_slope": 3,
     "q_scan_binaryfile": 1,
     "q_winsorized_agg": 4,
