@@ -21,7 +21,7 @@ have bounded length; open-ended intervals get clamped first.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -83,3 +83,62 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey", "order_a", "order_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval integration: how many orders are OPEN each day.
+# ---------------------------------------------------------------------------
+
+_ORACLE_OPEN_ORDERS = """
+WITH spans AS (
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS start_day,
+           CAST(MAX(l.l_shipdate) AS DATE) AS end_day
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderdate
+), deltas AS (
+    SELECT start_day AS day, 1 AS delta FROM spans
+    UNION ALL
+    SELECT end_day + INTERVAL 1 DAY, -1 FROM spans
+), daily AS (
+    SELECT CAST(day AS DATE) AS day, SUM(delta) AS net
+    FROM deltas GROUP BY day
+)
+SELECT day,
+       CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS n_open
+FROM daily
+ORDER BY day
+"""
+
+
+@query("q_open_orders_daily", oracle=_ORACLE_OPEN_ORDERS)
+def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backlog curve: number of orders open on each (change) day, an
+    order being open from its order date until its last line ships.
+
+    The classic sweep-line integration: each interval becomes a +1 at
+    its start and a −1 the day after its end; one groupBy collapses
+    the deltas to the (calendar-bounded) day grid and a running sum
+    integrates them. Counting overlaps NEVER joins intervals against
+    days or each other — the fact-sized work is exactly two scans'
+    worth of delta emission, and the cumulative runs over the day
+    AGGREGATE. This is the scalable form of "how many X were active
+    at time T" for any interval table (sessions, SCD2 versions,
+    rentals); q_join_interval_overlap covers the pairwise-overlap
+    JOIN shape, this covers the aggregate-integration shape.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    spans = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("start_day"))
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("end_day"))
+    )
+    deltas = spans.select(F.col("start_day").alias("day"), F.lit(1).alias("delta")).unionAll(
+        spans.select(F.date_add("end_day", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", F.sum("net").over(w).cast("long").alias("n_open")
+    ).orderBy("day")

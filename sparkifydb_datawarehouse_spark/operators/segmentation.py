@@ -98,3 +98,77 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification: parts tiered by cumulative revenue share.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ABC = """
+WITH part_rev AS (
+    SELECT l_partkey,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS cents
+    FROM lineitem
+    GROUP BY l_partkey
+), ranked AS (
+    SELECT cents,
+           CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey) AS BIGINT)
+               AS cum_cents,
+           CAST(SUM(cents) OVER () AS BIGINT) AS total_cents
+    FROM part_rev
+), classed AS (
+    SELECT cents,
+           CASE WHEN cum_cents * 1.0 / total_cents <= 0.80 THEN 'A'
+                WHEN cum_cents * 1.0 / total_cents <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(SUM(cents) / 100.0, 2) AS revenue,
+       ROUND(SUM(cents) * 1.0 / MAX((SELECT total_cents FROM ranked LIMIT 1)), 6)
+           AS revenue_share
+FROM classed
+GROUP BY abc_class
+ORDER BY abc_class
+"""
+
+
+@query("q_abc_classification", oracle=_ORACLE_ABC)
+def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory tiers: class A = parts covering the first
+    80% of cumulative revenue (descending), B to 95%, C the tail.
+
+    Revenue folds to exact integer cents per part (one fact shuffle);
+    the descending cumulative runs over the PART aggregate. The class
+    boundary compares exact rationals (cum_cents/total_cents), so tier
+    assignment is cross-engine deterministic even for the part that
+    straddles a threshold. The per-class rollup is 3 rows.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+        .cast("long")
+        .alias("cents")
+    ).localCheckpoint(eager=True)  # consumed by the scan AND the grand total
+    total = part_rev.agg(F.sum("cents").alias("total_cents"))
+    w = Window.orderBy(F.col("cents").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    share = F.col("cum_cents") / F.col("total_cents")
+    return (
+        part_rev.withColumn("cum_cents", F.sum("cents").over(w))
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "abc_class",
+            F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C"),
+        )
+        .groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            F.round(F.sum("cents") / F.max("total_cents"), 6).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )

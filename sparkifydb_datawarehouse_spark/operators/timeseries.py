@@ -657,3 +657,98 @@ def funnel_time_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ord")
         .select("stage", "n_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per acquisition cohort by age.
+# ---------------------------------------------------------------------------
+
+_ORACLE_LTV = """
+WITH first_order AS (
+    SELECT o_custkey,
+           date_trunc('month', CAST(MIN(o_orderdate) AS DATE)) AS cohort_month
+    FROM orders GROUP BY o_custkey
+), cohort_size AS (
+    SELECT cohort_month, COUNT(*) AS n_customers
+    FROM first_order GROUP BY cohort_month
+), rev AS (
+    SELECT f.cohort_month,
+           (YEAR(o.o_orderdate) - YEAR(f.cohort_month)) * 12
+               + (MONTH(o.o_orderdate) - MONTH(f.cohort_month)) AS age_months,
+           CAST(ROUND(SUM(o.o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+    GROUP BY f.cohort_month, age_months
+), curve AS (
+    SELECT cohort_month, age_months,
+           CAST(SUM(cents) OVER (PARTITION BY cohort_month ORDER BY age_months)
+                AS BIGINT) AS cum_cents
+    FROM rev
+)
+SELECT c.cohort_month, c.age_months,
+       CAST(s.n_customers AS BIGINT) AS n_customers,
+       ROUND(c.cum_cents / 100.0, 2) AS cum_revenue,
+       CAST(FLOOR(c.cum_cents * 100.0 / s.n_customers) AS BIGINT) / 10000.0
+           AS ltv_per_customer
+FROM curve c JOIN cohort_size s ON c.cohort_month = s.cohort_month
+ORDER BY c.cohort_month, c.age_months
+"""
+
+
+@query("q_cohort_ltv", oracle=_ORACLE_LTV)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTV curves: cumulative revenue per acquisition-month cohort by
+    cohort age (months since first order), normalized per customer —
+    the companion to q_cohort_retention with money instead of
+    presence.
+
+    Same altitude rule: the running sum is a window over the
+    (cohort × age) AGGREGATE — calendar-bounded — never over orders.
+    Revenue folds to integer cents before the cumulative (exact at any
+    scale); ages are pure integer month arithmetic (no fractional
+    months_between, whose day-of-month semantics differ by engine).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    first_order = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.date_trunc("month", F.min(F.col("o_orderdate").cast("date")))
+            .cast("date")
+            .alias("cohort_month")
+        )
+        .localCheckpoint(eager=True)  # consumed by cohort sizing AND revenue fold
+    )
+    cohort_size = first_order.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+    age = (F.year("o_orderdate") - F.year("cohort_month")) * 12 + (
+        F.month("o_orderdate") - F.month("cohort_month")
+    )
+    rev = (
+        orders.join(first_order, "o_custkey")
+        .groupBy("cohort_month", age.alias("age_months"))
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = rev.withColumn("cum_cents", F.sum("cents").over(w))
+    return (
+        curve.join(F.broadcast(cohort_size), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            F.col("n_customers").cast("long").alias("n_customers"),
+            F.round(F.col("cum_cents") / 100.0, 2).alias("cum_revenue"),
+            # FLOOR-based fixed-point, not ROUND: cum_cents/(100·n) lands
+            # exactly on half-way 4-decimal boundaries (integer/integer), where
+            # Spark rounds half-up and DuckDB half-even (ORACLES.md)
+            (
+                F.floor(F.col("cum_cents") * 100.0 / F.col("n_customers"))
+                .cast("long")
+                / 10000.0
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "age_months")
+    )

@@ -26,7 +26,10 @@ EXCHANGE_BUDGETS = {
     "q_ab_cuped": 4,
     "q_anomaly_zscore": 2,
     "q_asof_join": 4,
+    "q_abc_classification": 3,
     "q_basket_pairs": 9,
+    "q_cohort_ltv": 6,
+    "q_open_orders_daily": 6,
     "q_benford_digits": 5,
     "q_cusum_changepoint": 5,
     "q_geo_nearest": 3,
