@@ -1,0 +1,111 @@
+"""Price-volume-mix decomposition: explain a revenue change between
+two periods as price effect + volume effect per brand — the finance
+"bridge" that turns two aggregate snapshots into a causal-looking
+narrative. Exact identity: Δrev = (p₁−p₀)·q₁ + (q₁−q₀)·p₀.
+
+100 TB shape: two filtered aggregations of the fact table (one per
+period — a single scan with conditional aggregation, so ONE shuffle),
+then pure arithmetic on the brand-sized frame.
+
+Determinism (the q_cohort_ltv lesson): each effect is an exact
+integer expression over cents and integral quantities —
+price = rev_cents/qty is a rational, so effects are spelled as
+integer numerators over q₀ and reported as FLOOR-based fixed-point
+(integer ratios land exactly on ROUND's half-way boundary, where the
+engines disagree). The two effects therefore reconstruct Δrev to
+within the two floors (≤ $0.02), asserted in the invariant test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_Y0, _Y1 = 1998, 1999
+
+_ORACLE_PVM = f"""
+WITH base AS (
+    SELECT p.p_brand AS brand,
+           CAST(SUM(CASE WHEN YEAR(l.l_shipdate) = {_Y0} THEN l.l_quantity ELSE 0 END)
+                AS BIGINT) AS q0,
+           CAST(SUM(CASE WHEN YEAR(l.l_shipdate) = {_Y1} THEN l.l_quantity ELSE 0 END)
+                AS BIGINT) AS q1,
+           CAST(ROUND(SUM(CASE WHEN YEAR(l.l_shipdate) = {_Y0}
+                               THEN l.l_extendedprice ELSE 0 END) * 100) AS BIGINT)
+               AS r0,
+           CAST(ROUND(SUM(CASE WHEN YEAR(l.l_shipdate) = {_Y1}
+                               THEN l.l_extendedprice ELSE 0 END) * 100) AS BIGINT)
+               AS r1
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY brand
+    HAVING q0 > 0 AND q1 > 0
+)
+SELECT brand,
+       ROUND(r0 / 100.0, 2) AS revenue_y0,
+       ROUND(r1 / 100.0, 2) AS revenue_y1,
+       ROUND((r1 - r0) / 100.0, 2) AS delta,
+       CAST(FLOOR((r1 * q0 - r0 * q1) * 1.0 / q0) AS BIGINT) / 100.0 AS price_effect,
+       CAST(FLOOR((q1 - q0) * r0 * 1.0 / q0) AS BIGINT) / 100.0 AS volume_effect
+FROM base
+ORDER BY brand
+"""
+
+
+@query("q_price_volume_mix", oracle=_ORACLE_PVM)
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand revenue bridge {_Y0}→{_Y1}: price effect
+    (p₁−p₀)·q₁ and volume effect (q₁−q₀)·p₀, both as exact-integer
+    numerators over q₀ in floor-based fixed point."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    yr = F.year("l_shipdate")
+    base = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.when(yr == _Y0, F.col("l_quantity")).otherwise(0.0))
+            .cast("long")
+            .alias("q0"),
+            F.sum(F.when(yr == _Y1, F.col("l_quantity")).otherwise(0.0))
+            .cast("long")
+            .alias("q1"),
+            F.round(
+                F.sum(F.when(yr == _Y0, F.col("l_extendedprice")).otherwise(0.0))
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("r0"),
+            F.round(
+                F.sum(F.when(yr == _Y1, F.col("l_extendedprice")).otherwise(0.0))
+                * 100,
+                0,
+            )
+            .cast("long")
+            .alias("r1"),
+        )
+        .filter((F.col("q0") > 0) & (F.col("q1") > 0))
+    )
+    return base.select(
+        "brand",
+        F.round(F.col("r0") / 100.0, 2).alias("revenue_y0"),
+        F.round(F.col("r1") / 100.0, 2).alias("revenue_y1"),
+        F.round((F.col("r1") - F.col("r0")) / 100.0, 2).alias("delta"),
+        (
+            F.floor(
+                (F.col("r1") * F.col("q0") - F.col("r0") * F.col("q1"))
+                * 1.0
+                / F.col("q0")
+            ).cast("long")
+            / 100.0
+        ).alias("price_effect"),
+        (
+            F.floor(
+                (F.col("q1") - F.col("q0")) * F.col("r0") * 1.0 / F.col("q0")
+            ).cast("long")
+            / 100.0
+        ).alias("volume_effect"),
+    ).orderBy("brand")

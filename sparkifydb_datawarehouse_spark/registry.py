@@ -50,6 +50,7 @@ def load_all_modules() -> None:
         binning,
         cdc,
         composites,
+        decomposition,
         composites_tpch,
         diffing,
         drift,
@@ -76,6 +77,7 @@ def load_all_modules() -> None:
         stats,
         stats_tests,
         subqueries,
+        survival,
         profiling,
         quality,
         regression,

@@ -36,7 +36,9 @@ EXCHANGE_BUDGETS = {
     "q_greedy_allocation": 3,
     "q_rfm_segments": 4,
     "q_gini_concentration": 9,
+    "q_kaplan_meier": 4,
     "q_kfold_metrics": 7,
+    "q_price_volume_mix": 3,
     "q_ks_two_sample": 7,
     "q_mannwhitney_u": 2,
     "q_text_inverted_index": 2,

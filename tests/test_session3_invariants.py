@@ -146,3 +146,20 @@ def test_golden_record_majority_is_member_label(spark):
         assert r.n_members == len(members)
         assert r.representative_id == min(members)
         assert r.cluster_id == min(members)  # CC labels by smallest member
+
+
+def test_kaplan_meier_monotone_nonincreasing(spark):
+    rows = _rows(spark, "q_kaplan_meier")
+    surv = [r.survival for r in rows]
+    assert all(0.0 <= s <= 1.0 for s in surv)
+    assert all(a >= b for a, b in zip(surv, surv[1:]))  # KM never rises
+    # risk set shrinks as duration grows
+    risks = [r.n_risk for r in rows]
+    assert all(a >= b for a, b in zip(risks, risks[1:]))
+
+
+def test_pvm_effects_reconstruct_delta(spark):
+    rows = _rows(spark, "q_price_volume_mix")
+    for r in rows:
+        # the two floors each lose < $0.01
+        assert abs((r.price_effect + r.volume_effect) - r.delta) <= 0.02
