@@ -726,3 +726,81 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "term")
         .limit(20)
     )
+
+
+_ORACLE_ZIPF = """
+WITH tf AS (
+    SELECT term, COUNT(*) AS freq
+    FROM (
+        SELECT UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+    )
+    GROUP BY term
+), ranked AS (
+    SELECT ROUND(LN(ROW_NUMBER() OVER (ORDER BY freq DESC, term)), 6) AS x,
+           ROUND(LN(freq), 6) AS y
+    FROM tf
+), s AS (
+    SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+           SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+       ROUND(POWER(n * sxy - sx * sy, 2)
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS r2
+FROM s
+"""
+
+
+@query("q_text_zipf", oracle=_ORACLE_ZIPF)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: OLS slope of
+    ln(freq) on ln(rank) (a natural corpus should land near −1; a
+    synthetic or template-heavy corpus drifts off — a cheap
+    corpus-health fingerprint for training-data QA).
+
+    Composes the engine's own primitives at the right altitudes: term
+    frequencies are one explode+count shuffle; ranks order the TERM
+    aggregate (vocabulary-sized — the rank window never sees token
+    instances); the fit is the 5-sufficient-statistic OLS (mergeable
+    partials, q_regression_slope). Log inputs rounded to 6 before
+    summing, per the ORACLES.md transcendental rule.
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+            ).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    w = Window.orderBy(F.col("freq").desc(), "term")
+    ranked = tf.select(
+        F.round(F.log(F.row_number().over(w).cast("double")), 6).alias("x"),
+        F.round(F.log("freq"), 6).alias("y"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(num / den, 4).alias("zipf_slope"),
+        F.round(
+            F.pow(num, 2)
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            4,
+        ).alias("r2"),
+    )

@@ -23,7 +23,7 @@ the regex — noted, not needed at fixture scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -131,4 +131,58 @@ def event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), "seq")
         .limit(20)
+    )
+
+
+_ORACLE_ATTRIBUTION = """
+WITH tagged AS (
+    SELECT event_type, value,
+           LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END
+                      IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS channel
+    FROM events
+)
+SELECT COALESCE(channel, 'direct') AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       ROUND(SUM(value), 2) AS attributed_value
+FROM tagged
+WHERE event_type = 'purchase'
+GROUP BY COALESCE(channel, 'direct')
+ORDER BY channel
+"""
+
+
+@query("q_last_touch_attribution", oracle=_ORACLE_ATTRIBUTION)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase's value credits
+    the most recent PRIOR non-purchase event of the same user
+    ('direct' when the purchase is the journey's first event).
+
+    One per-user window (frame-bounded IGNORE-NULLS navigation — the
+    same zero-join shape as the nearest-event join): no self-join, no
+    fan-out, one shuffle on user_id, then a channels-sized rollup.
+    The window ORDER BY carries (ts, event_id) — a total order — so
+    attribution is deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    return (
+        ev.withColumn("channel", channel)
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("channel"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
     )

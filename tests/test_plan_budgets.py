@@ -40,8 +40,10 @@ EXCHANGE_BUDGETS = {
     "q_kfold_metrics": 7,
     "q_price_volume_mix": 3,
     "q_ks_two_sample": 7,
+    "q_last_touch_attribution": 3,
     "q_mannwhitney_u": 2,
     "q_text_inverted_index": 2,
+    "q_text_zipf": 2,
     "q_welch_ttest": 2,
     "q_cdc_apply": 2,
     "q_cohort_retention": 5,
