@@ -104,6 +104,10 @@ HEADLINE = [
     "q_geo_nearest",                 # 3x3 grid-cell haversine join
     "q_event_trigrams",              # in-buffer journey sort + array grams
     "q_regression_slope",            # grouped OLS sufficient statistics
+    "q_cohort_ltv",                  # integer-cents cohort curves
+    "q_open_orders_daily",           # sweep-line interval integration
+    "q_kaplan_meier",                # survival curve, exp-sum-ln product
+    "q_last_touch_attribution",      # IGNORE-NULLS navigation window
 ]
 
 

@@ -804,3 +804,72 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("r2"),
     )
+
+
+_ORACLE_HEAPS = """
+WITH first_seen AS (
+    SELECT MIN(doc_id) AS first_doc
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+    )
+    GROUP BY term
+), new_terms AS (
+    SELECT first_doc AS doc_id, COUNT(*) AS n_new
+    FROM first_seen GROUP BY first_doc
+), tokens_per_doc AS (
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                t -> t <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+)
+SELECT t.doc_id,
+       CAST(SUM(t.n_tokens) OVER (ORDER BY t.doc_id) AS BIGINT) AS cum_tokens,
+       CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY t.doc_id) AS BIGINT) AS vocab_size
+FROM tokens_per_doc t LEFT JOIN new_terms n ON n.doc_id = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
+@query("q_text_heaps", oracle=_ORACLE_HEAPS)
+def text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law curve: vocabulary size vs cumulative tokens as the
+    corpus is consumed in doc_id order — with Zipf (q_text_zipf) the
+    second standard corpus-health fingerprint.
+
+    The expanding-distinct is computed by FIRST-SEEN COLLAPSE (the
+    q_cumulative_distinct_users identity): each term contributes +1
+    exactly at its minimum doc — one term-keyed shuffle — so the
+    cumulative never re-scans prefixes and the running sums ride the
+    per-doc AGGREGATE grid. The naive per-prefix COUNT(DISTINCT) is
+    quadratic; this is linear.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    exploded = docs.select("doc_id", F.explode(toks).alias("term"))
+    new_terms = (
+        exploded.groupBy("term")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    tokens_per_doc = docs.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        tokens_per_doc.join(new_terms, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.sum("n_tokens").over(w).cast("long").alias("cum_tokens"),
+            F.sum(F.coalesce(F.col("n_new"), F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("vocab_size"),
+        )
+        .orderBy("doc_id")
+    )

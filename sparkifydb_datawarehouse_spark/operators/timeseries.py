@@ -752,3 +752,63 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "age_months")
     )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning revenue split per month.
+# ---------------------------------------------------------------------------
+
+_ORACLE_NEW_RETURNING = """
+WITH first_order AS (
+    SELECT o_custkey,
+           date_trunc('month', CAST(MIN(o_orderdate) AS DATE)) AS first_month
+    FROM orders GROUP BY o_custkey
+)
+SELECT date_trunc('month', CAST(o.o_orderdate AS DATE)) AS month,
+       CAST(COUNT(CASE WHEN date_trunc('month', CAST(o.o_orderdate AS DATE))
+                            = f.first_month THEN 1 END) AS BIGINT) AS new_orders,
+       CAST(COUNT(CASE WHEN date_trunc('month', CAST(o.o_orderdate AS DATE))
+                            <> f.first_month THEN 1 END) AS BIGINT) AS returning_orders,
+       ROUND(CAST(ROUND(SUM(CASE WHEN date_trunc('month', CAST(o.o_orderdate AS DATE))
+                                      = f.first_month THEN o.o_totalprice
+                                 ELSE 0 END) * 100) AS BIGINT) / 100.0, 2)
+           AS new_revenue,
+       ROUND(CAST(ROUND(SUM(CASE WHEN date_trunc('month', CAST(o.o_orderdate AS DATE))
+                                      <> f.first_month THEN o.o_totalprice
+                                 ELSE 0 END) * 100) AS BIGINT) / 100.0, 2)
+           AS returning_revenue
+FROM orders o JOIN first_order f ON o.o_custkey = f.o_custkey
+GROUP BY month
+ORDER BY month
+"""
+
+
+@query("q_new_vs_returning", oracle=_ORACLE_NEW_RETURNING)
+def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split between first-time and returning
+    customers — a customer is "new" only in their acquisition month.
+    One per-customer fold (first month), one broadcast-shaped join
+    back to orders, conditional aggregation to the month grid;
+    revenue reported through the integer-cents fold."""
+    orders = load_table(spark, sf_dir, "orders")
+    first_order = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min(F.col("o_orderdate").cast("date")))
+        .cast("date")
+        .alias("first_month")
+    )
+    month = F.date_trunc("month", F.col("o_orderdate").cast("date")).cast("date")
+    joined = orders.join(first_order, "o_custkey").withColumn("month", month)
+    is_new = F.col("month") == F.col("first_month")
+    cents_if = lambda cond: F.round(
+        F.sum(F.when(cond, F.col("o_totalprice")).otherwise(0.0)) * 100, 0
+    ).cast("long")
+    return (
+        joined.groupBy("month")
+        .agg(
+            F.count(F.when(is_new, 1)).cast("long").alias("new_orders"),
+            F.count(F.when(~is_new, 1)).cast("long").alias("returning_orders"),
+            F.round(cents_if(is_new) / 100.0, 2).alias("new_revenue"),
+            F.round(cents_if(~is_new) / 100.0, 2).alias("returning_revenue"),
+        )
+        .orderBy("month")
+    )

@@ -42,6 +42,8 @@ EXCHANGE_BUDGETS = {
     "q_ks_two_sample": 7,
     "q_last_touch_attribution": 3,
     "q_mannwhitney_u": 2,
+    "q_new_vs_returning": 4,
+    "q_text_heaps": 4,
     "q_text_inverted_index": 2,
     "q_text_zipf": 2,
     "q_welch_ttest": 2,
