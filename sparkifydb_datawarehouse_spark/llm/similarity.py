@@ -336,3 +336,80 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "vec_id")
     )
+
+
+_ORACLE_QUANTIZE = """
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+), dims AS (
+    SELECT generate_subscripts(emb, 1) AS pos, unnest(emb) AS v FROM e
+), bounds AS (
+    SELECT pos, MIN(v) AS lo, MAX(v) AS hi FROM dims GROUP BY pos
+), lo_hi AS (
+    SELECT list(lo ORDER BY pos) AS los, list(hi ORDER BY pos) AS his FROM bounds
+), err AS (
+    SELECT label,
+           list_sum(list_transform(range(1, len(emb) + 1), i ->
+               POWER(emb[i] - (los[i] + FLOOR((emb[i] - los[i]) / (his[i] - los[i])
+                                              * 255.0 + 0.5) / 255.0
+                                          * (his[i] - los[i])), 2)
+           )) / len(emb) AS mse
+    FROM e, lo_hi
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(AVG(mse) * 1000000, 2) AS avg_mse_1e6
+FROM err
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query("q_embedding_quantize", oracle=_ORACLE_QUANTIZE)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8) quantization of the embedding corpus with
+    per-label reconstruction error — the memory-×4-to-×8 compression
+    every billion-vector ANN index applies before anything else.
+
+    Per-dimension [min, max] is a posexplode + MIN/MAX aggregate (a
+    dim-sized table broadcast back as sorted arrays); codes are
+    floor(x·255 + 0.5) — EXPLICIT half-up on both engines, because
+    native ROUND disagrees exactly at the .5 the quantizer lives on —
+    and the reconstruction fold runs inside the array expression in
+    array order on both engines. Min/max are order-insensitive exact
+    aggregates, so every input double is engine-identical.
+    """
+    from ..tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(F.posexplode("embedding").alias("pos", "v"))
+    bounds = (
+        dims.groupBy("pos")
+        .agg(F.min("v").cast("double").alias("lo"), F.max("v").cast("double").alias("hi"))
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))).alias("plo"),
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))).alias("phi"),
+        )
+        .select(
+            F.expr("transform(plo, s -> s.lo)").alias("los"),
+            F.expr("transform(phi, s -> s.hi)").alias("his"),
+        )
+    )
+    mse = F.expr(
+        "aggregate(sequence(1, size(embedding)), cast(0.0 as double), (acc, i) -> "
+        "acc + pow(cast(element_at(embedding, i) as double) - "
+        "(element_at(los, i) + floor((cast(element_at(embedding, i) as double) "
+        "- element_at(los, i)) / (element_at(his, i) - element_at(los, i)) * 255.0 "
+        "+ 0.5) / 255.0 * (element_at(his, i) - element_at(los, i))), 2)) "
+        "/ size(embedding)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(bounds))
+        .select("label", mse.alias("mse"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("mse") * 1000000, 2).alias("avg_mse_1e6"),
+        )
+        .orderBy("label")
+    )

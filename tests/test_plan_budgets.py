@@ -58,6 +58,7 @@ EXCHANGE_BUDGETS = {
     "q_dedup_simhash": 5,
     "q_dq_referential": 15,
     "q_drift_psi": 2,
+    "q_embedding_quantize": 5,
     "q_event_trigrams": 2,
     "q_feature_binning": 1,
     "q_forecast_eval": 3,
