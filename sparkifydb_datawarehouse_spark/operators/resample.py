@@ -433,3 +433,55 @@ def rollup_timebucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_value",
         "n_events",
     ).orderBy("level", "event_type", "bucket_day", "bucket_hour")
+
+
+_ORACLE_BANDS = """
+SELECT date_trunc('week', CAST(o_orderdate AS DATE)) AS week,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       quantile_disc(o_totalprice, 0.1) AS p10,
+       quantile_disc(o_totalprice, 0.5) AS p50,
+       quantile_disc(o_totalprice, 0.9) AS p90
+FROM orders
+GROUP BY week
+ORDER BY week
+"""
+
+
+@query("q_percentile_bands", oracle=_ORACLE_BANDS)
+def percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly p10/p50/p90 bands of order value — the contour chart
+    behind every 'order value over time' dashboard. DISCRETE
+    percentiles (smallest value whose cumulative rank reaches p, the
+    q_agg_percentile_disc emulation): always an actual price, so the
+    cross-engine compare is exact with NO rounding discipline at all —
+    the interpolated form lands exactly on ROUND's half-cent grid
+    (0.9·(hi−lo) over 2-decimal prices) where the engines' tie rules
+    diverge. One week-keyed window + one aggregation."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "week", F.date_trunc("week", F.col("o_orderdate").cast("date")).cast("date")
+    )
+    w = Window.partitionBy("week").orderBy("o_totalprice")
+    ranked = orders.select(
+        "week",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("week")).alias("n"),
+    )
+
+    def disc(p: float):
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("o_totalprice"))
+        )
+
+    return (
+        ranked.groupBy("week")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            disc(0.1).alias("p10"),
+            disc(0.5).alias("p50"),
+            disc(0.9).alias("p90"),
+        )
+        .orderBy("week")
+    )

@@ -378,3 +378,53 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rk")
         .orderBy("source", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling WITHOUT replacement: Efraimidis–Spirakis A-ES keys.
+# ---------------------------------------------------------------------------
+
+_ORACLE_AES = f"""
+WITH keyed AS (
+    SELECT o_orderkey, o_totalprice,
+           POWER(({_duck_bucket("o_orderkey::VARCHAR")} + 0.5) / 1000.0,
+                 1.0 / o_totalprice) AS k
+    FROM orders
+    WHERE o_totalprice > 0
+)
+SELECT o_orderkey AS order_key,
+       ROUND(o_totalprice, 2) AS weight,
+       ROUND(k, 6) AS es_key
+FROM keyed
+ORDER BY k DESC, o_orderkey
+LIMIT 100
+"""
+
+
+@query("q_sample_weighted_noreplace", oracle=_ORACLE_AES)
+def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via Efraimidis–Spirakis
+    (2006, public literature): assign each row key uᵢ^(1/wᵢ) with
+    uᵢ ~ U(0,1) and take the top-k keys — provably equivalent to
+    sequential weighted draws without replacement, and embarrassingly
+    parallel: keying is map-side, selection is one TakeOrdered (a
+    per-partition top-k + driver merge of k·P candidates, never a
+    global sort). The u here is the PORTABLE md5 bucket (+0.5)/1000 —
+    deterministic across engines and runs, which is exactly what a
+    reproducible training-data sampler wants. Complements
+    q_sample_weighted (rate-based, with-replacement flavor): this is
+    the exact-k no-replacement form.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    u = (hash_bucket(F.col("o_orderkey").cast("string")) + 0.5) / 1000.0
+    k = F.pow(u, 1.0 / F.col("o_totalprice"))
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("order_key"),
+            F.round("o_totalprice", 2).alias("weight"),
+            k.alias("_k"),
+        )
+        .orderBy(F.col("_k").desc(), "order_key")
+        .limit(100)
+        .select("order_key", "weight", F.round("_k", 6).alias("es_key"))
+    )

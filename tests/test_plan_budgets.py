@@ -34,7 +34,9 @@ EXCHANGE_BUDGETS = {
     "q_cusum_changepoint": 5,
     "q_geo_nearest": 3,
     "q_greedy_allocation": 3,
+    "q_percentile_bands": 2,
     "q_rfm_segments": 4,
+    "q_sample_weighted_noreplace": 0,
     "q_gini_concentration": 9,
     "q_kaplan_meier": 4,
     "q_kfold_metrics": 7,
