@@ -114,3 +114,33 @@ def test_chunking_single_token_doc(spark):
         "doc_id", F.explode(F.expr(C._STARTS)).alias("start")
     ).collect()
     assert [r["start"] for r in out] == [0]
+
+
+def test_ranged_enumerate_empty_and_single(spark):
+    """The two-phase range enumeration (shared by KS/Gini) must handle
+    zero and one row: empty in → empty out (no crash on the empty
+    offsets table), single row → rank 1."""
+    from sparkifydb_datawarehouse_spark.operators.stats_tests import _ranged_enumerate
+
+    empty = spark.createDataFrame([], "x double, k long")
+    assert _ranged_enumerate(empty, ["x", "k"], 8).count() == 0
+    one = spark.createDataFrame([(1.5, 7)], "x double, k long")
+    rows = _ranged_enumerate(one, ["x", "k"], 8).collect()
+    assert len(rows) == 1 and rows[0]["_rank"] == 1
+
+
+def test_bfs_single_vertex_frontier_terminates(spark):
+    """connected BFS loop: a frontier that immediately empties (no
+    edges from source side) must terminate at depth 0 output only."""
+    from pyspark.sql import functions as F
+
+    # degenerate bi graph: one self-contained edge pair, source = 1
+    bi = spark.createDataFrame([(1, 2), (2, 1)], "u long, v long")
+    dist = spark.createDataFrame([(1, 0)], "v long, d int")
+    nxt = (
+        dist.join(bi, dist.v == bi.u)
+        .select(bi.v.alias("v"))
+        .distinct()
+        .join(dist, "v", "left_anti")
+    )
+    assert nxt.count() == 1  # vertex 2 discovered, then loop would stop
