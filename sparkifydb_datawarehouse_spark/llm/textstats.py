@@ -873,3 +873,50 @@ def text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_ORACLE_BPE_MERGES = """
+WITH toks AS (
+    SELECT list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS l
+    FROM documents
+), grams AS (
+    SELECT unnest(list_transform(range(1, len(l)), i -> l[i] || ' ' || l[i + 1]))
+        AS pair
+    FROM toks
+)
+SELECT pair AS merge_pair, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM grams
+GROUP BY pair
+ORDER BY n_occurrences DESC, merge_pair
+LIMIT 25
+"""
+
+
+@query("q_text_bpe_merges", oracle=_ORACLE_BPE_MERGES)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE induction step at corpus scale: the most frequent
+    ADJACENT token pairs — exactly the statistic a byte-pair/WordPiece
+    trainer maximizes each merge round. Iterating (count → merge top
+    pair → recount) is the full trainer; each round is this same
+    count, so the warehouse-side cost model is one explode+groupBy per
+    merge (batched in practice). The pair stream is in-expression
+    (sliding index transform, < |tokens| rows), map-side combined —
+    word-count economics regardless of corpus size.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    grams = docs.select(toks.alias("l")).select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(l) >= 2 THEN transform(sequence(1, size(l) - 1), "
+                "i -> concat(element_at(l, i), ' ', element_at(l, i + 1))) "
+                "ELSE array() END"
+            )
+        ).alias("merge_pair")
+    )
+    return (
+        grams.groupBy("merge_pair")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "merge_pair")
+        .limit(25)
+    )

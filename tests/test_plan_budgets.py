@@ -45,6 +45,7 @@ EXCHANGE_BUDGETS = {
     "q_last_touch_attribution": 3,
     "q_mannwhitney_u": 2,
     "q_new_vs_returning": 4,
+    "q_text_bpe_merges": 1,
     "q_text_heaps": 4,
     "q_text_inverted_index": 2,
     "q_text_zipf": 2,
