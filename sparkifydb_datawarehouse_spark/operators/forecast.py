@@ -163,3 +163,63 @@ def funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("latency_s", F.lit(0.5)), 3).alias("median_latency_s"),
         F.round(F.percentile("latency_s", F.lit(0.9)), 3).alias("p90_latency_s"),
     )
+
+
+_ORACLE_SEASONAL = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY day
+), tot AS (
+    SELECT CAST(SUM(cents) AS BIGINT) AS total, COUNT(*) AS n_days FROM daily
+)
+SELECT dayofweek(day) AS dow,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(cents) AS BIGINT) / 100.0, 2) AS revenue,
+       CAST(FLOOR(CAST(SUM(cents) AS BIGINT) * 1.0 * MAX(n_days)
+                  / (MAX(total) * COUNT(*)) * 10000) AS BIGINT) / 10000.0
+           AS seasonal_index
+FROM daily, tot
+GROUP BY dow
+ORDER BY dow
+"""
+
+
+@query("q_seasonal_index", oracle=_ORACLE_SEASONAL)
+def seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality index: mean daily revenue on each
+    weekday relative to the overall mean daily revenue (index 1.0 =
+    neutral) — the multiplicative factor a seasonal-naive forecast or
+    staffing model consumes. Exact-integer cents throughout; the
+    index is an integer-ratio double reported in floor fixed-point
+    (ORACLES.md). dayofweek shim: DuckDB 0=Sunday vs Spark 1=Sunday (A14).
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"))
+        .localCheckpoint(eager=True)  # consumed by totals AND the dow rollup
+    )
+    tot = daily.agg(
+        F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    return (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy((F.dayofweek("day") - 1).alias("dow"))  # A14 shim: DuckDB dow 0=Sun, Spark 1=Sun
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.round(F.sum("cents") / 100.0, 2).alias("revenue"),
+            (
+                F.floor(
+                    F.sum("cents")
+                    * 1.0
+                    * F.max("n_days")
+                    / (F.max("total") * F.count(F.lit(1)))
+                    * 10000
+                ).cast("long")
+                / 10000.0
+            ).alias("seasonal_index"),
+        )
+        .orderBy("dow")
+    )

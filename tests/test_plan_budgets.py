@@ -89,6 +89,7 @@ EXCHANGE_BUDGETS = {
     "q_rollup_timebucket": 2,
     "q_sample_hash": 1,
     "q_sample_weighted": 2,
+    "q_seasonal_index": 4,
     "q_sessionize_gap": 2,
     "q_similarity_batch_knn": 3,
     "q_similarity_ivf": 5,
