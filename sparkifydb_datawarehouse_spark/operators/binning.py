@@ -188,3 +188,36 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_key")
     )
+
+
+_ORACLE_HIST2D = """
+SELECT CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS qty_bin,
+       CAST(FLOOR(ROUND(l_discount * 100) / 2) AS BIGINT) AS disc_bin,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(l_extendedprice), 2) AS revenue
+FROM lineitem
+GROUP BY qty_bin, disc_bin
+ORDER BY qty_bin, disc_bin
+"""
+
+
+@query("q_histogram_2d", oracle=_ORACLE_HIST2D)
+def histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D histogram (quantity band × discount band) with revenue per
+    cell — the heatmap behind pricing analysis. Pure map-side binning
+    + one bounded-cell aggregation (≤ 5×8 cells whatever the volume).
+    Discount bins go through ROUND before FLOOR: 0.29·100 is
+    28.999…96 in IEEE, and while BOTH engines would floor it the same
+    (same doubles), the rounded spelling also matches the bin's
+    intended semantics."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty_bin = F.floor((F.col("l_quantity") - 1) / 10).cast("long")
+    disc_bin = F.floor(F.round(F.col("l_discount") * 100, 0) / 2).cast("long")
+    return (
+        li.groupBy(qty_bin.alias("qty_bin"), disc_bin.alias("disc_bin"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("l_extendedprice"), 2).alias("revenue"),
+        )
+        .orderBy("qty_bin", "disc_bin")
+    )

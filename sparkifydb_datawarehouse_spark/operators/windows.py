@@ -299,3 +299,56 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "user_id", "event_id", F.round(med, 6).alias("moving_median")
     ).orderBy("user_id", "event_id")
+
+
+_ORACLE_NTH = """
+WITH w AS (
+    SELECT o_custkey,
+           FIRST_VALUE(o_totalprice) OVER cw AS first_order_value,
+           NTH_VALUE(o_totalprice, 2) OVER cw AS second_order_value,
+           LAST_VALUE(o_totalprice) OVER cw AS last_order_value,
+           ROW_NUMBER() OVER cw AS rn
+    FROM orders
+    WINDOW cw AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT o_custkey,
+       ROUND(first_order_value, 2) AS first_order_value,
+       ROUND(second_order_value, 2) AS second_order_value,
+       ROUND(last_order_value, 2) AS last_order_value
+FROM w
+WHERE rn = 1
+ORDER BY o_custkey
+"""
+
+
+@query("q_window_nth_value", oracle=_ORACLE_NTH)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window navigation: each customer's first / second /
+    last order value via FIRST_VALUE / NTH_VALUE / LAST_VALUE over the
+    full-partition frame (completes the navigation-function matrix next
+    to lag/lead). One row per customer (rn=1 projection), one shuffle;
+    the frame must be explicitly UNBOUNDED FOLLOWING — the default
+    RANGE..CURRENT ROW frame silently truncates LAST_VALUE on BOTH
+    engines, the classic window-frame trap."""
+    orders = load_table(spark, sf_dir, "orders")
+    cw = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    rn = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            F.round(F.first("o_totalprice").over(cw), 2).alias("first_order_value"),
+            F.round(F.nth_value("o_totalprice", 2).over(cw), 2).alias(
+                "second_order_value"
+            ),
+            F.round(F.last("o_totalprice").over(cw), 2).alias("last_order_value"),
+            F.row_number().over(rn).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("o_custkey")
+    )

@@ -123,6 +123,8 @@ EXCHANGE_BUDGETS = {
     "q_ts_ohlc": 2,
     "q_udaf_trimmed_mean": 2,
     "q_variant_json": 1,
+    "q_histogram_2d": 2,
+    "q_window_nth_value": 2,
     "q_window_rank": 2,
     "q_window_time_range": 2,
 }
