@@ -221,3 +221,74 @@ def histogram_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qty_bin", "disc_bin")
     )
+
+
+_ORACLE_IMPUTE = """
+WITH flagged AS (
+    SELECT c_nationkey,
+           CASE WHEN c_acctbal >= 0 THEN c_acctbal END AS bal
+    FROM customer
+), med AS (
+    SELECT c_nationkey, quantile_disc(bal, 0.5) AS group_median
+    FROM flagged WHERE bal IS NOT NULL GROUP BY c_nationkey
+)
+SELECT f.c_nationkey AS nation_key,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) FILTER (WHERE f.bal IS NULL) AS BIGINT) AS n_imputed,
+       ROUND(m.group_median, 2) AS group_median,
+       ROUND(AVG(COALESCE(f.bal, m.group_median)), 4) AS mean_after_impute
+FROM flagged f JOIN med m ON f.c_nationkey = m.c_nationkey
+GROUP BY f.c_nationkey, m.group_median
+ORDER BY nation_key
+"""
+
+
+@query("q_impute_median", oracle=_ORACLE_IMPUTE)
+def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation — the ML-prep staple: treat negative
+    account balances as missing, fill each with its nation's median of
+    the observed values, report the imputation census per group.
+
+    Two passes by construction (like winsorization: the cut statistic
+    needs the group first): pass 1 computes per-group DISCRETE medians
+    (an actual observed value — exact cross-engine, no interpolation
+    rounding), broadcast back; pass 2 fills and re-aggregates. At
+    100 TB both passes are plain aggregations; the median table is
+    groups-sized."""
+    cust = load_table(spark, sf_dir, "customer")
+    flagged = cust.select(
+        "c_nationkey",
+        F.when(F.col("c_acctbal") >= 0, F.col("c_acctbal")).alias("bal"),
+    )
+    observed = flagged.filter(F.col("bal").isNotNull())
+    w = Window.partitionBy("c_nationkey").orderBy("bal")
+    ranked = observed.select(
+        "c_nationkey",
+        "bal",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("c_nationkey")).alias("n"),
+    )
+    med = ranked.groupBy("c_nationkey").agg(
+        F.min(
+            F.when(F.col("rn") >= F.ceil(0.5 * F.col("n")), F.col("bal"))
+        ).alias("group_median")
+    )
+    return (
+        flagged.join(F.broadcast(med), "c_nationkey")
+        .groupBy(F.col("c_nationkey").alias("nation_key"), "group_median")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(F.col("bal").isNull(), 1)).cast("long").alias("n_imputed"),
+            F.round(
+                F.avg(F.coalesce(F.col("bal"), F.col("group_median"))), 4
+            ).alias("mean_after_impute"),
+        )
+        .select(
+            "nation_key",
+            "n_rows",
+            "n_imputed",
+            F.round("group_median", 2).alias("group_median"),
+            "mean_after_impute",
+        )
+        .orderBy("nation_key")
+    )

@@ -109,3 +109,61 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("volume_effect"),
     ).orderBy("brand")
+
+
+_ORACLE_HHI = """
+WITH vol AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(ROUND(SUM(l_extendedprice) * 100) AS BIGINT) AS cents
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+), per_part AS (
+    SELECT l_partkey,
+           SUM(cents * 1.0 * cents)
+               / (CAST(SUM(cents) AS BIGINT) * 1.0 * CAST(SUM(cents) AS BIGINT)) AS hhi,
+           COUNT(*) AS n_suppliers
+    FROM vol
+    GROUP BY l_partkey
+)
+SELECT l_partkey AS part_key,
+       CAST(FLOOR(hhi * 1000000) AS BIGINT) / 1000000.0 AS hhi,
+       CAST(n_suppliers AS BIGINT) AS n_suppliers
+FROM per_part
+ORDER BY hhi DESC, part_key
+LIMIT 20
+"""
+
+
+@query("q_supplier_hhi", oracle=_ORACLE_HHI)
+def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-concentration audit: Herfindahl-Hirschman index of
+    supplier revenue share within each part — the 20 most concentrated
+    parts ("which parts depend on one supplier?").
+
+    HHI = sum(share_i^2) computed WITHOUT materializing shares:
+    sum(c^2)/(sum c)^2 over exact integer cents — one (part,supplier)
+    fold and one part-level aggregation, both mergeable partials.
+    Squared cents stay below 2^53 at fixture scale so every hhi is an
+    exact rational, hence bit-identical ordering on both engines; the
+    report value is floor fixed-point (exact rationals land on ROUND's
+    half-way grid, ORACLES.md)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    vol = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.sum("l_extendedprice") * 100, 0).cast("long").alias("cents")
+    )
+    per_part = vol.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("cents") * 1.0 * F.col("cents"))
+            / (F.sum("cents") * 1.0 * F.sum("cents"))
+        ).alias("hhi"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    return (
+        per_part.orderBy(F.col("hhi").desc(), "l_partkey")
+        .limit(20)
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            (F.floor(F.col("hhi") * 1000000).cast("long") / 1000000.0).alias("hhi"),
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+        )
+    )

@@ -812,3 +812,62 @@ def new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase cadence: inter-order gap distribution.
+# ---------------------------------------------------------------------------
+
+_ORACLE_CADENCE = """
+WITH gaps AS (
+    SELECT o_custkey,
+           DATE_DIFF('day',
+                     LAG(CAST(o_orderdate AS DATE)) OVER (
+                         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     CAST(o_orderdate AS DATE)) AS gap_days
+    FROM orders
+)
+SELECT CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+       quantile_disc(gap_days, 0.5) AS median_gap_days,
+       quantile_disc(gap_days, 0.9) AS p90_gap_days,
+       CAST(MIN(gap_days) AS BIGINT) AS min_gap_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_gap_days
+FROM gaps
+WHERE gap_days IS NOT NULL
+"""
+
+
+@query("q_purchase_cadence", oracle=_ORACLE_CADENCE)
+def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-order gap distribution ("how often do customers come
+    back?"): per-customer LAG over order dates, then discrete
+    percentiles over the gap population — integer day counts
+    end-to-end, so the cross-engine compare is exact with no rounding.
+    One customer-keyed window shuffle; the distribution aggregation is
+    the same disc-percentile emulation as q_percentile_bands."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.select(
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days")
+    ).filter(F.col("gap_days").isNotNull())
+    ranked = gaps.select(
+        "gap_days",
+        F.row_number().over(Window.orderBy("gap_days")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+
+    def disc(p: float):
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("gap_days"))
+        )
+
+    return ranked.agg(
+        F.max("n").cast("long").alias("n_gaps"),
+        disc(0.5).alias("median_gap_days"),
+        disc(0.9).alias("p90_gap_days"),
+        F.min("gap_days").cast("long").alias("min_gap_days"),
+        F.max("gap_days").cast("long").alias("max_gap_days"),
+    )

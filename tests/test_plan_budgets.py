@@ -85,7 +85,10 @@ EXCHANGE_BUDGETS = {
     "q_merge_upsert": 3,
     "q_pattern_sequence": 2,
     "q_pit_join": 3,
+    "q_impute_median": 4,
     "q_profile_columns": 2,
+    "q_purchase_cadence": 2,
+    "q_supplier_hhi": 2,
     "q_rollup_timebucket": 2,
     "q_sample_hash": 1,
     "q_sample_weighted": 2,
