@@ -142,3 +142,69 @@ def open_orders_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", F.sum("net").over(w).cast("long").alias("n_open")
     ).orderBy("day")
+
+
+_ORACLE_AGING = """
+WITH snap AS (
+    SELECT CAST(MAX(o_orderdate) AS DATE) AS s FROM orders
+), open_orders AS (
+    SELECT o.o_orderkey, o.o_totalprice,
+           DATE_DIFF('day', CAST(o.o_orderdate AS DATE), (SELECT s FROM snap)) AS age
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+    HAVING CAST(MAX(l.l_shipdate) AS DATE) > (SELECT s FROM snap)
+)
+SELECT CASE WHEN age <= 30 THEN '0-30'
+            WHEN age <= 60 THEN '31-60'
+            WHEN age <= 90 THEN '61-90'
+            ELSE '90+' END AS age_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_open_orders,
+       ROUND(CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) / 100.0, 2) AS open_value
+FROM open_orders
+GROUP BY age_bucket
+ORDER BY age_bucket
+"""
+
+
+@query("q_aging_report", oracle=_ORACLE_AGING)
+def aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging at the latest snapshot date (order still has
+    unshipped lines): the classic AR/backlog aging report with
+    0-30/31-60/61-90/90+ buckets.
+
+    The as-of predicate folds INSIDE the per-order aggregation
+    (HAVING max(shipdate) > snapshot) — one fact join + one order-keyed
+    aggregation, ages in exact integer days, values through the cents
+    fold, and the bucket rollup is 4 rows. Complements
+    q_open_orders_daily (the time series) with the point-in-time
+    composition."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    snap = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("s"))
+    open_orders = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .crossJoin(F.broadcast(snap))
+        .groupBy(
+            "o_orderkey",
+            "o_totalprice",
+            F.datediff("s", F.col("o_orderdate").cast("date")).alias("age"),
+        )
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"), F.max("s").alias("s2"))
+        .filter(F.col("last_ship") > F.col("s2"))
+    )
+    bucket = (
+        F.when(F.col("age") <= 30, "0-30")
+        .when(F.col("age") <= 60, "31-60")
+        .when(F.col("age") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return (
+        open_orders.groupBy(bucket.alias("age_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_open_orders"),
+            F.round(
+                F.round(F.sum("o_totalprice") * 100, 0).cast("long") / 100.0, 2
+            ).alias("open_value"),
+        )
+        .orderBy("age_bucket")
+    )

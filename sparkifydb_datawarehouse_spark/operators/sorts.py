@@ -349,3 +349,65 @@ def topk_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_order")
     )
+
+
+_ORACLE_SKYLINE = """
+WITH pts AS (
+    SELECT p_partkey, p_retailprice, p_size FROM part
+)
+SELECT a.p_partkey, ROUND(a.p_retailprice, 2) AS retail_price,
+       CAST(a.p_size AS BIGINT) AS size
+FROM pts a
+WHERE NOT EXISTS (
+    SELECT 1 FROM pts b
+    WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)
+)
+ORDER BY a.p_partkey
+"""
+
+
+@query("q_skyline_pareto", oracle=_ORACLE_SKYLINE)
+def skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier: parts not dominated on (cheaper,
+    bigger) — the multi-criteria shortlist operator (Börzsönyi et al.,
+    ICDE 2001, public literature).
+
+    The textbook spelling is the quadratic NOT EXISTS self-join — that
+    IS the oracle here, proving the scalable form equivalent. The
+    engine's form is the sort-scan: order by (price asc, size desc,
+    key) — a TOTAL order — and keep a row iff its size strictly
+    exceeds the running max size over all STRICTLY cheaper rows
+    (same-price groups share the predecessor max, so equal-price
+    ties are resolved exactly as dominance requires: among equal
+    price, only the max size survives, duplicates of that max are
+    kept only if nothing cheaper matches it). One window over the
+    dimension — linear, no self-join; at 100 TB the same scan runs
+    per-partition after a range exchange on price.
+    """
+    part = load_table(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("grp_max")
+    )
+    w_prices = Window.orderBy("p_retailprice").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cheaper = per_price.withColumn(
+        "cheaper_max", F.max("grp_max").over(w_prices)
+    )
+    return (
+        part.join(cheaper, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("grp_max"))
+            & (
+                F.col("cheaper_max").isNull()
+                | (F.col("p_size") > F.col("cheaper_max"))
+            )
+        )
+        .select(
+            "p_partkey",
+            F.round("p_retailprice", 2).alias("retail_price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -90,7 +90,9 @@ EXCHANGE_BUDGETS = {
     "q_purchase_cadence": 2,
     "q_supplier_hhi": 2,
     "q_rollup_timebucket": 2,
+    "q_aging_report": 6,
     "q_sample_hash": 1,
+    "q_skyline_pareto": 4,
     "q_sample_weighted": 2,
     "q_seasonal_index": 4,
     "q_sessionize_gap": 2,
