@@ -871,3 +871,60 @@ def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("gap_days").cast("long").alias("min_gap_days"),
         F.max("gap_days").cast("long").alias("max_gap_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-in-state: duration-weighted aggregation over the event stream.
+# ---------------------------------------------------------------------------
+
+_ORACLE_TIME_IN_STATE = """
+WITH spans AS (
+    SELECT event_type,
+           epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               - epoch_us(ts) AS dur_us
+    FROM events
+)
+SELECT event_type AS state,
+       CAST(COUNT(dur_us) AS BIGINT) AS n_spans,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(dur_us) AS BIGINT) / 3600000000.0, 4) AS total_hours,
+       CAST(SUM(dur_us) AS BIGINT) // CAST(COUNT(dur_us) AS BIGINT) AS mean_us_floor
+FROM spans
+WHERE dur_us IS NOT NULL
+GROUP BY event_type
+ORDER BY state
+"""
+
+
+@query("q_time_in_state", oracle=_ORACLE_TIME_IN_STATE)
+def time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-weighted state accounting: how long users SIT in each
+    event state (an event's state lasts until the user's next event) —
+    the time-in-state / time-weighted-average primitive behind uptime,
+    stage-duration, and TWAP reports.
+
+    One per-user LEAD window turns the point stream into spans; the
+    rollup sums EXACT integer microseconds (epoch_us difference), so
+    totals, hours, and the floored mean are all integer-derived and
+    cross-engine deterministic with no float discipline at all. Each
+    user's final open-ended event is excluded (NULL lead), matching on
+    both engines. One shuffle on user_id + one states-sized rollup.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    spans = ev.select(
+        "event_type",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts")).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        spans.groupBy(F.col("event_type").alias("state"))
+        .agg(
+            F.count("dur_us").cast("long").alias("n_spans"),
+            F.sum("dur_us").cast("long").alias("total_us"),
+            F.round(F.sum("dur_us") / 3600000000.0, 4).alias("total_hours"),
+            F.floor(F.sum("dur_us") / F.count("dur_us")).cast("long").alias(
+                "mean_us_floor"
+            ),
+        )
+        .orderBy("state")
+    )

@@ -47,6 +47,7 @@ EXCHANGE_BUDGETS = {
     "q_new_vs_returning": 4,
     "q_text_bpe_merges": 1,
     "q_text_heaps": 4,
+    "q_time_in_state": 3,
     "q_text_inverted_index": 2,
     "q_text_zipf": 2,
     "q_welch_ttest": 2,
