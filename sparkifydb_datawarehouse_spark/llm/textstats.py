@@ -920,3 +920,69 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "merge_pair")
         .limit(25)
     )
+
+
+_ORACLE_EMERGING = """
+WITH med AS (
+    SELECT quantile_disc(doc_id, 0.5) AS m FROM documents
+), counts AS (
+    SELECT term,
+           COUNT(*) FILTER (WHERE doc_id > (SELECT m FROM med)) AS late,
+           COUNT(*) FILTER (WHERE doc_id <= (SELECT m FROM med)) AS early
+    FROM (
+        SELECT doc_id,
+               UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents
+    )
+    GROUP BY term
+    HAVING late + early >= 20
+)
+SELECT term,
+       CAST(late AS BIGINT) AS late_count,
+       CAST(early AS BIGINT) AS early_count,
+       ROUND(LN((late + 1.0) / (early + 1.0)), 6) AS log_odds
+FROM counts
+ORDER BY ROUND(LN((late + 1.0) / (early + 1.0)), 6) DESC, term
+LIMIT 15
+"""
+
+
+@query("q_text_emerging_terms", oracle=_ORACLE_EMERGING)
+def text_emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift for TEXT: terms over-represented in the late half
+    of the corpus vs the early half (add-one-smoothed log-odds) — the
+    vocabulary-shift companion to the numeric PSI drift monitor,
+    exactly what a training-data refresh review looks at.
+
+    Term × half counts come from one explode + conditional-count
+    shuffle; the smoothed ratio is an exact rational into one ln
+    (rounded per the transcendental rule — the sort uses the ROUNDED
+    score so top-k can't flip on a ulp). Split point = the discrete
+    median doc_id, an actual id on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    med = docs.agg(
+        F.percentile_approx("doc_id", 0.5, 2147483647).alias("m")
+    )
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    counts = (
+        docs.crossJoin(F.broadcast(med))
+        .select("doc_id", "m", F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count(F.when(F.col("doc_id") > F.col("m"), 1)).alias("late"),
+            F.count(F.when(F.col("doc_id") <= F.col("m"), 1)).alias("early"),
+        )
+        .filter(F.col("late") + F.col("early") >= 20)
+    )
+    score = F.round(F.log((F.col("late") + 1.0) / (F.col("early") + 1.0)), 6)
+    return (
+        counts.select(
+            "term",
+            F.col("late").cast("long").alias("late_count"),
+            F.col("early").cast("long").alias("early_count"),
+            score.alias("log_odds"),
+        )
+        .orderBy(F.col("log_odds").desc(), "term")
+        .limit(15)
+    )

@@ -167,3 +167,65 @@ def supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_suppliers").cast("long").alias("n_suppliers"),
         )
     )
+
+
+_ORACLE_DISPERSION = """
+WITH unit AS (
+    SELECT l_partkey,
+           ROUND(l_extendedprice / l_quantity, 2) AS unit_price
+    FROM lineitem
+), stats AS (
+    SELECT l_partkey,
+           COUNT(*) AS n,
+           AVG(unit_price) AS mean_p,
+           STDDEV_SAMP(unit_price) AS sd_p
+    FROM unit
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 5
+)
+SELECT l_partkey AS part_key,
+       CAST(n AS BIGINT) AS n_sales,
+       ROUND(mean_p, 2) AS mean_unit_price,
+       ROUND(sd_p / mean_p, 4) AS cv
+FROM stats
+ORDER BY ROUND(sd_p / mean_p, 4) DESC, part_key
+LIMIT 20
+"""
+
+
+@query("q_price_dispersion", oracle=_ORACLE_DISPERSION)
+def price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-consistency audit: the 20 parts whose effective unit price
+    varies most across sales (coefficient of variation) — the pricing
+    analog of a data-quality uniqueness check.
+
+    Unit prices are rounded to cents FIRST (both engines then fold
+    identical doubles); mean/stddev are single-pass moments; the sort
+    key is the ROUNDED cv so the top-k boundary cannot flip on an
+    engine's last-ulp moment difference (ties broken by part key).
+    One fact shuffle, parts-sized everything after."""
+    li = load_table(spark, sf_dir, "lineitem")
+    unit = li.select(
+        "l_partkey",
+        F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias("unit_price"),
+    )
+    stats = (
+        unit.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("unit_price").alias("mean_p"),
+            F.stddev_samp("unit_price").alias("sd_p"),
+        )
+        .filter(F.col("n") >= 5)
+    )
+    cv = F.round(F.col("sd_p") / F.col("mean_p"), 4)
+    return (
+        stats.select(
+            F.col("l_partkey").alias("part_key"),
+            F.col("n").cast("long").alias("n_sales"),
+            F.round("mean_p", 2).alias("mean_unit_price"),
+            cv.alias("cv"),
+        )
+        .orderBy(F.col("cv").desc(), "part_key")
+        .limit(20)
+    )

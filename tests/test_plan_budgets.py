@@ -46,6 +46,7 @@ EXCHANGE_BUDGETS = {
     "q_mannwhitney_u": 2,
     "q_new_vs_returning": 4,
     "q_text_bpe_merges": 1,
+    "q_text_emerging_terms": 3,
     "q_text_heaps": 4,
     "q_time_in_state": 3,
     "q_text_inverted_index": 2,
@@ -87,6 +88,7 @@ EXCHANGE_BUDGETS = {
     "q_pattern_sequence": 2,
     "q_pit_join": 3,
     "q_impute_median": 4,
+    "q_price_dispersion": 1,
     "q_profile_columns": 2,
     "q_purchase_cadence": 2,
     "q_supplier_hhi": 2,
