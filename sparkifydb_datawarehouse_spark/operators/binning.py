@@ -292,3 +292,35 @@ def impute_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation_key")
     )
+
+
+_ORACLE_ACTIVITY = """
+SELECT dayofweek(ts) AS dow,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY dow, hour
+ORDER BY dow, hour
+"""
+
+
+@query("q_activity_heatmap", oracle=_ORACLE_ACTIVITY)
+def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekday × hour activity heatmap (events + distinct users per
+    cell) — the product-analytics "when are users here" grid. Pure
+    map-side time-part extraction into a 7×24-bounded cell rollup; the
+    distinct-user count shuffles (cell, user) pairs only. A14 dow shim
+    applies."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).alias("dow"),  # A14: DuckDB 0=Sun
+            F.hour("ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy("dow", "hour")
+    )

@@ -928,3 +928,73 @@ def time_in_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("state")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fulfillment latency SLA: order -> last ship, disc percentiles per priority.
+# ---------------------------------------------------------------------------
+
+_ORACLE_FILL_LATENCY = """
+WITH per_order AS (
+    SELECT o.o_orderpriority AS priority,
+           DATE_DIFF('day', CAST(o.o_orderdate AS DATE),
+                     CAST(MAX(l.l_shipdate) AS DATE)) AS fill_days
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderkey, o.o_orderpriority, o.o_orderdate
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       quantile_disc(fill_days, 0.5) AS median_fill_days,
+       quantile_disc(fill_days, 0.95) AS p95_fill_days,
+       CAST(COUNT(*) FILTER (WHERE fill_days > 120) AS BIGINT) AS n_sla_breaches
+FROM per_order
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@query("q_fulfillment_latency", oracle=_ORACLE_FILL_LATENCY)
+def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA report: days from order to LAST line
+    shipped, median/p95 per priority class plus breach counts (>120d).
+    Integer days end-to-end; discrete percentiles per the
+    q_percentile_bands rule; one fact join + per-order fold, then the
+    per-priority disc-percentile window over the ORDER aggregate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_order = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.col("o_orderpriority").alias("priority"), "o_orderdate")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("last_ship"))
+        .select(
+            "priority",
+            F.datediff("last_ship", F.col("o_orderdate").cast("date")).alias(
+                "fill_days"
+            ),
+        )
+    )
+    w = Window.partitionBy("priority").orderBy("fill_days")
+    ranked = per_order.select(
+        "priority",
+        "fill_days",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+
+    def disc(p: float):
+        return F.min(
+            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("fill_days"))
+        )
+
+    return (
+        ranked.groupBy("priority")
+        .agg(
+            F.max("n").cast("long").alias("n_orders"),
+            disc(0.5).alias("median_fill_days"),
+            disc(0.95).alias("p95_fill_days"),
+            F.count(F.when(F.col("fill_days") > 120, 1)).cast("long").alias(
+                "n_sla_breaches"
+            ),
+        )
+        .orderBy("priority")
+    )

@@ -19,7 +19,9 @@ from sparkifydb_datawarehouse_spark import registry
 registry.load_all_modules()
 
 EXCHANGE_BUDGETS = {
+    "q_activity_heatmap": 3,
     "q_agg_groupby": 2,
+    "q_fulfillment_latency": 4,
     "q_agg_robust_stats_approx": 4,
     "q_agg_rollup": 2,
     "q_agg_skew_kurt": 2,
