@@ -172,3 +172,74 @@ def abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# Segment migration: revenue-quintile flow between two years.
+# ---------------------------------------------------------------------------
+
+_MIG_Y0, _MIG_Y1 = 1998, 1999
+
+_ORACLE_MIGRATION = f"""
+WITH rev AS (
+    SELECT o_custkey,
+           CAST(ROUND(SUM(CASE WHEN YEAR(o_orderdate) = {_MIG_Y0}
+                               THEN o_totalprice ELSE 0 END) * 100) AS BIGINT) AS c0,
+           CAST(ROUND(SUM(CASE WHEN YEAR(o_orderdate) = {_MIG_Y1}
+                               THEN o_totalprice ELSE 0 END) * 100) AS BIGINT) AS c1
+    FROM orders
+    GROUP BY o_custkey
+    HAVING c0 > 0 AND c1 > 0
+), tiered AS (
+    SELECT NTILE(5) OVER (ORDER BY c0 DESC, o_custkey) AS tier_y0,
+           NTILE(5) OVER (ORDER BY c1 DESC, o_custkey) AS tier_y1,
+           c0, c1
+    FROM rev
+)
+SELECT tier_y0, tier_y1,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(c1 - c0) AS BIGINT) / 100.0, 2) AS net_revenue_change
+FROM tiered
+GROUP BY tier_y0, tier_y1
+ORDER BY tier_y0, tier_y1
+"""
+
+
+@query("q_segment_migration", oracle=_ORACLE_MIGRATION)
+def segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer migration matrix: revenue-quintile in {_MIG_Y0} vs
+    {_MIG_Y1} for customers active in both years (the Sankey behind
+    "are our top customers staying on top?"). One conditional-agg fold
+    to per-customer cents, two NTILEs over the customer AGGREGATE
+    (total order via custkey tiebreak — the RFM discipline), ≤25
+    output cells with exact-integer revenue deltas."""
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    cents = lambda y: F.round(
+        F.sum(F.when(yr == y, F.col("o_totalprice")).otherwise(0.0)) * 100, 0
+    ).cast("long")
+    rev = (
+        orders.groupBy("o_custkey")
+        .agg(cents(_MIG_Y0).alias("c0"), cents(_MIG_Y1).alias("c1"))
+        .filter((F.col("c0") > 0) & (F.col("c1") > 0))
+    )
+    tiered = rev.select(
+        F.ntile(5).over(Window.orderBy(F.col("c0").desc(), "o_custkey")).alias(
+            "tier_y0"
+        ),
+        F.ntile(5).over(Window.orderBy(F.col("c1").desc(), "o_custkey")).alias(
+            "tier_y1"
+        ),
+        "c0",
+        "c1",
+    )
+    return (
+        tiered.groupBy("tier_y0", "tier_y1")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum(F.col("c1") - F.col("c0")) / 100.0, 2).alias(
+                "net_revenue_change"
+            ),
+        )
+        .orderBy("tier_y0", "tier_y1")
+    )

@@ -40,3 +40,22 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("file_name")
     )
+
+
+@query("q_file_census")  # rows-only: the oracle needs a per-sf file path,
+# which the static-oracle contract can't express; the value check runs in
+# tests/test_new_ops_r3.py against DuckDB read_parquet(filename=true) at
+# the SAME sf_dir.
+def file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-layout census: rows per physical input file via
+    input_file_name() — the small-file / skewed-file detector every
+    lakehouse compaction job starts from. The file identity flows
+    through the scan for free (no shuffle beyond the per-file rollup);
+    at 100 TB this is the report that decides OPTIMIZE/bin-packing."""
+    return (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.element_at(F.split(F.input_file_name(), "/"), -1).alias("file_name"))
+        .groupBy("file_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .orderBy("file_name")
+    )

@@ -303,3 +303,24 @@ def test_scan_binaryfile_magic_and_catalog(spark):
     for r in rows:
         assert r.magic_hex == "50415231", r  # b"PAR1"
         assert r.n_bytes > 0
+
+
+def test_file_census_matches_duckdb(spark):
+    """q_file_census (rows-only in the registry: its oracle needs a
+    dynamic path) value-checked here against DuckDB's
+    read_parquet(filename=true) at the same sf_dir."""
+    import duckdb
+
+    got = {
+        r.file_name: r.n_rows
+        for r in registry.QUERIES["q_file_census"](spark, SF_SMOKE).collect()
+    }
+    con = duckdb.connect()
+    want = dict(
+        con.execute(
+            f"""SELECT regexp_extract(filename, '([^/]+)$', 1), COUNT(*)
+                FROM read_parquet('{SF_SMOKE}/lineitem.parquet', filename=true)
+                GROUP BY 1"""
+        ).fetchall()
+    )
+    assert got == {k: int(v) for k, v in want.items()}

@@ -68,6 +68,7 @@ EXCHANGE_BUDGETS = {
     "q_embedding_quantize": 5,
     "q_event_trigrams": 2,
     "q_feature_binning": 1,
+    "q_file_census": 2,
     "q_forecast_eval": 3,
     "q_funnel_latency": 5,
     "q_k_anonymity": 3,
@@ -100,6 +101,7 @@ EXCHANGE_BUDGETS = {
     "q_skyline_pareto": 4,
     "q_sample_weighted": 2,
     "q_seasonal_index": 4,
+    "q_segment_migration": 2,
     "q_sessionize_gap": 2,
     "q_similarity_batch_knn": 3,
     "q_similarity_ivf": 5,
