@@ -372,3 +372,67 @@ def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand", "yr")
     )
+
+
+_ORACLE_SCORECARD = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+               AS rev_cents,
+           COUNT(*) AS n_lines,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned
+    FROM lineitem
+    GROUP BY l_suppkey
+), tot AS (
+    SELECT CAST(SUM(rev_cents) AS BIGINT) AS total_cents FROM per_supp
+)
+SELECT s.s_name AS supplier,
+       ROUND(p.rev_cents / 100.0, 2) AS net_revenue,
+       ROUND(p.rev_cents * 1.0 / t.total_cents, 6) AS revenue_share,
+       CAST(p.n_parts AS BIGINT) AS n_distinct_parts,
+       ROUND(p.n_returned * 1.0 / p.n_lines, 6) AS return_rate
+FROM per_supp p
+JOIN supplier s ON s.s_suppkey = p.l_suppkey
+CROSS JOIN tot t
+ORDER BY p.rev_cents DESC, supplier
+LIMIT 10
+"""
+
+
+@query("q_supplier_scorecard", oracle=_ORACLE_SCORECARD)
+def supplier_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor scorecard: top-10 suppliers by net revenue with share,
+    assortment breadth, and return rate in ONE row each — the
+    multi-metric composite every procurement dashboard leads with.
+    All metrics ride a single fact aggregation (map-side combined);
+    the supplier dim decorates via broadcast; share/rates are exact
+    integer ratios. Ordering on exact cents, name tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100, 0)
+        .cast("long")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1)).alias("n_returned"),
+    ).localCheckpoint(eager=True)  # consumed by the report AND the grand total
+    tot = per_supp.agg(F.sum("rev_cents").alias("total_cents"))
+    return (
+        per_supp.join(F.broadcast(supp), per_supp.l_suppkey == supp.s_suppkey)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s_name").alias("supplier"),
+            F.round(F.col("rev_cents") / 100.0, 2).alias("net_revenue"),
+            F.round(F.col("rev_cents") / F.col("total_cents"), 6).alias(
+                "revenue_share"
+            ),
+            F.col("n_parts").cast("long").alias("n_distinct_parts"),
+            F.round(F.col("n_returned") / F.col("n_lines"), 6).alias("return_rate"),
+            "rev_cents",
+        )
+        .orderBy(F.col("rev_cents").desc(), "supplier")
+        .limit(10)
+        .drop("rev_cents")
+    )

@@ -110,6 +110,7 @@ EXCHANGE_BUDGETS = {
     "q_sort_limit": 0,
     "q_sparkify_songplays": 2,
     "q_stream_stream_join": 2,
+    "q_supplier_scorecard": 3,
     "q_stream_tumbling": 2,
     "q_table_diff": 3,
     "q_text_chunking": 1,
