@@ -102,3 +102,70 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+_ORACLE_POWER = f"""
+WITH per_user AS (
+    SELECT user_id,
+           CASE WHEN {_duck_bucket("user_id::VARCHAR")} < 500 THEN 'A' ELSE 'B' END
+               AS variant,
+           ROUND(SUM(value), 2) AS y
+    FROM events
+    GROUP BY user_id
+), g AS (
+    SELECT variant, COUNT(*) AS n, AVG(y) AS mean_y, VAR_SAMP(y) AS var_y
+    FROM per_user GROUP BY variant
+), pooled AS (
+    SELECT SUM(n) AS n_total,
+           SUM((n - 1) * var_y) / (SUM(n) - 2) AS pooled_var,
+           SUM(n * mean_y) / SUM(n) AS grand_mean,
+           MIN(n) AS n_min
+    FROM g
+)
+SELECT CAST(n_total AS BIGINT) AS n_users,
+       ROUND(SQRT(pooled_var), 4) AS pooled_sd,
+       ROUND((1.959964 + 0.841621) * SQRT(2.0 * pooled_var / n_min), 4) AS mde_abs,
+       ROUND((1.959964 + 0.841621) * SQRT(2.0 * pooled_var / n_min)
+             / grand_mean, 6) AS mde_rel
+FROM pooled
+"""
+
+
+@query("q_ab_power", oracle=_ORACLE_POWER)
+def ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment design companion to q_ab_cuped: the minimum
+    detectable effect at α=0.05 (two-sided), power=0.80 given the
+    CURRENT traffic split — MDE = (z₀.₉₇₅+z₀.₈)·√(2σ²/n) with the
+    z constants as literals (identical on both engines; no inverse-CDF
+    dependency). Pooled variance from per-variant streaming moments —
+    two rows leave the aggregation; everything else is driver-sized
+    arithmetic. The metric folds per user first (cents-rounded), the
+    same shuffle as the readout query."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.round(F.sum("value"), 2).alias("y")
+    ).withColumn(
+        "variant",
+        F.when(hash_bucket(F.col("user_id").cast("string")) < 500, "A").otherwise("B"),
+    )
+    g = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("y").alias("mean_y"),
+        F.var_samp("y").alias("var_y"),
+    )
+    pooled = g.agg(
+        F.sum("n").alias("n_total"),
+        (F.sum((F.col("n") - 1) * F.col("var_y")) / (F.sum("n") - 2)).alias(
+            "pooled_var"
+        ),
+        (F.sum(F.col("n") * F.col("mean_y")) / F.sum("n")).alias("grand_mean"),
+        F.min("n").alias("n_min"),
+    )
+    z = 1.959964 + 0.841621
+    mde = z * F.sqrt(2.0 * F.col("pooled_var") / F.col("n_min"))
+    return pooled.select(
+        F.col("n_total").cast("long").alias("n_users"),
+        F.round(F.sqrt("pooled_var"), 4).alias("pooled_sd"),
+        F.round(mde, 4).alias("mde_abs"),
+        F.round(mde / F.col("grand_mean"), 6).alias("mde_rel"),
+    )

@@ -998,3 +998,75 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn-risk alerting: customers overdue vs their own cadence.
+# ---------------------------------------------------------------------------
+
+_ORACLE_OVERDUE = """
+WITH snap AS (
+    SELECT CAST(MAX(o_orderdate) AS DATE) AS s FROM orders
+), per_cust AS (
+    SELECT o_custkey,
+           list_sort(list(CAST(o_orderdate AS DATE))) AS days
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 3
+), gaps AS (
+    SELECT o_custkey,
+           DATE_DIFF('day', days[len(days)], (SELECT s FROM snap)) AS current_gap,
+           list_sort(list_transform(range(2, len(days) + 1),
+                     i -> DATE_DIFF('day', days[i - 1], days[i]))) AS g
+    FROM per_cust
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (
+           WHERE current_gap > 2 * g[CAST(CEIL(len(g) / 2.0) AS BIGINT)]
+       ) AS BIGINT) AS n_overdue,
+       ROUND(COUNT(*) FILTER (
+           WHERE current_gap > 2 * g[CAST(CEIL(len(g) / 2.0) AS BIGINT)]
+       ) * 1.0 / COUNT(*), 6) AS overdue_rate
+FROM gaps
+"""
+
+
+@query("q_overdue_customers", oracle=_ORACLE_OVERDUE)
+def overdue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-risk alert: customers (3+ orders) whose gap since their
+    LAST order exceeds 2× their OWN median inter-order gap — cadence-
+    personalized, unlike a global recency cutoff.
+
+    Per-customer history collapses into ONE sorted array inside the
+    aggregation buffer (bounded by orders-per-customer); gaps, the
+    discrete median gap, and the overdue flag are all array
+    expressions — integer days end-to-end, no second shuffle, no
+    per-customer windows. The census output is 1 row."""
+    orders = load_table(spark, sf_dir, "orders")
+    snap = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("s"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.col("o_orderdate").cast("date"))
+            ).alias("days")
+        )
+        .filter(F.size("days") >= 3)
+        .crossJoin(F.broadcast(snap))
+    )
+    gaps = per_cust.select(
+        F.datediff(F.col("s"), F.expr("element_at(days, -1)")).alias("current_gap"),
+        F.expr(
+            "sort_array(transform(sequence(2, size(days)), "
+            "i -> datediff(element_at(days, i), element_at(days, i - 1))))"
+        ).alias("g"),
+    )
+    median_gap = F.expr("element_at(g, cast(ceil(size(g) / 2.0) as int))")
+    overdue = F.col("current_gap") > 2 * median_gap
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.count(F.when(overdue, 1)).cast("long").alias("n_overdue"),
+        F.round(F.count(F.when(overdue, 1)) / F.count(F.lit(1)), 6).alias(
+            "overdue_rate"
+        ),
+    )

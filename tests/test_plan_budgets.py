@@ -26,6 +26,7 @@ EXCHANGE_BUDGETS = {
     "q_agg_rollup": 2,
     "q_agg_skew_kurt": 2,
     "q_ab_cuped": 4,
+    "q_ab_power": 3,
     "q_anomaly_zscore": 2,
     "q_asof_join": 4,
     "q_abc_classification": 3,
@@ -36,6 +37,7 @@ EXCHANGE_BUDGETS = {
     "q_cusum_changepoint": 5,
     "q_geo_nearest": 3,
     "q_greedy_allocation": 3,
+    "q_overdue_customers": 4,
     "q_percentile_bands": 2,
     "q_rfm_segments": 4,
     "q_sample_weighted_noreplace": 0,
