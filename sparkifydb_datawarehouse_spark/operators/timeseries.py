@@ -251,7 +251,7 @@ ORDER BY cohort_week, weeks_since
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
     )
     activity = (
         ev.join(first_seen, "user_id")
@@ -1069,4 +1069,57 @@ def overdue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.count(F.when(overdue, 1)) / F.count(F.lit(1)), 6).alias(
             "overdue_rate"
         ),
+    )
+
+
+_ORACLE_COHORT_CONV = """
+WITH first_touch AS (
+    SELECT user_id,
+           (MIN({'t': ts, 'e': event_id, 'ty': event_type})).ty AS entry_type
+    FROM events GROUP BY user_id
+), purchasers AS (
+    SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+)
+SELECT f.entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(COUNT(p.user_id) AS BIGINT) AS n_converted,
+       ROUND(COUNT(p.user_id) * 1.0 / COUNT(*), 6) AS conversion_rate
+FROM first_touch f LEFT JOIN purchasers p ON p.user_id = f.user_id
+GROUP BY f.entry_type
+ORDER BY f.entry_type
+"""
+
+
+@query("q_cohort_conversion", oracle=_ORACLE_COHORT_CONV)
+def cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by FIRST-TOUCH cohort: what a user's very first
+    event was vs whether they ever purchased — "which entry point
+    converts?". First touch via lexicographic struct-min (the C91
+    arg-extrema discipline: (ts, event_id) total order, so both
+    engines pick the same event); the purchaser set is a distinct
+    semi-join side; the rollup is entry-type-sized with exact integer
+    ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    first_touch = ev.groupBy("user_id").agg(
+        F.min(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "entry_type"
+        )
+    )
+    purchasers = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        first_touch.join(purchasers, "user_id", "left")
+        .groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.count("converted").cast("long").alias("n_converted"),
+            F.round(F.count("converted") / F.count(F.lit(1)), 6).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("entry_type")
     )

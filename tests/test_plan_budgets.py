@@ -31,6 +31,7 @@ EXCHANGE_BUDGETS = {
     "q_asof_join": 4,
     "q_abc_classification": 3,
     "q_basket_pairs": 9,
+    "q_cohort_conversion": 5,
     "q_cohort_ltv": 6,
     "q_open_orders_daily": 6,
     "q_benford_digits": 5,
