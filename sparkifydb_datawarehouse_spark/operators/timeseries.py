@@ -251,7 +251,7 @@ ORDER BY cohort_week, weeks_since
 def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     first_seen = ev.groupBy("user_id").agg(
-        F.date_trunc("day", F.min("ts")).cast("date").alias("cohort_day")
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )
     activity = (
         ev.join(first_seen, "user_id")
