@@ -1,0 +1,397 @@
+"""Advanced time-series diagnostics: autocorrelation, maximum
+drawdown, lead-lag cross-correlation, and linear multi-touch
+attribution.
+
+These are the KPI-series questions a warehouse answers after the
+basic resample/rollup layer exists (reference analog: the BI layer
+over `sparkifydb`'s fact tables — /root/reference/sql_queries.py
+builds the star schema; these are the reads it serves):
+
+- "is weekly seasonality real?"            -> q_ts_acf
+- "what was the worst slump vs peak?"      -> q_ts_drawdown
+- "do clicks lead purchases, and by what?" -> q_ts_crosscorr
+- "split revenue credit across touches"    -> q_multitouch_attribution
+
+Scale design (100 TB): every query folds the raw fact down to a
+per-(series, day) aggregate FIRST — calendar x series-count rows,
+orders of magnitude below fact volume — so the window passes run on
+thousands of rows regardless of input scale. The attribution query is
+the exception (per-event windows) and uses one user-partitioned
+bounded-range frame: a single shuffle by user_id, frame width fixed
+at 7 days, no self-join and no range join.
+
+Cross-engine determinism follows the repo's ORACLES.md discipline:
+money is folded to integer cents before any window; drawdown is pure
+BIGINT algebra; attribution credit is floor fixed-point
+(FLOOR(cents*1e6*k/n) — integer on both engines); correlations are
+the one double (CORR ratio, both engines Welford-stable) rounded to
+6 decimals, the q_agg_corr precedent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_MAX_LAG = 10  # ACF horizon: catches the weekly (7) cycle with margin
+
+_DAILY_CENTS_SQL = """
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY day
+"""
+
+_ORACLE_ACF = f"""
+WITH daily AS ({_DAILY_CENTS_SQL}),
+lagged AS (
+    SELECT cents,
+           {", ".join(f"LAG(cents, {k}) OVER (ORDER BY day) AS l{k}" for k in range(1, _MAX_LAG + 1))}
+    FROM daily
+),
+pairs AS (
+    {" UNION ALL ".join(f"SELECT {k} AS lag, cents, l{k} AS prev FROM lagged" for k in range(1, _MAX_LAG + 1))}
+)
+SELECT lag,
+       CAST(COUNT(prev) AS BIGINT) AS n_pairs,
+       ROUND(CORR(cents, prev), 6) AS acf
+FROM pairs
+WHERE prev IS NOT NULL
+GROUP BY lag
+ORDER BY lag
+"""
+
+
+@query("q_ts_acf", oracle=_ORACLE_ACF)
+def ts_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of daily revenue at lags 1..10 (lagged-series
+    Pearson correlation — the index-lag ACF variant, identical on
+    both engines; a weekly cycle shows as a local max at lag 7).
+
+    One pass: a single ordered window yields all 10 lag columns, a
+    stack unpivots to (lag, x, prev), one hash agg computes CORR per
+    lag. The unpartitioned window is safe by construction: it runs on
+    the DAILY aggregate (calendar-length, thousands of rows at any
+    SF), not on facts.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "cents", *[F.lag("cents", k).over(w).alias(f"l{k}") for k in range(1, _MAX_LAG + 1)]
+    )
+    stacked = lagged.select(
+        F.expr(
+            "stack("
+            + str(_MAX_LAG)
+            + ", "
+            + ", ".join(f"{k}, l{k}" for k in range(1, _MAX_LAG + 1))
+            + ") AS (lag, prev)"
+        ),
+        "cents",
+    )
+    return (
+        stacked.filter(F.col("prev").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count("prev").alias("n_pairs"),
+            F.round(F.corr("cents", "prev"), 6).alias("acf"),
+        )
+        .orderBy("lag")
+    )
+
+
+_ORACLE_DRAWDOWN = """
+WITH daily AS (
+    SELECT o_orderpriority AS series,
+           CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders
+    GROUP BY series, day
+), dd AS (
+    SELECT series, day, cents,
+           MAX(cents) OVER (PARTITION BY series ORDER BY day
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - cents AS drawdown
+    FROM daily
+), peak AS (
+    SELECT series, day, drawdown,
+           MAX(drawdown) OVER (PARTITION BY series) AS max_dd
+    FROM dd
+)
+SELECT series,
+       max_dd AS max_drawdown_cents,
+       MIN(day) AS trough_day
+FROM peak
+WHERE drawdown = max_dd
+GROUP BY series, max_dd
+ORDER BY series
+"""
+
+
+@query("q_ts_drawdown", oracle=_ORACLE_DRAWDOWN)
+def ts_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the daily-revenue series per order
+    priority: the deepest drop below the running historical peak,
+    with the (earliest) trough day. Pure BIGINT algebra end to end —
+    running max, subtraction, max, argmin-by-day — so the result is
+    bit-identical across engines.
+
+    Both windows share the series partitioning, so the whole query is
+    ONE shuffle over the daily aggregate.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("series"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.round(F.sum("o_totalprice") * 100, 0).cast("long").alias("cents"))
+    )
+    w_run = (
+        Window.partitionBy("series")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = daily.select(
+        "series", "day", (F.max("cents").over(w_run) - F.col("cents")).alias("drawdown")
+    )
+    peak = dd.withColumn("max_dd", F.max("drawdown").over(Window.partitionBy("series")))
+    return (
+        peak.filter(F.col("drawdown") == F.col("max_dd"))
+        .groupBy("series", F.col("max_dd").alias("max_drawdown_cents"))
+        .agg(F.min("day").alias("trough_day"))
+        .orderBy("series")
+    )
+
+
+_XLAG = 5  # cross-correlation horizon: +/- 5 days
+
+_ORACLE_XCORR = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases
+    FROM events
+    GROUP BY day
+), shifted AS (
+    SELECT clicks,
+           {", ".join(
+               f"LAG(purchases, {-k}) OVER (ORDER BY day) AS p_m{-k}" for k in range(-_XLAG, 0)
+           )},
+           purchases AS p_0,
+           {", ".join(
+               f"LEAD(purchases, {k}) OVER (ORDER BY day) AS p_{k}" for k in range(1, _XLAG + 1)
+           )}
+    FROM daily
+),
+pairs AS (
+    {" UNION ALL ".join(
+        f"SELECT {k} AS lag, clicks, p_m{-k} AS p FROM shifted" for k in range(-_XLAG, 0)
+    )}
+    UNION ALL SELECT 0 AS lag, clicks, p_0 AS p FROM shifted
+    {"".join(
+        f" UNION ALL SELECT {k} AS lag, clicks, p_{k} AS p FROM shifted"
+        for k in range(1, _XLAG + 1)
+    )}
+)
+SELECT lag,
+       CAST(COUNT(p) AS BIGINT) AS n_pairs,
+       ROUND(CORR(clicks, p), 6) AS xcorr
+FROM pairs
+WHERE p IS NOT NULL
+GROUP BY lag
+ORDER BY lag
+"""
+
+
+@query("q_ts_crosscorr", oracle=_ORACLE_XCORR)
+def ts_crosscorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation: corr(clicks_t, purchases_{t+k})
+    for k in -5..+5. A positive peak at k>0 means clicks LEAD
+    purchases by k days — the causal-direction smoke test before
+    anyone fits an attribution model.
+
+    Same shape as q_ts_acf: daily fold first, one ordered window
+    produces all 11 shifted columns, stack + hash agg. The shifted
+    column for lag k is lead(purchases, k) (negative k = lag), so
+    every pair list is aligned without a self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("clicks"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("purchases"),
+    )
+    w = Window.orderBy("day")
+
+    def shifted(k: int) -> F.Column:
+        if k < 0:
+            return F.lag("purchases", -k).over(w)
+        if k == 0:
+            return F.col("purchases")
+        return F.lead("purchases", k).over(w)
+
+    cols = [shifted(k).alias(f"s{k + _XLAG}") for k in range(-_XLAG, _XLAG + 1)]
+    wide = daily.select("clicks", *cols)
+    stacked = wide.select(
+        F.expr(
+            "stack("
+            + str(2 * _XLAG + 1)
+            + ", "
+            + ", ".join(f"{k}, s{k + _XLAG}" for k in range(-_XLAG, _XLAG + 1))
+            + ") AS (lag, p)"
+        ),
+        "clicks",
+    )
+    return (
+        stacked.filter(F.col("p").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count("p").alias("n_pairs"),
+            F.round(F.corr("clicks", "p"), 6).alias("xcorr"),
+        )
+        .orderBy("lag")
+    )
+
+
+_WINDOW_US = 7 * 86400 * 1_000_000  # 7-day attribution window, microseconds
+
+_ORACLE_MULTITOUCH = f"""
+WITH base AS (
+    SELECT event_type, epoch_us(ts) AS us, user_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS cents
+    FROM events
+), counted AS (
+    SELECT event_type, cents,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER w AS n_click,
+           SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER w AS n_view
+    FROM base
+    WINDOW w AS (PARTITION BY user_id ORDER BY us
+                 RANGE BETWEEN {_WINDOW_US} PRECEDING AND 1 PRECEDING)
+), purchases AS (
+    SELECT cents,
+           COALESCE(n_click, 0) AS n_click,
+           COALESCE(n_view, 0) AS n_view,
+           COALESCE(n_click, 0) + COALESCE(n_view, 0) AS n_touch
+    FROM counted
+    WHERE event_type = 'purchase'
+), credited AS (
+    SELECT 'click' AS channel,
+           CASE WHEN n_touch > 0 THEN 1 ELSE 0 END AS hit,
+           CASE WHEN n_touch > 0
+                THEN CAST(FLOOR(cents * 1000000.0 * n_click / n_touch) AS BIGINT)
+                ELSE 0 END AS micro
+    FROM purchases
+    UNION ALL
+    SELECT 'view' AS channel,
+           CASE WHEN n_touch > 0 THEN 1 ELSE 0 END AS hit,
+           CASE WHEN n_touch > 0
+                THEN CAST(FLOOR(cents * 1000000.0 * n_view / n_touch) AS BIGINT)
+                ELSE 0 END AS micro
+    FROM purchases
+    UNION ALL
+    SELECT 'direct' AS channel,
+           CASE WHEN n_touch = 0 THEN 1 ELSE 0 END AS hit,
+           CASE WHEN n_touch = 0 THEN cents * 1000000 ELSE 0 END AS micro
+    FROM purchases
+)
+SELECT channel,
+       CAST(SUM(hit) AS BIGINT) AS n_touched_purchases,
+       ROUND(SUM(micro) / 100000000.0, 2) AS attributed_value
+FROM credited
+GROUP BY channel
+ORDER BY channel
+"""
+
+
+@query("q_multitouch_attribution", oracle=_ORACLE_MULTITOUCH)
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    across the click/view touches in the 7 days before it,
+    proportional to touch counts; purchases with no prior touch fall
+    to 'direct'. Complements q_last_touch_attribution (the
+    winner-takes-all rule) with the equal-credit rule.
+
+    Credit is floor fixed-point — FLOOR(cents*1e6*k/n) — so every
+    per-purchase split is an exact integer on both engines (the
+    ORACLES.md integer-ratio discipline); the only double is the final
+    single division for display.
+
+    Scale: one shuffle (by user_id) for the bounded 7-day RANGE frame
+    over event time in microseconds; no self-join, no range join, and
+    the frame never widens with data volume. The three-way credit
+    expansion happens AFTER filtering to purchases only.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("us"),
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-_WINDOW_US, -1)
+    )
+    counted = ev.select(
+        "event_type",
+        "cents",
+        F.coalesce(
+            F.sum((F.col("event_type") == "click").cast("long")).over(w), F.lit(0)
+        ).alias("n_click"),
+        F.coalesce(
+            F.sum((F.col("event_type") == "view").cast("long")).over(w), F.lit(0)
+        ).alias("n_view"),
+    )
+    p = counted.filter(F.col("event_type") == "purchase").withColumn(
+        "n_touch", F.col("n_click") + F.col("n_view")
+    )
+
+    def credit(channel: str, k: F.Column, touched: F.Column, micro: F.Column) -> DataFrame:
+        return p.select(
+            F.lit(channel).alias("channel"),
+            touched.cast("long").alias("hit"),
+            micro.alias("micro"),
+        )
+
+    touched = F.col("n_touch") > 0
+    clicks = credit(
+        "click",
+        F.col("n_click"),
+        touched,
+        F.when(
+            touched,
+            F.floor(F.col("cents") * 1000000.0 * F.col("n_click") / F.col("n_touch")),
+        ).otherwise(F.lit(0)),
+    )
+    views = credit(
+        "view",
+        F.col("n_view"),
+        touched,
+        F.when(
+            touched,
+            F.floor(F.col("cents") * 1000000.0 * F.col("n_view") / F.col("n_touch")),
+        ).otherwise(F.lit(0)),
+    )
+    direct = credit(
+        "direct",
+        F.lit(1),
+        ~touched,
+        F.when(~touched, F.col("cents") * F.lit(1000000)).otherwise(F.lit(0)),
+    )
+    return (
+        clicks.unionAll(views)
+        .unionAll(direct)
+        .groupBy("channel")
+        .agg(
+            F.sum("hit").alias("n_touched_purchases"),
+            F.round(F.sum("micro") / 100000000.0, 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

@@ -78,6 +78,7 @@ def load_all_modules() -> None:
         stats_tests,
         subqueries,
         survival,
+        ts_advanced,
         profiling,
         quality,
         regression,
