@@ -1,0 +1,209 @@
+"""Language-model quality scoring beyond unigrams: bigram
+log-probability (the next rung of the perplexity-filter ladder after
+q_text_unigram_logprob) and a Gopher-style hard-rule quality filter
+(Rae et al. 2021, "Scaling Language Models: ... Gopher", public
+literature — the rule FAMILY, with thresholds recalibrated to the
+synthetic corpus).
+
+Scale design (100 TB): both queries keep the model-vs-data split that
+every corpus-scoring operator here uses (textstats.py TF-IDF,
+unigram LM, clustering.py k-means): the MODEL side (bigram counts,
+vocabulary size) is vocabulary-bounded — it shuffles n-gram keys,
+never documents — and joins back to per-doc n-grams by n-gram key.
+The rule filter is pure per-row codegen arithmetic: zero shuffles
+besides the final per-source rollup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+
+_TOKEN_SPLIT = r"\s+"
+
+# Bigram LM: p(w2 | w1) = (c(w1 w2) + 1) / (ctx(w1) + V)   [add-one]
+# ctx(w1) = number of bigrams whose first token is w1 (so the
+# distribution over w2 sums to 1 exactly), V = corpus vocabulary size.
+_ORACLE_BIGRAM_LP = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
+    FROM documents
+), pos AS (
+    SELECT doc_id, i, t[i] AS w0, t[i + 1] AS w1
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+    WHERE t[i] <> '' AND t[i + 1] <> ''
+), vocab AS (
+    SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v
+    FROM (SELECT UNNEST(string_split_regex(LOWER(text), '\\s+')) AS term
+          FROM documents) WHERE term <> ''
+), big AS (
+    SELECT w0, w1, CAST(COUNT(*) AS BIGINT) AS c12 FROM pos GROUP BY w0, w1
+), ctx AS (
+    SELECT w0, CAST(SUM(c12) AS BIGINT) AS c1 FROM big GROUP BY w0
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN((b.c12 + 1.0) / (x.c1 + v.v))), 4) AS mean_logprob
+FROM pos p
+JOIN big b ON p.w0 = b.w0 AND p.w1 = b.w1
+JOIN ctx x ON p.w0 = x.w0
+CROSS JOIN vocab v
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@query("q_text_bigram_logprob", oracle=_ORACLE_BIGRAM_LP)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean add-one-smoothed bigram log-probability per document under
+    the corpus' own bigram distribution — the standard cheap stand-in
+    for LM perplexity filtering, one order above q_text_unigram_logprob
+    (docs that score far below the unigram baseline are word-salad;
+    docs that score high on unigrams but low on bigrams are shuffled
+    boilerplate).
+
+    Plan: one posexplode + per-doc lead window produces positional
+    bigrams; bigram counts and context counts are two hash aggs whose
+    shuffle carries N-GRAM KEYS (vocab², bounded), not documents; the
+    model joins back by bigram key. V is a 1-row broadcast. FP: the
+    only double is ln of an integer ratio, averaged then ROUND(.,4) —
+    the ORACLES.md aggregated-double margin.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.posexplode("t").alias("pos", "w0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pos = (
+        base.withColumn("w1", F.lead("w0", 1).over(w))
+        .filter(F.col("w1").isNotNull())
+        .select("doc_id", "w0", "w1")
+    )
+    big = pos.groupBy("w0", "w1").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w0").agg(F.sum("c12").alias("c1"))
+    vocab = (
+        docs.select(F.explode(toks).alias("term"))
+        .agg(F.count_distinct("term").alias("v"))
+    )
+    scored = (
+        pos.join(big, ["w0", "w1"])
+        .join(F.broadcast(ctx), "w0")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.log((F.col("c12") + 1.0) / (F.col("c1") + F.col("v"))).alias("lp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("mean_logprob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# Gopher-style hard rules, thresholds calibrated to the synthetic
+# corpus (docs are 20-200 whitespace tokens over a small vocabulary):
+#   R1 token count within [20, 500]
+#   R2 mean token length within [2, 10]
+#   R3 contains >= 2 stopword occurrences ('the'/'a' here)
+#   R4 type-token ratio >= 0.2 (distinct/total — mirrors the Gopher
+#      repetition family without re-running the trigram pass)
+# All four are integer/ratio predicates -> exact cross-engine.
+_ORACLE_GOPHER = """
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(LOWER(text), '\\s+'),
+                       t -> t <> '') AS t
+    FROM documents
+), feat AS (
+    SELECT doc_id, source,
+           CAST(len(t) AS BIGINT) AS n_tok,
+           CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+           CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT) AS n_chars,
+           CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS BIGINT) AS n_stop
+    FROM toks
+), flags AS (
+    SELECT source,
+           CASE WHEN n_tok BETWEEN 20 AND 500 THEN 1 ELSE 0 END AS r1,
+           CASE WHEN n_chars >= 2 * n_tok AND n_chars <= 10 * n_tok
+                THEN 1 ELSE 0 END AS r2,
+           CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r3,
+           CASE WHEN 5 * n_distinct >= n_tok THEN 1 ELSE 0 END AS r4
+    FROM feat
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r1 * r2 * r3 * r4) AS BIGINT) AS n_pass,
+       CAST(SUM(1 - r1) AS BIGINT) AS fail_len,
+       CAST(SUM(1 - r2) AS BIGINT) AS fail_wordlen,
+       CAST(SUM(1 - r3) AS BIGINT) AS fail_stopword,
+       CAST(SUM(1 - r4) AS BIGINT) AS fail_ttr
+FROM flags
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query("q_text_gopher_rules", oracle=_ORACLE_GOPHER)
+def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family hard-rule quality filter, rolled up per source:
+    token-count bounds, mean-token-length bounds, minimum stopword
+    occurrences, and a type-token-ratio floor, each reported as a
+    per-rule failure count beside the all-rules pass count (the
+    dashboard a corpus-cleaning run actually reviews).
+
+    Every predicate is integer algebra on array aggregates computed
+    in ONE codegen'd projection (no explode — size/aggregate/filter
+    on the token array), so the whole query is a narrow map plus one
+    tiny per-source rollup: embarrassingly parallel at any scale.
+    Rule R2 is stated multiplicatively (2*n <= chars <= 10*n) and R4
+    as 5*distinct >= n to stay division-free and exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    feat = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tok"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("n_chars"),
+        F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long").alias(
+            "n_stop"
+        ),
+    )
+    r1 = F.col("n_tok").between(20, 500).cast("long")
+    r2 = (
+        (F.col("n_chars") >= 2 * F.col("n_tok"))
+        & (F.col("n_chars") <= 10 * F.col("n_tok"))
+    ).cast("long")
+    r3 = (F.col("n_stop") >= 2).cast("long")
+    r4 = (5 * F.col("n_distinct") >= F.col("n_tok")).cast("long")
+    flags = feat.select(
+        "source",
+        r1.alias("r1"),
+        r2.alias("r2"),
+        r3.alias("r3"),
+        r4.alias("r4"),
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("r1") * F.col("r2") * F.col("r3") * F.col("r4")).alias(
+                "n_pass"
+            ),
+            F.sum(1 - F.col("r1")).alias("fail_len"),
+            F.sum(1 - F.col("r2")).alias("fail_wordlen"),
+            F.sum(1 - F.col("r3")).alias("fail_stopword"),
+            F.sum(1 - F.col("r4")).alias("fail_ttr"),
+        )
+        .orderBy("source")
+    )

@@ -93,8 +93,10 @@ def load_all_modules() -> None:
     from .llm import (  # noqa: F401
         chunking,
         clustering,
+        containment,
         corpus,
         dedup,
+        lm_quality,
         grouped,
         multimodal,
         packing,
