@@ -311,3 +311,56 @@ def graph_shortest_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("v").alias("supp_key"), F.col("d").cast("long").alias("dist")
     ).orderBy("supp_key")
+
+
+# ---------------------------------------------------------------------------
+# k-core: the maximal subgraph where every vertex keeps >= K neighbors
+# INSIDE the subgraph — the standard "dense backbone" extractor
+# (Seidman 1983, public literature). Found by iterative peeling:
+# repeatedly delete vertices of degree < K; the fixpoint is unique
+# regardless of deletion order, so the result is deterministic even
+# though the loop is not SQL-expressible (rows-only registration;
+# tests/test_new_ops_r3b.py pins it against a brute-force peel).
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 4
+_KCORE_MAX_ROUNDS = 50  # degree <= 2*KNN_K bounds core depth; 50 >> observed
+
+
+@query("q_graph_kcore")  # rows-only: iterative fixpoint, no SQL oracle
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Members of the 4-core of the supplier co-shipment graph with
+    their within-core degree.
+
+    Scale design: each peel round is one shuffle (degree agg keyed by
+    vertex) plus a semi-join filter of the edge list; localCheckpoint
+    truncates lineage per round (checkpoint() on a real cluster, the
+    CC/PageRank discipline). Rounds are bounded by the peeling depth —
+    O(max core number) <= max degree, which the kNN-sparsified edge
+    builder caps at 2k — not by graph size; each round's survivor
+    count is ONE scalar to the driver.
+    """
+    edges = supplier_edges(spark, sf_dir).localCheckpoint()
+    for _ in range(_KCORE_MAX_ROUNDS):
+        bi = edges.select(F.col("src").alias("v")).unionAll(
+            edges.select(F.col("dst").alias("v"))
+        )
+        deg = bi.groupBy("v").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("v").localCheckpoint()
+        pruned = (
+            edges.join(keep.withColumnRenamed("v", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("v", "dst"), "dst", "semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        if pruned.count() == edges.count():
+            edges = pruned
+            break
+        edges = pruned
+    core_deg = (
+        edges.select(F.col("src").alias("supp_key"))
+        .unionAll(edges.select(F.col("dst").alias("supp_key")))
+        .groupBy("supp_key")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+    )
+    return core_deg.orderBy("supp_key")

@@ -428,3 +428,70 @@ def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(100)
         .select("order_key", "weight", F.round("_k", 6).alias("es_key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain-matched (balanced) resampling: downsample every source to the
+# minority source's count so the training mix is uniform across
+# domains — the "target distribution matching" step of corpus
+# assembly. Acceptance is per-source hash thresholding, so the sample
+# is deterministic, scan-side, and reproducible at any scale.
+# ---------------------------------------------------------------------------
+
+_ORACLE_DOMAIN_MATCH = f"""
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before
+    FROM documents GROUP BY source
+), target AS (
+    SELECT MIN(n_before) AS m FROM counts
+), kept AS (
+    SELECT d.source
+    FROM documents d
+    JOIN counts c ON c.source = d.source
+    CROSS JOIN target t
+    WHERE {_duck_bucket("d.doc_id::VARCHAR")} < FLOOR(1000.0 * t.m / c.n_before)
+)
+SELECT c.source, c.n_before,
+       CAST(COALESCE(k.n_after, 0) AS BIGINT) AS n_after
+FROM counts c
+LEFT JOIN (SELECT source, COUNT(*) AS n_after FROM kept GROUP BY source) k
+       ON k.source = c.source
+ORDER BY c.source
+"""
+
+
+@query("q_sample_domain_match", oracle=_ORACLE_DOMAIN_MATCH)
+def sample_domain_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-domain downsample audit: accept each document iff its
+    portable hash bucket clears FLOOR(1000*m/n_source) where m is the
+    minority source's count — every source lands within quantization
+    error of m kept docs, deterministically (regenerating the corpus
+    never flips membership, the q_train_test_split discipline).
+
+    Plan shape: per-source counts are a tiny agg broadcast back onto
+    the scan (two narrow joins against a sources-cardinality dim);
+    the acceptance predicate then runs MAP-SIDE on the fact scan —
+    no shuffle of documents at all. The FLOOR-of-integer-ratio
+    threshold is the ORACLES.md fixed-point rule, exact on both
+    engines.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_before"))
+    target = counts.agg(F.min("n_before").alias("m"))
+    rate = F.floor(1000.0 * F.col("m") / F.col("n_before"))
+    kept = (
+        docs.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(target))
+        .filter(hash_bucket(F.col("doc_id").cast("string")) < rate)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_after"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_before",
+            F.coalesce(F.col("n_after"), F.lit(0)).cast("long").alias("n_after"),
+        )
+        .orderBy("source")
+    )
