@@ -207,3 +207,98 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: which adjacent word pairs co-occur far more than
+# chance (Church & Hanks 1990, public literature) — the phrase-mining
+# primitive behind tokenizer vocab curation and stopword discovery.
+# ---------------------------------------------------------------------------
+
+_MIN_PAIR = 5  # support floor: PMI is unstable below a handful of counts
+
+_ORACLE_PMI = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
+    FROM documents
+), pos AS (
+    SELECT t[i] AS w0, t[i + 1] AS w1
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+    WHERE t[i] <> '' AND t[i + 1] <> ''
+), uni AS (
+    SELECT term, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT UNNEST(string_split_regex(LOWER(text), '\\s+')) AS term
+          FROM documents) WHERE term <> ''
+    GROUP BY term
+), totals AS (
+    SELECT CAST(SUM(c) AS DOUBLE) AS n FROM uni
+), big AS (
+    SELECT w0, w1, CAST(COUNT(*) AS BIGINT) AS c12 FROM pos GROUP BY w0, w1
+), nb AS (
+    SELECT CAST(SUM(c12) AS DOUBLE) AS m FROM big
+)
+SELECT b.w0 || ' ' || b.w1 AS gram,
+       b.c12 AS n_pair,
+       ROUND(LN((b.c12 / nb.m) / ((u0.c / t.n) * (u1.c / t.n))), 4) AS pmi
+FROM big b
+JOIN uni u0 ON u0.term = b.w0
+JOIN uni u1 ON u1.term = b.w1
+CROSS JOIN totals t CROSS JOIN nb
+WHERE b.c12 >= {_MIN_PAIR}
+ORDER BY pmi DESC, gram
+LIMIT 20
+"""
+
+
+@query("q_text_pmi_collocations", oracle=_ORACLE_PMI)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-pair collocations by pointwise mutual
+    information, support >= 5: PMI = ln( p(w0 w1) / (p(w0) p(w1)) )
+    with pair probability under the bigram total and word
+    probabilities under the token total.
+
+    Plan: bigram + unigram count aggs (n-gram-key shuffles, the
+    q_text_bigram_logprob shape), two broadcast joins of the unigram
+    model onto the bigram table, two 1-row broadcast totals, TakeOrdered
+    top-20. PMI is one double expression over exact integers, written
+    identically on both engines; ties sort by gram string.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("t")).select(
+        "doc_id", F.posexplode("t").alias("pos", "w0")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    pairs = (
+        base.withColumn("w1", F.lead("w0", 1).over(w))
+        .filter(F.col("w1").isNotNull())
+        .groupBy("w0", "w1")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(F.sum("c").cast("double").alias("n"))
+    nb = pairs.agg(F.sum("c12").cast("double").alias("m"))
+    pmi = F.log(
+        (F.col("c12") / F.col("m"))
+        / ((F.col("c0") / F.col("n")) * (F.col("c1") / F.col("n")))
+    )
+    return (
+        pairs.filter(F.col("c12") >= _MIN_PAIR)
+        .join(F.broadcast(uni.withColumnRenamed("term", "w0")
+                          .withColumnRenamed("c", "c0")), "w0")
+        .join(F.broadcast(uni.withColumnRenamed("term", "w1")
+                          .withColumnRenamed("c", "c1")), "w1")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            F.concat_ws(" ", "w0", "w1").alias("gram"),
+            F.col("c12").alias("n_pair"),
+            F.round(pmi, 4).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "gram")
+        .limit(20)
+    )

@@ -186,3 +186,63 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion paths: the top event-type paths that LEAD INTO a
+# purchase — q_event_trigrams counts all trigrams; this anchors the
+# window at conversions (the "what journeys convert" report that
+# sits beside last-touch/multi-touch attribution).
+# ---------------------------------------------------------------------------
+
+_ORACLE_CONV_PATHS = """
+WITH ordered AS (
+    SELECT user_id, event_type, ts, event_id,
+           LAG(event_type, 3) OVER w AS p3,
+           LAG(event_type, 2) OVER w AS p2,
+           LAG(event_type, 1) OVER w AS p1
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT COALESCE(p3, '-') || '>' || COALESCE(p2, '-') || '>'
+       || COALESCE(p1, '-') AS path,
+       CAST(COUNT(*) AS BIGINT) AS n_conversions
+FROM ordered
+WHERE event_type = 'purchase'
+GROUP BY path
+ORDER BY n_conversions DESC, path
+LIMIT 20
+"""
+
+
+@query("q_conversion_paths", oracle=_ORACLE_CONV_PATHS)
+def conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 three-step event paths immediately preceding a
+    purchase, start-padded with '-' for users converting within their
+    first three events.
+
+    One user-partitioned window (total order by ts, event_id — the
+    repo's deterministic tie-break) yields all three predecessors;
+    the purchase filter drops non-conversions BEFORE the path agg, so
+    the path-count shuffle carries conversions only. TakeOrdered
+    caps the result.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type",
+        *[F.lag("event_type", k).over(w).alias(f"p{k}") for k in (3, 2, 1)],
+    )
+    path = F.concat_ws(
+        ">",
+        F.coalesce(F.col("p3"), F.lit("-")),
+        F.coalesce(F.col("p2"), F.lit("-")),
+        F.coalesce(F.col("p1"), F.lit("-")),
+    )
+    return (
+        ordered.filter(F.col("event_type") == "purchase")
+        .groupBy(path.alias("path"))
+        .agg(F.count(F.lit(1)).alias("n_conversions"))
+        .orderBy(F.col("n_conversions").desc(), "path")
+        .limit(20)
+    )

@@ -489,3 +489,85 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_days"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: does mean order value differ across order
+# priorities? The F-statistic from exact integer sufficient
+# statistics — the same mergeable (n, sum, sumsq) triple every
+# distributed variance here uses, lifted to DECIMAL(38) because
+# sum-of-squared-cents overflows BIGINT at scale.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ANOVA = """
+WITH g AS (
+    SELECT o_orderpriority AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS s,
+           SUM(CAST(ROUND(o_totalprice * 100) AS HUGEINT)
+               * CAST(ROUND(o_totalprice * 100) AS HUGEINT)) AS ssq
+    FROM orders GROUP BY grp
+), tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nn,
+           CAST(SUM(s) AS DOUBLE) AS ts,
+           CAST(SUM(ssq) AS DOUBLE) AS tssq,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               AS sum_sq_over_n
+    FROM g
+)
+SELECT k,
+       CAST(nn AS BIGINT) AS n_total,
+       ROUND((sum_sq_over_n - ts * ts / nn) / (k - 1)
+             / ((tssq - sum_sq_over_n) / (nn - k)), 4) AS f_stat
+FROM tot
+"""
+
+
+@query("q_agg_anova", oracle=_ORACLE_ANOVA)
+def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F-statistic for order value across the 5 order
+    priorities: F = (SSB/(k-1)) / (SSW/(N-k)).
+
+    Plan: ONE map-side-combinable agg produces per-group
+    (n, sum, sumsq) in exact DECIMAL(38) cents (sumsq of cents passes
+    2^63 at warehouse scale; decimal keeps it exact on both engines —
+    DuckDB's HUGEINT mirror), then a 5-row driver-sized reduction
+    assembles F in doubles. The only inexactness is the final double
+    assembly from exact integers, identical expression both sides,
+    ROUND 4 (ORACLES.md aggregated-double margin; the cross-group sum
+    order can differ only at the last ulp of 5 terms).
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+    g = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("ssq"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("double").alias("nn"),
+        F.sum("s").cast("double").alias("ts"),
+        F.sum("ssq").cast("double").alias("tssq"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s").cast("double")
+            / F.col("n").cast("double")
+        ).alias("sum_sq_over_n"),
+    )
+    return tot.select(
+        "k",
+        F.col("nn").cast("long").alias("n_total"),
+        F.round(
+            (F.col("sum_sq_over_n") - F.col("ts") * F.col("ts") / F.col("nn"))
+            / (F.col("k") - 1)
+            / (
+                (F.col("tssq") - F.col("sum_sq_over_n"))
+                / (F.col("nn") - F.col("k"))
+            ),
+            4,
+        ).alias("f_stat"),
+    )
