@@ -254,3 +254,91 @@ def kfold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fold")
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped OLS: one regression PER GROUP in a single aggregation pass —
+# here, discount elasticity of demand per part brand (does a deeper
+# discount move quantity?). The q_regression_slope sufficient-
+# statistic algebra, lifted from one global fit to thousands of
+# concurrent per-key fits: the whole model fleet is ONE hash agg.
+# ---------------------------------------------------------------------------
+
+_ORACLE_GROUPED_OLS = """
+WITH pts AS (
+    SELECT p.p_brand AS brand,
+           CAST(ROUND(l.l_discount * 100) AS BIGINT) AS x,
+           CAST(l.l_quantity AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+), suff AS (
+    SELECT brand,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx
+    FROM pts GROUP BY brand
+)
+SELECT brand, n,
+       ROUND((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6) AS slope,
+       ROUND((sy * 1.0 * sxx - sx * 1.0 * sxy) * 1.0 / (n * sxx - sx * sx), 4)
+           AS intercept
+FROM suff
+WHERE n * sxx - sx * sx <> 0
+ORDER BY brand
+"""
+
+
+@query("q_grouped_regression", oracle=_ORACLE_GROUPED_OLS)
+def grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand OLS of quantity on discount points: slope is units
+    of quantity per discount percentage point (the elasticity sign
+    check), intercept the zero-discount baseline.
+
+    Scale design: the five sufficient statistics (n, Σx, Σy, Σxy,
+    Σx²) are all map-side-combinable BIGINTs — x is discount in whole
+    points (0..10), y quantity, so every product stays far under
+    2^63 at any n — and the fit itself is a per-group scalar
+    expression. One fact-dim broadcast join, one hash agg, zero
+    iterations: this is why warehouses fit millions of tiny models as
+    ONE query. Degenerate groups (no x variance) are excluded on both
+    engines by the same integer predicate.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("x"),
+        F.col("l_quantity").cast("long").alias("y"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_brand").alias("brand")
+    )
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    suff = pts.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return (
+        suff.filter(det != 0)
+        .select(
+            "brand",
+            "n",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) * 1.0 / det,
+                6,
+            ).alias("slope"),
+            F.round(
+                (
+                    F.col("sy") * 1.0 * F.col("sxx")
+                    - F.col("sx") * 1.0 * F.col("sxy")
+                )
+                * 1.0
+                / det,
+                4,
+            ).alias("intercept"),
+        )
+        .orderBy("brand")
+    )

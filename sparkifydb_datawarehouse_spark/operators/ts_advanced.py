@@ -395,3 +395,58 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+_RATE_WINDOW_S = 60  # sliding rate window, seconds
+
+_ORACLE_RATE_ANOMALY = f"""
+WITH timed AS (
+    SELECT user_id, epoch_us(ts) // 1000000 AS sec
+    FROM events
+), rated AS (
+    SELECT user_id,
+           COUNT(*) OVER (PARTITION BY user_id ORDER BY sec
+                          RANGE BETWEEN {_RATE_WINDOW_S - 1} PRECEDING
+                                    AND CURRENT ROW) AS burst
+    FROM timed
+)
+SELECT user_id,
+       CAST(MAX(burst) AS BIGINT) AS max_burst,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM rated
+GROUP BY user_id
+ORDER BY max_burst DESC, user_id
+LIMIT 20
+"""
+
+
+@query("q_rate_anomaly", oracle=_ORACLE_RATE_ANOMALY)
+def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst detector: each user's maximum event count within any
+    trailing 60-second window, top-20 — the bot/abuse screen that
+    runs before events feed anything downstream.
+
+    One user-partitioned RANGE frame over epoch seconds (integer
+    floor division of microseconds, exact both engines) computes the
+    per-event trailing burst; a per-user max + TakeOrdered finishes.
+    Single shuffle by user_id; the frame is time-bounded so its cost
+    is the user's 60-second event budget, not their history.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.unix_micros(F.col("ts")) / 1_000_000).alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-(_RATE_WINDOW_S - 1), 0)
+    )
+    rated = ev.select("user_id", F.count(F.lit(1)).over(w).alias("burst"))
+    return (
+        rated.groupBy("user_id")
+        .agg(
+            F.max("burst").alias("max_burst"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.col("max_burst").desc(), "user_id")
+        .limit(20)
+    )

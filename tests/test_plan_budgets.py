@@ -143,6 +143,21 @@ EXCHANGE_BUDGETS = {
     "q_window_nth_value": 2,
     "q_window_rank": 2,
     "q_window_time_range": 2,
+    # round-3 continuation (counts include ReusedExchange nodes — the
+    # string count is a pin, not a distinct-shuffle tally)
+    "q_ts_acf": 2,
+    "q_ts_drawdown": 3,
+    "q_ts_crosscorr": 2,
+    "q_multitouch_attribution": 5,
+    "q_text_bigram_logprob": 12,
+    "q_text_gopher_rules": 2,
+    "q_dedup_containment": 17,
+    "q_sample_domain_match": 9,
+    "q_agg_anova": 2,
+    "q_text_pmi_collocations": 13,
+    "q_conversion_paths": 2,
+    "q_grouped_regression": 3,
+    "q_rate_anomaly": 1,
 }
 
 
