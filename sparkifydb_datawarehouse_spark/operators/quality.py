@@ -269,3 +269,82 @@ def dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = uniqueness_audit(ev, ["event_id"], "events(event_id)", 1)
     b = uniqueness_audit(ev, ["user_id", "ts"], "events(user_id, ts)", 2)
     return a.unionByName(b).orderBy("ord")
+
+
+# ---------------------------------------------------------------------------
+# Volume anomaly: day-over-day ingest-count z-score against the
+# trailing 14 days — the data-observability monitor that catches a
+# broken producer or a double-load BEFORE value-level checks can
+# (complements q_anomaly_zscore, which scores VALUES within a
+# series; this scores the row volume of the feed itself).
+# ---------------------------------------------------------------------------
+
+_VOL_WIN = 14
+
+_ORACLE_VOLUME_ANOMALY = f"""
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events GROUP BY day
+), stats AS (
+    SELECT day, n_rows,
+           COUNT(*) OVER w AS w_n,
+           SUM(n_rows) OVER w AS w_sum,
+           SUM(n_rows * n_rows) OVER w AS w_sumsq
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {_VOL_WIN} PRECEDING AND 1 PRECEDING)
+)
+SELECT day, n_rows,
+       CAST(w_n AS BIGINT) AS window_days,
+       ROUND((n_rows - w_sum * 1.0 / w_n)
+             / SQRT((w_sumsq - w_sum * 1.0 * w_sum / w_n) / (w_n - 1)), 4)
+           AS z_score
+FROM stats
+WHERE w_n >= 7
+  AND (w_sumsq - w_sum * 1.0 * w_sum / w_n) > 0
+ORDER BY day
+"""
+
+
+@query("q_dq_volume_anomaly", oracle=_ORACLE_VOLUME_ANOMALY)
+def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily ingest volume z-scored against the trailing 14 days
+    (current day excluded from its own baseline; days with under 7
+    baseline days are warm-up and skipped).
+
+    The fact table folds to one row per day BEFORE the window, so the
+    trailing frame runs over calendar-length data at any scale; the
+    baseline (n, sum, sumsq) triple is exact BIGINT and the z itself
+    is the single assembled double, ROUND 4. At 100 TB this is the
+    query you point at every feed's partition counts, keyed by feed —
+    the unpartitioned window here is one global series and would
+    become partitionBy(feed) with more than one.
+    """
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(-_VOL_WIN, -1)
+    stats = daily.select(
+        "day",
+        "n_rows",
+        F.count(F.lit(1)).over(w).alias("w_n"),
+        F.sum("n_rows").over(w).alias("w_sum"),
+        F.sum(F.col("n_rows") * F.col("n_rows")).over(w).alias("w_sumsq"),
+    )
+    var_num = F.col("w_sumsq") - F.col("w_sum") * 1.0 * F.col("w_sum") / F.col("w_n")
+    z = (F.col("n_rows") - F.col("w_sum") * 1.0 / F.col("w_n")) / F.sqrt(
+        var_num / (F.col("w_n") - 1)
+    )
+    return (
+        stats.filter((F.col("w_n") >= 7) & (var_num > 0))
+        .select(
+            "day",
+            "n_rows",
+            F.col("w_n").cast("long").alias("window_days"),
+            F.round(z, 4).alias("z_score"),
+        )
+        .orderBy("day")
+    )
