@@ -108,6 +108,10 @@ HEADLINE = [
     "q_open_orders_daily",           # sweep-line interval integration
     "q_kaplan_meier",                # survival curve, exp-sum-ln product
     "q_last_touch_attribution",      # IGNORE-NULLS navigation window
+    "q_dedup_containment",           # inverted-index containment join, df cap
+    "q_multitouch_attribution",      # bounded RANGE frame + fixed-point credit
+    "q_grouped_regression",          # per-key OLS, one sufficient-stats agg
+    "q_ts_acf",                      # daily fold + multi-lag window + corr
 ]
 
 

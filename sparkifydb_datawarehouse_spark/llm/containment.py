@@ -86,22 +86,35 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("g"),
         )
-        .distinct()
     )
-    df_counts = shingles.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
-    kept = (
-        shingles.join(df_counts.filter(F.col("df") <= _MAX_DF), "g")
-        .select("doc_id", "g")
+    # ONE shuffle keyed by shingle builds the posting list (collect_set
+    # dedups within-doc repeats) and applies the df <= cap stop-shingle
+    # cut as a size() filter. Exploding back out leaves the data
+    # hash-partitioned by g, so the candidate self-join below reuses
+    # that partitioning (zero additional join shuffles — the naive
+    # two-sided shingle self-join pays two) and stays inside
+    # whole-stage codegen, which the in-expression m^2 struct
+    # expansion (interpreted higher-order lambdas) does not.
+    # Explicit width pin (the SCALING.md (e) idiom): pair-generation
+    # cost is per POSTING, not per byte, so AQE's byte-based coalescing
+    # would serialize the join onto one task at fixture scale. A
+    # user-specified hash repartition by g satisfies the groupBy's and
+    # the self-join's required distribution (no extra exchange) and
+    # keeps every core busy.
+    par = spark.sparkContext.defaultParallelism
+    buckets = (
+        shingles.repartition(par, "g")
+        .groupBy("g")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") <= _MAX_DF)
     )
+    kept = buckets.select("g", F.explode("ids").alias("doc_id"))
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.alias("a")
     b = kept.alias("b")
     inter = (
-        a.join(
-            b,
-            (F.col("a.g") == F.col("b.g"))
-            & (F.col("a.doc_id") != F.col("b.doc_id")),
-        )
+        a.join(b, "g")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("contained_id"),
             F.col("b.doc_id").alias("container_id"),
