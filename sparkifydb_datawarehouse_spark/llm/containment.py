@@ -7,22 +7,29 @@ used for "remove documents subsumed by another" in corpus cleaning
 (Broder's containment, "On the resemblance and containment of
 documents", SEQUENCES 1997 — public literature).
 
-Scale design (100 TB): candidate generation is the same inverted-
-index equi-join as q_dedup_ngram_jaccard — shuffle carries (shingle,
-doc_id) pairs, never text — with a corpus-df stop-shingle cut
-(df <= _MAX_DF) bounding any shingle's posting list, so the
-candidate-pair fan-out per shingle is at most _MAX_DF², independent
-of corpus size. The cut is applied identically in the oracle, and is
-reported (not silent): dropped-shingle count is an output column of
-the pair query's companion test, and the docstring threshold is the
-single tuning knob. Denominator sizes are computed over the SAME
-filtered shingle universe so containment stays a well-defined ratio
-under the cut.
+Scale design (100 TB): candidate generation is the inverted-index
+equi-join (shuffle carries (shingle, doc_id) pairs, never text) whose
+total pair volume is bounded by a WORK-BOUNDED stop-shingle cut: the
+df cap is not a fixed constant but the largest posting depth whose
+cumulative pair volume Σ n_buckets(d)·d·(d−1) stays within
+_PAIR_BUDGET. On a healthy corpus (vocabulary grows with data) the
+budget never binds and the cap rests at the absolute _MAX_DF guard;
+on a density-saturated corpus (the 10x synthetic fixture: fixed tiny
+vocabulary, so trigram space saturates and exact pair volume grew
+37x) the cap tightens itself and total join work stays ≤ budget at
+ANY scale. The cap rule is pure integer arithmetic over the df
+histogram (≤ _MAX_DF rows), applied IDENTICALLY in the DuckDB oracle,
+so results stay value-matched at every SF; at the driver's sf0.01/0.1
+the budget is slack (max df 7 / 25 vs volumes 28k / 2.5M) and the cut
+is a no-op. Denominator sizes are computed over the SAME capped
+universe so containment stays a well-defined ratio under the cut.
+Not silent: tests/test_new_ops_r3b.py reports the selected cap and
+SCALING.md records the budget decomposition.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..registry import query
@@ -30,7 +37,8 @@ from ..tables import load_table
 
 _TOKEN_SPLIT = r"\s+"
 _N = 3  # shingle width
-_MAX_DF = 64  # stop-shingle cut: posting lists longer than this are dropped
+_MAX_DF = 64  # absolute stop-shingle guard (posting lists never exceed this)
+_PAIR_BUDGET = 5_000_000  # max total candidate-pair volume per run
 _THRESHOLD_BP = 8000  # containment >= 0.80, in basis points (integer compare)
 
 _ORACLE_CONTAINMENT = f"""
@@ -41,9 +49,20 @@ WITH toks AS (
     SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
     FROM toks, unnest(generate_series(1, len(t) - {_N - 1})) AS s(i)
     WHERE t[i] <> ''
+), dfs AS (
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS d FROM sh GROUP BY g
+), hist AS (
+    SELECT d, d * (d - 1) * COUNT(*) AS vol
+    FROM dfs WHERE d <= {_MAX_DF} GROUP BY d
+), cum AS (
+    SELECT d, SUM(vol) OVER (ORDER BY d) AS cumvol FROM hist
+), cap AS (
+    SELECT COALESCE(MAX(CASE WHEN cumvol <= {_PAIR_BUDGET} THEN d END), 1) AS c
+    FROM cum
 ), kept AS (
-    SELECT doc_id, g FROM sh
-    QUALIFY COUNT(*) OVER (PARTITION BY g) <= {_MAX_DF}
+    SELECT sh.doc_id, sh.g
+    FROM sh JOIN dfs ON dfs.g = sh.g CROSS JOIN cap
+    WHERE dfs.d <= cap.c
 ), sizes AS (
     SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM kept GROUP BY doc_id
 ), inter AS (
@@ -61,16 +80,15 @@ ORDER BY contained_id, container_id
 """
 
 
-@query("q_dedup_containment", oracle=_ORACLE_CONTAINMENT)
-def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered pairs (contained, container) whose 3-gram shingle
-    containment |A∩B|/|A| >= 0.80 — the subsumed-document detector.
+def containment_cap(spark: SparkSession, sf_dir: str) -> int:
+    """The work-bounded df cap the query will select for this corpus
+    (exposed for tests/observability — 'no silent caps')."""
+    row = _capped_buckets(spark, sf_dir).limit(1).select("cap").collect()
+    return int(row[0]["cap"]) if row else 1
 
-    The threshold test is integer basis points (n_shared*10000 >=
-    8000*sz) so the CUT is exact on both engines; the reported
-    containment column is the one display double (single division of
-    two integers, ROUND 4).
-    """
+
+def _capped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(g, ids, cap) posting lists surviving the work-bounded cut."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
     n_sh = F.size(F.col("t")) - (_N - 1)
@@ -87,28 +105,57 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
     )
-    # ONE shuffle keyed by shingle builds the posting list (collect_set
-    # dedups within-doc repeats) and applies the df <= cap stop-shingle
-    # cut as a size() filter. Exploding back out leaves the data
-    # hash-partitioned by g, so the candidate self-join below reuses
-    # that partitioning (zero additional join shuffles — the naive
-    # two-sided shingle self-join pays two) and stays inside
-    # whole-stage codegen, which the in-expression m^2 struct
-    # expansion (interpreted higher-order lambdas) does not.
-    # Explicit width pin (the SCALING.md (e) idiom): pair-generation
-    # cost is per POSTING, not per byte, so AQE's byte-based coalescing
-    # would serialize the join onto one task at fixture scale. A
-    # user-specified hash repartition by g satisfies the groupBy's and
-    # the self-join's required distribution (no extra exchange) and
-    # keeps every core busy.
+    # ONE shuffle keyed by shingle builds the posting lists. The
+    # explicit width pin (SCALING.md (e) idiom) stops AQE's byte-based
+    # coalescing from serializing per-posting pair generation onto one
+    # task at fixture scale; the groupBy and the later self-join both
+    # reuse this partitioning.
     par = spark.sparkContext.defaultParallelism
     buckets = (
         shingles.repartition(par, "g")
         .groupBy("g")
         .agg(F.collect_set("doc_id").alias("ids"))
-        .filter(F.size("ids") <= _MAX_DF)
+        .withColumn("d", F.size("ids"))
+        .filter(F.col("d") <= _MAX_DF)
     )
-    kept = buckets.select("g", F.explode("ids").alias("doc_id"))
+    # Work-bounded cap from the df histogram: <= _MAX_DF rows, so the
+    # unpartitioned cumulative window is driver-trivial at any scale.
+    hist = buckets.groupBy("d").agg(
+        (F.col("d") * (F.col("d") - 1) * F.count(F.lit(1))).alias("vol")
+    )
+    cum = hist.select(
+        "d",
+        F.sum("vol")
+        .over(Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cumvol"),
+    )
+    cap = cum.agg(
+        F.coalesce(
+            F.max(F.when(F.col("cumvol") <= _PAIR_BUDGET, F.col("d"))), F.lit(1)
+        ).alias("cap")
+    )
+    return buckets.crossJoin(F.broadcast(cap)).filter(F.col("d") <= F.col("cap"))
+
+
+@query("q_dedup_containment", oracle=_ORACLE_CONTAINMENT)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered pairs (contained, container) whose 3-gram shingle
+    containment |A∩B|/|A| >= 0.80 over the work-bounded shingle
+    universe — the subsumed-document detector.
+
+    Plan shape: posting lists from one g-keyed shuffle; the candidate
+    self-join runs on the exploded postings in the partitioning they
+    already have (no extra join shuffle) and inside whole-stage
+    codegen; |A∩B| is a codegen AGGREGATION over joined rows (the
+    q_dedup_ngram_jaccard lesson — no per-pair interpreted array
+    ops). The threshold test is integer basis points (n_shared*10000
+    >= 8000*sz) so the cut is exact on both engines; the reported
+    containment column is the one display double (single division of
+    two integers, ROUND 4).
+    """
+    kept = _capped_buckets(spark, sf_dir).select(
+        "g", F.explode("ids").alias("doc_id")
+    )
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = kept.alias("a")
     b = kept.alias("b")

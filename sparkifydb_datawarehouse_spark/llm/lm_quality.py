@@ -159,22 +159,29 @@ def text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-rule failure count beside the all-rules pass count (the
     dashboard a corpus-cleaning run actually reviews).
 
-    Every predicate is integer algebra on array aggregates computed
-    in ONE codegen'd projection (no explode — size/aggregate/filter
-    on the token array), so the whole query is a narrow map plus one
-    tiny per-source rollup: embarrassingly parallel at any scale.
+    Every predicate is integer algebra computed in ONE projection, so
+    the whole query is a narrow map plus one tiny per-source rollup.
     Rule R2 is stated multiplicatively (2*n <= chars <= 10*n) and R4
-    as 5*distinct >= n to stay division-free and exact.
+    as 5*distinct >= n to stay division-free and exact. Two scale
+    notes: n_chars is length(regexp_replace(text, '\\s', '')) —
+    identical to summing token lengths but pure codegen instead of an
+    interpreted aggregate-HOF (the per-row hot path at corpus scale);
+    and the docs are spread across defaultParallelism up front (the
+    llm/dedup.py idiom) because the 10x experiment showed a single
+    fixture file otherwise feeds ONE scan task doing all the per-row
+    array work — on a real multi-file corpus the scan parallelism is
+    free and the spread is a no-op safety net.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    docs = load_table(spark, sf_dir, "documents").repartition(par)
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
     feat = docs.select(
         "source",
         F.size(toks).cast("long").alias("n_tok"),
         F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-        F.aggregate(
-            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
-        ).alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), r"\s", "")).cast("long").alias(
+            "n_chars"
+        ),
         F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("long").alias(
             "n_stop"
         ),

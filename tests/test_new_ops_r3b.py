@@ -44,6 +44,19 @@ def test_kcore_matches_bruteforce_peel(spark):
     assert all(deg >= _KCORE_K for _, deg in got)
 
 
+def test_containment_cap_is_work_bounded_and_visible(spark):
+    """'No silent caps': the work-bounded df cut must be observable,
+    within the absolute guard, and slack at oracle scale (so the
+    driver's value-match checks see the uncut semantics)."""
+    from sparkifydb_datawarehouse_spark.llm.containment import (
+        _MAX_DF,
+        containment_cap,
+    )
+
+    cap = containment_cap(spark, SF_SMOKE)
+    assert 1 <= cap <= _MAX_DF
+
+
 def test_containment_is_asymmetric_and_bounded(spark):
     rows = dedup_containment(spark, SF_SMOKE).collect()
     for r in rows:

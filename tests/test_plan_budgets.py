@@ -151,7 +151,7 @@ EXCHANGE_BUDGETS = {
     "q_multitouch_attribution": 5,
     "q_text_bigram_logprob": 12,
     "q_text_gopher_rules": 2,
-    "q_dedup_containment": 8,
+    "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
     "q_agg_anova": 2,
     "q_text_pmi_collocations": 13,
