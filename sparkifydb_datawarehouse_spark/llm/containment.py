@@ -182,3 +182,89 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("contained_id", "container_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k containment SKETCH — the constant-size scale path for the
+# exact query above (Broder's bottom-k sampling): each document
+# carries only its k smallest shingle hashes (k=32), and
+# containment(A in B) is estimated by the fraction of A's sample
+# found in B's (df-capped) shingle-hash index. Shuffle volume per doc
+# drops from ~|shingles| strings to k int64s, independent of document
+# length — this is the candidate generator you run at 100 TB, with
+# the exact query as the verify stage on its survivors.
+# xxhash64 sketches have no DuckDB equivalent -> rows-only, pinned by
+# the recall test in tests/test_new_ops_r3b.py against the exact op.
+# ---------------------------------------------------------------------------
+
+_SKETCH_K = 32
+_SKETCH_THRESHOLD_BP = 7500  # estimate >= 0.75 (exact op cuts at 0.80)
+
+
+@query("q_dedup_containment_sketch")  # rows-only: xxhash64 sketch
+def dedup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (contained, container) pairs whose bottom-32
+    containment estimate >= 0.75.
+
+    Plan: one codegen projection hashes every shingle (xxhash64 over
+    the three token columns — the llm/dedup.py idiom, no string
+    concat); bottom-k per doc is sort_array(collect_set)[:k]; the
+    membership join runs k sampled hashes per doc against the
+    work-bounded hash index and counts matches per (A, B) — a codegen
+    aggregation, no per-pair set ops. The estimate denominator is
+    |sample(A)| (short docs sample fewer than k), so the ratio is
+    unbiased for every length.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    par = spark.sparkContext.defaultParallelism
+    hashed = (
+        docs.repartition(par)
+        .select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(t) - {_N}), "
+                    "i -> xxhash64(t[i], t[i+1], t[i+2]))"
+                )
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    # df-capped hash index (flat absolute guard; the exact op's
+    # work-bounded cut applies to its own verify pass)
+    idx = (
+        hashed.repartition(par, "h")
+        .groupBy("h")
+        .agg(F.collect_set("doc_id").alias("ids"))
+        .filter(F.size("ids") <= _MAX_DF)
+        .select("h", F.explode("ids").alias("container_id"))
+    )
+    sample = (
+        hashed.groupBy("doc_id")
+        .agg(F.slice(F.sort_array(F.collect_set("h")), 1, _SKETCH_K).alias("s"))
+        .select(
+            F.col("doc_id").alias("contained_id"),
+            F.size("s").alias("k_eff"),
+            F.explode("s").alias("h"),
+        )
+    )
+    hits = (
+        sample.join(idx, "h")
+        .filter(F.col("contained_id") != F.col("container_id"))
+        .groupBy("contained_id", "container_id", "k_eff")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        hits.filter(F.col("n_hits") * 10000 >= _SKETCH_THRESHOLD_BP * F.col("k_eff"))
+        .select(
+            "contained_id",
+            "container_id",
+            "n_hits",
+            F.col("k_eff").alias("sample_size"),
+            F.round(F.col("n_hits") * 1.0 / F.col("k_eff"), 4).alias("est_containment"),
+        )
+        .orderBy("contained_id", "container_id")
+    )

@@ -68,6 +68,29 @@ def test_containment_is_asymmetric_and_bounded(spark):
     assert all(r.contained_id != r.container_id for r in rows)
 
 
+def test_containment_sketch_recovers_exact_pairs(spark):
+    """The bottom-32 sketch (the 100 TB candidate generator) must
+    recover every exact-containment pair at fixture scale with no
+    spurious extras — the planted subsumption pairs sit near
+    containment 1.0, far above both thresholds, so recall 1.0 is the
+    designed behavior, not luck."""
+    from sparkifydb_datawarehouse_spark.llm.containment import (
+        dedup_containment_sketch,
+    )
+
+    sketch = {
+        (r.contained_id, r.container_id)
+        for r in dedup_containment_sketch(spark, SF_SMOKE).collect()
+    }
+    exact = {
+        (r.contained_id, r.container_id)
+        for r in dedup_containment(spark, SF_SMOKE).collect()
+    }
+    assert exact, "fixture must contain planted subsumption pairs"
+    assert exact <= sketch
+    assert not (sketch - exact)
+
+
 def test_domain_match_balances_to_minority(spark):
     rows = sample_domain_match(spark, SF_SMOKE).collect()
     m = min(r.n_before for r in rows)
