@@ -150,12 +150,13 @@ EXCHANGE_BUDGETS = {
     "q_ts_crosscorr": 2,
     "q_multitouch_attribution": 5,
     "q_text_bigram_logprob": 12,
-    "q_text_gopher_rules": 2,
+    "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
     "q_agg_anova": 2,
     "q_text_pmi_collocations": 13,
     "q_conversion_paths": 2,
+    "q_dedup_containment_sketch": 8,
     "q_grouped_regression": 3,
     "q_rate_anomaly": 1,
 }
