@@ -352,43 +352,36 @@ def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = counted.filter(F.col("event_type") == "purchase").withColumn(
         "n_touch", F.col("n_click") + F.col("n_view")
     )
-
-    def credit(channel: str, k: F.Column, touched: F.Column, micro: F.Column) -> DataFrame:
-        return p.select(
-            F.lit(channel).alias("channel"),
-            touched.cast("long").alias("hit"),
-            micro.alias("micro"),
-        )
-
+    # Three credit rows per purchase via stack() in ONE projection —
+    # a union of three branches would re-derive the window per branch
+    # (three user_id exchanges; the plan gate pins it to one).
     touched = F.col("n_touch") > 0
-    clicks = credit(
-        "click",
-        F.col("n_click"),
-        touched,
-        F.when(
-            touched,
-            F.floor(F.col("cents") * 1000000.0 * F.col("n_click") / F.col("n_touch")),
-        ).otherwise(F.lit(0)),
-    )
-    views = credit(
-        "view",
-        F.col("n_view"),
-        touched,
-        F.when(
-            touched,
-            F.floor(F.col("cents") * 1000000.0 * F.col("n_view") / F.col("n_touch")),
-        ).otherwise(F.lit(0)),
-    )
-    direct = credit(
-        "direct",
-        F.lit(1),
-        ~touched,
-        F.when(~touched, F.col("cents") * F.lit(1000000)).otherwise(F.lit(0)),
+
+    def micro(k: F.Column) -> F.Column:
+        return F.when(
+            touched, F.floor(F.col("cents") * 1000000.0 * k / F.col("n_touch"))
+        ).otherwise(F.lit(0))
+
+    credits = p.select(
+        F.expr("stack(3, 'click', 0, 'view', 1, 'direct', 2) AS (channel, slot)"),
+        touched.alias("touched"),
+        micro(F.col("n_click")).alias("m_click"),
+        micro(F.col("n_view")).alias("m_view"),
+        F.when(~touched, F.col("cents") * F.lit(1000000))
+        .otherwise(F.lit(0))
+        .alias("m_direct"),
+    ).select(
+        "channel",
+        F.when(F.col("slot") == 2, (~F.col("touched")).cast("long"))
+        .otherwise(F.col("touched").cast("long"))
+        .alias("hit"),
+        F.when(F.col("slot") == 0, F.col("m_click"))
+        .when(F.col("slot") == 1, F.col("m_view"))
+        .otherwise(F.col("m_direct"))
+        .alias("micro"),
     )
     return (
-        clicks.unionAll(views)
-        .unionAll(direct)
-        .groupBy("channel")
+        credits.groupBy("channel")
         .agg(
             F.sum("hit").alias("n_touched_purchases"),
             F.round(F.sum("micro") / 100000000.0, 2).alias("attributed_value"),

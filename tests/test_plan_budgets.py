@@ -148,7 +148,7 @@ EXCHANGE_BUDGETS = {
     "q_ts_acf": 2,
     "q_ts_drawdown": 3,
     "q_ts_crosscorr": 2,
-    "q_multitouch_attribution": 5,
+    "q_multitouch_attribution": 3,  # stack credits: one user_id window pass
     "q_text_bigram_logprob": 12,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches

