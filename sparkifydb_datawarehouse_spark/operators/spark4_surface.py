@@ -163,3 +163,54 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"a": "click", "b": "purchase", "minv": 10.0},
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDF (Spark 4 CREATE FUNCTION ... RETURN expr) — the LAST row of
+# the UDF matrix (row-Python, pandas, Arrow, UDAF, UDTF, SQL). Unlike
+# every Python tier, a SQL UDF INLINES into the plan: the body lands
+# in the Project as a plain CASE expression, stays in whole-stage
+# codegen, and keeps column pruning — the physical plan is identical
+# to hand-written SQL, making this the zero-cost abstraction tier.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SQL_UDF = """
+SELECT CASE WHEN o_totalprice > 100000 THEN 'high'
+            WHEN o_totalprice > 10000 THEN 'mid'
+            ELSE 'low' END AS tier,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+FROM orders
+GROUP BY tier
+ORDER BY tier
+"""
+
+
+@query("q_sql_udf", oracle=_ORACLE_SQL_UDF)
+def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value tiering through a declared SQL scalar function.
+
+    The function body inlines at plan time (verified: the Project
+    carries the CASE directly and the scan reads the single column) —
+    so unlike q_udf_scalar/q_udf_pandas/q_udf_arrow there is no
+    serialization boundary at any scale; this is the tier to reach
+    for FIRST when the logic is expressible in SQL.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_sql_udf_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION order_tier(p DOUBLE) "
+        "RETURNS STRING RETURN CASE WHEN p > 100000 THEN 'high' "
+        "WHEN p > 10000 THEN 'mid' ELSE 'low' END"
+    )
+    return spark.sql(
+        """
+        SELECT order_tier(o_totalprice) AS tier,
+               COUNT(*) AS n_orders,
+               CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS revenue_cents
+        FROM _sql_udf_orders
+        GROUP BY order_tier(o_totalprice)
+        ORDER BY tier
+        """
+    )
