@@ -259,6 +259,13 @@ def kmeans_fit_assign(
         .collect()
     )
     cents = [[float(v) for v in r.embedding] for r in init]
+    if not cents:
+        # empty input slice: no centroids to fit — return the empty
+        # assignment with the contract schema instead of letting the
+        # numpy kernel see a 0-d model
+        return points.select(
+            "vec_id", F.lit(None).cast("int").alias("cluster")
+        ).limit(0)
     assigned = _assign(points, cents, dim)
     for _ in range(iters):
         new_rows = (

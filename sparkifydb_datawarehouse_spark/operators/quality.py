@@ -63,7 +63,11 @@ def referential_audit(child: DataFrame, fk: str, parent: DataFrame, pk: str,
         F.lit(ord_).alias("ord"),
         F.col("n_orphans"),
         F.col("n_rows"),
-        F.round(F.col("n_orphans") / F.col("n_rows"), 6).alias("orphan_frac"),
+        # try_divide: an empty child table is a routine slice at scale;
+        # the audit reports NULL fraction over 0 rows instead of raising
+        F.round(F.try_divide(F.col("n_orphans"), F.col("n_rows")), 6).alias(
+            "orphan_frac"
+        ),
     )
 
 

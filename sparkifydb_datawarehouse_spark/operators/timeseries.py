@@ -1066,9 +1066,11 @@ def overdue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.count(F.when(overdue, 1)).cast("long").alias("n_overdue"),
-        F.round(F.count(F.when(overdue, 1)) / F.count(F.lit(1)), 6).alias(
-            "overdue_rate"
-        ),
+        # try_divide: on an EMPTY slice count=0 and ANSI division would
+        # throw; NULL rate over zero customers is the audit semantic
+        F.round(
+            F.try_divide(F.count(F.when(overdue, 1)), F.count(F.lit(1))), 6
+        ).alias("overdue_rate"),
     )
 
 

@@ -71,14 +71,17 @@ def test_pattern_sequence_empty(spark, monkeypatch, empty_events):
     assert SQ.pattern_sequence(spark, "x").count() == 0
 
 
-def test_kmeans_empty_raises_cleanly(spark):
-    """k-means on an empty table can't seed centroids — the failure
-    must be a clear Python error at fit time, not a JVM crash later."""
+def test_kmeans_empty_returns_empty(spark):
+    """k-means on an empty slice has no centroids to seed — it now
+    returns the empty assignment with the contract schema (this
+    module's policy) instead of feeding the numpy kernel a 0-d model
+    (the registry-wide empty audit caught the old AxisError)."""
     from sparkifydb_datawarehouse_spark.llm.clustering import kmeans_fit_assign
 
     empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
-    with pytest.raises(Exception):
-        kmeans_fit_assign(empty, dim=4).collect()
+    out = kmeans_fit_assign(empty, dim=4)
+    assert out.count() == 0
+    assert out.columns == ["vec_id", "cluster"]
 
 
 def test_round3_helpers_empty(spark):
@@ -144,3 +147,64 @@ def test_bfs_single_vertex_frontier_terminates(spark):
         .join(dist, "v", "left_anti")
     )
     assert nxt.count() == 1  # vertex 2 discovered, then loop would stop
+
+
+# ---------------------------------------------------------------------------
+# Registry-level empty-slice gate: a one-off audit ran EVERY registered
+# query against an all-empty fixture dir (284/287 passed; the three
+# crashes — ANSI divide-by-zero in the referential/overdue audits and
+# a 0-d numpy model in k-means — are fixed and pinned here together
+# with the session-4 operators).
+# ---------------------------------------------------------------------------
+
+_EMPTY_GATE_QUERIES = [
+    "q_dq_referential",
+    "q_overdue_customers",
+    "q_kmeans_embeddings",
+    "q_ts_acf",
+    "q_ts_drawdown",
+    "q_ts_crosscorr",
+    "q_multitouch_attribution",
+    "q_text_bigram_logprob",
+    "q_text_gopher_rules",
+    "q_dedup_containment",
+    "q_dedup_containment_sketch",
+    "q_sample_domain_match",
+    "q_agg_anova",
+    "q_text_pmi_collocations",
+    "q_conversion_paths",
+    "q_grouped_regression",
+    "q_rate_anomaly",
+    "q_dq_volume_anomaly",
+    "q_graph_kcore",
+    "q_sql_udf",
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sf_empty")
+    tables = [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]
+    for t in tables:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(0)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(base / f"{t}.parquet"))
+        )
+    return str(base)
+
+
+@pytest.mark.parametrize("qid", _EMPTY_GATE_QUERIES)
+def test_query_survives_empty_inputs(spark, empty_sf_dir, qid):
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    # must build and execute without raising; row count is free to be 0
+    registry.QUERIES[qid](spark, empty_sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
