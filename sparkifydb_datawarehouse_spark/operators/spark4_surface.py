@@ -214,3 +214,82 @@ def sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY tier
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL TABLE function (CREATE FUNCTION ... RETURNS TABLE) — a declared
+# date-spine generator used FROM-position, the SQL-native way to
+# densify a calendar (every reporting stack needs one; the reference's
+# time dimension at sql_queries.py:161-173 is this spine's
+# materialized cousin). Like the scalar SQL UDF, the body inlines:
+# the plan shows the explode(sequence(...)) directly.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SQL_TABLE_FN = """
+WITH bounds AS (
+    SELECT MIN(CAST(o_orderdate AS DATE)) AS s,
+           MAX(CAST(o_orderdate AS DATE)) AS e
+    FROM orders
+), spine AS (
+    SELECT UNNEST(generate_series(s, e, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+), daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+    FROM orders GROUP BY day
+)
+SELECT date_trunc('month', sp.day)::DATE AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_zero_days,
+       CAST(COALESCE(SUM(d.cents), 0) AS BIGINT) AS revenue_cents
+FROM spine sp LEFT JOIN daily d ON d.day = sp.day
+GROUP BY month
+ORDER BY month
+"""
+
+
+@query("q_sql_table_function", oracle=_ORACLE_SQL_TABLE_FN)
+def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue over a DENSE calendar from a declared SQL
+    table function — days with no orders are counted, not silently
+    absent (the q_rolling_distinct_users contract gap, closed the
+    SQL-native way).
+
+    The spine is calendar-sized (thousands of rows at any data
+    scale), broadcast onto the daily aggregate; the fact table folds
+    to per-day cents BEFORE the join, so the left join and the month
+    rollup never see fact-volume rows.
+    """
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_sql_tfn_orders"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION date_spine(s DATE, e DATE) "
+        "RETURNS TABLE(day DATE) "
+        "RETURN SELECT explode(sequence(s, e)) AS day"
+    )
+    return spark.sql(
+        """
+        WITH bounds AS (
+            SELECT MIN(CAST(o_orderdate AS DATE)) AS s,
+                   MAX(CAST(o_orderdate AS DATE)) AS e
+            FROM _sql_tfn_orders
+        ),
+        spine AS (
+            SELECT day FROM bounds, LATERAL date_spine(bounds.s, bounds.e)
+        ),
+        daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS day,
+                   CAST(ROUND(SUM(o_totalprice) * 100) AS BIGINT) AS cents
+            FROM _sql_tfn_orders GROUP BY day
+        )
+        SELECT CAST(date_trunc('month', sp.day) AS DATE) AS month,
+               COUNT(*) AS n_days,
+               SUM(CASE WHEN d.cents IS NULL THEN 1 ELSE 0 END) AS n_zero_days,
+               CAST(COALESCE(SUM(d.cents), 0) AS BIGINT) AS revenue_cents
+        FROM spine sp LEFT JOIN daily d ON d.day = sp.day
+        GROUP BY CAST(date_trunc('month', sp.day) AS DATE)
+        ORDER BY month
+        """
+    )
