@@ -352,3 +352,83 @@ def dq_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rapid-repeat screen: consecutive orders by the same customer within
+# 2 days, with the amount delta — the duplicate-payment / anomalous-
+# reorder audit finance ops runs daily. (An exact-amount match is the
+# textbook form, but continuous amounts make exact collisions
+# measure-zero — real screens key on the customer and report the
+# amount delta, as here.) One window partitioned by customer;
+# per-customer order counts are bounded, so the sort is skew-free.
+# ---------------------------------------------------------------------------
+
+_DUP_WINDOW_DAYS = 2
+
+_ORACLE_RAPID_REPEAT = f"""
+WITH keyed AS (
+    SELECT o_custkey AS cust_key,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+           CAST(o_orderdate AS DATE) AS day,
+           o_orderkey AS order_key,
+           LAG(CAST(o_orderdate AS DATE)) OVER w AS prev_day,
+           LAG(o_orderkey) OVER w AS prev_order_key,
+           LAG(CAST(ROUND(o_totalprice * 100) AS BIGINT)) OVER w AS prev_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+)
+SELECT cust_key, prev_order_key, order_key, prev_day, day,
+       CAST(day - prev_day AS BIGINT) AS gap_days,
+       ABS(cents - prev_cents) AS amount_delta_cents
+FROM keyed
+WHERE prev_day IS NOT NULL AND day - prev_day <= {_DUP_WINDOW_DAYS}
+ORDER BY cust_key, order_key
+"""
+
+
+@query("q_dq_rapid_repeat", oracle=_ORACLE_RAPID_REPEAT)
+def dq_rapid_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive orders by the same customer within 2 days,
+    reported as (previous, current) pairs with the day gap and the
+    absolute amount delta in cents — small deltas at small gaps are
+    the duplicate-payment candidates a human reviews.
+
+    One shuffle on cust_key; the frame is the customer's own order
+    history (bounded), all comparisons integer.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("cust_key"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.col("o_orderkey").alias("order_key"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cust_key").orderBy("day", "order_key")
+    keyed = o.select(
+        "cust_key",
+        "cents",
+        "day",
+        "order_key",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lag("order_key").over(w).alias("prev_order_key"),
+        F.lag("cents").over(w).alias("prev_cents"),
+    )
+    return (
+        keyed.filter(
+            F.col("prev_day").isNotNull()
+            & (F.datediff("day", "prev_day") <= _DUP_WINDOW_DAYS)
+        )
+        .select(
+            "cust_key",
+            "prev_order_key",
+            "order_key",
+            "prev_day",
+            "day",
+            F.datediff("day", "prev_day").cast("long").alias("gap_days"),
+            F.abs(F.col("cents") - F.col("prev_cents")).alias("amount_delta_cents"),
+        )
+        .orderBy("cust_key", "order_key")
+    )
