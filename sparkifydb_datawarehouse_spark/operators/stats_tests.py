@@ -571,3 +571,69 @@ def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariance/correlation matrix: every pairwise relationship among
+# (quantity, extendedprice, discount, tax) in ONE aggregation pass —
+# the feature-engineering primitive before any modeling. All six
+# pairs + four variances come from the same mergeable moment sums, so
+# the fleet of statistics costs exactly one fact scan and one
+# reduce. (+0 after ROUND folds IEEE -0.0 to 0.0 on both engines.)
+# ---------------------------------------------------------------------------
+
+_COV_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_ORACLE_COV_MATRIX = f"""
+SELECT x, y, n, cov, corr FROM (
+    {" UNION ALL ".join(
+        f"SELECT '{a}' AS x, '{b}' AS y, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"ROUND(COVAR_SAMP({a}, {b}), 4) + 0 AS cov, "
+        f"ROUND(CORR({a}, {b}), 6) + 0 AS corr FROM lineitem"
+        for i, a in enumerate(_COV_COLS)
+        for b in _COV_COLS[i + 1:]
+    )}
+)
+ORDER BY x, y
+"""
+
+
+@query("q_agg_cov_matrix", oracle=_ORACLE_COV_MATRIX)
+def agg_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise sample covariance and correlation for the four
+    numeric lineitem measures, as tidy (x, y, n, cov, corr) rows.
+
+    ONE groupBy-less aggregate evaluates all six covar_samp/corr
+    pairs simultaneously (Spark computes the shared moment sums in a
+    single partial-agg pass over the scan — the plan has one
+    HashAggregate, not six). The oracle's UNION ALL of six scans is
+    the readable equivalent; values agree because both engines use
+    numerically-stable co-moment updates, ROUND(4/6) per the
+    aggregated-double margin.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = []
+    for i, a in enumerate(_COV_COLS):
+        for b in _COV_COLS[i + 1:]:
+            aggs.append(F.count(F.lit(1)).alias(f"n__{a}__{b}"))
+            aggs.append(
+                (F.round(F.covar_samp(a, b), 4) + 0).alias(f"cov__{a}__{b}")
+            )
+            aggs.append((F.round(F.corr(a, b), 6) + 0).alias(f"corr__{a}__{b}"))
+    wide = li.agg(*aggs)
+    pairs = [
+        (a, b) for i, a in enumerate(_COV_COLS) for b in _COV_COLS[i + 1:]
+    ]
+    stacked = wide.select(
+        F.expr(
+            "stack("
+            + str(len(pairs))
+            + ", "
+            + ", ".join(
+                f"'{a}', '{b}', n__{a}__{b}, cov__{a}__{b}, corr__{a}__{b}"
+                for a, b in pairs
+            )
+            + ") AS (x, y, n, cov, corr)"
+        )
+    )
+    return stacked.orderBy("x", "y")

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import query
-from ..tables import register_views
+from ..tables import load_table, register_views
 
 _CROSS = """
 SELECT r.r_name AS region_name, n.n_name AS nation_name
@@ -124,3 +124,56 @@ ORDER BY 1
 def recursive_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_RECURSIVE_SPARK)
+
+
+# ---------------------------------------------------------------------------
+# Relational division: "customers who have ordered under EVERY order
+# priority" — the FOR ALL quantifier, the one classic join shape not
+# otherwise in the registry (semi/anti/exists cover EXISTS; division
+# is its universal dual). Standard scalable form: distinct pairs,
+# per-customer distinct count, compare against the divisor count.
+# ---------------------------------------------------------------------------
+
+_ORACLE_DIVISION = """
+WITH divisor AS (
+    SELECT CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_all FROM orders
+), per_cust AS (
+    SELECT o_custkey AS cust_key,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prio,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_custkey
+)
+SELECT p.cust_key, p.n_prio, p.n_orders
+FROM per_cust p CROSS JOIN divisor d
+WHERE p.n_prio = d.n_all
+ORDER BY p.cust_key
+"""
+
+
+@query("q_relational_division", oracle=_ORACLE_DIVISION)
+def relational_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose order history covers ALL order priorities
+    (relational division / universal quantification).
+
+    One hash agg computes per-customer COUNT(DISTINCT priority) —
+    distinct-by-key is map-side-combinable because priority
+    cardinality is tiny — and the divisor cardinality is a 1-row
+    broadcast. No join against the divisor set itself is needed:
+    counting distinct matches against |divisor| is the textbook
+    scalable division plan (an anti-join formulation would shuffle
+    the pair set twice).
+    """
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    divisor = o.agg(F.count_distinct("o_orderpriority").alias("n_all"))
+    per_cust = o.groupBy(F.col("o_custkey").alias("cust_key")).agg(
+        F.count_distinct("o_orderpriority").alias("n_prio"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.crossJoin(F.broadcast(divisor))
+        .filter(F.col("n_prio") == F.col("n_all"))
+        .select("cust_key", "n_prio", "n_orders")
+        .orderBy("cust_key")
+    )
