@@ -88,6 +88,18 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
     for pdf in batches:
         out = []
         for doc_id, media, meta in zip(pdf["doc_id"], pdf["media"], pdf["media_meta"]):
+            if media is None:
+                # undecodable/null payload: emit an observability row
+                # (magic_ok=0, zero bytes) instead of crashing the
+                # worker — at corpus scale null media is routine
+                out.append(
+                    (
+                        int(doc_id),
+                        meta["kind"] if meta is not None else None,
+                        0, 0, -1, -1, 0,
+                    )
+                )
+                continue
             blob = bytes(media)
             magic_ok = int(blob[:4] == _MAGIC)
             width = int.from_bytes(blob[4:6], "big") if magic_ok else -1
@@ -163,6 +175,8 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            if media is None:  # null payload: nothing to resize, skip
+                continue
             blob = bytes(media)
             w = int.from_bytes(blob[4:6], "big")
             h = int.from_bytes(blob[6:8], "big")
@@ -214,6 +228,8 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out = []
         for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            if media is None:  # null payload: no frames to sample
+                continue
             payload = bytes(media)[8:]
             n_frames = len(payload) // _FRAME_BYTES
             for i in range(0, n_frames, _FRAME_STRIDE):

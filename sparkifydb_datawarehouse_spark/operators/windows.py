@@ -295,7 +295,9 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(vals, (n / 2).cast("int"))
         + F.element_at(vals, (n / 2).cast("int") + 1)
     ) / 2
-    med = F.when(n % 2 == 1, odd).otherwise(even)
+    # n == 0 (an all-NULL frame — collect_list drops nulls) must yield
+    # NULL like DuckDB's median, not an element_at(…, 0) error
+    med = F.when(n == 0, F.lit(None)).when(n % 2 == 1, odd).otherwise(even)
     return ev.select(
         "user_id", "event_id", F.round(med, 6).alias("moving_median")
     ).orderBy("user_id", "event_id")

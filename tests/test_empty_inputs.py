@@ -208,3 +208,60 @@ def test_query_survives_empty_inputs(spark, empty_sf_dir, qid):
     registry.QUERIES[qid](spark, empty_sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+# ---------------------------------------------------------------------------
+# Null-slice gate: a second registry-wide audit ran every query
+# against a fixture with ~15% NULLs injected into non-key columns
+# (288/292 passed; the four crashes — bytes(None) in the three
+# multimodal kernels and element_at(vals, 0) on an all-NULL moving-
+# median frame — are fixed and pinned here).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def null_sf_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sf_nulls")
+    nullable = {
+        "events": ["value", "props", "event_type"],
+        "documents": ["text", "lang", "source"],
+        "orders": ["o_totalprice", "o_orderpriority", "o_orderdate"],
+        "lineitem": ["l_discount", "l_tax", "l_quantity"],
+        "customer": [], "supplier": [], "part": [], "nation": [],
+        "region": [], "embeddings": ["label"],
+    }
+    for t, cols in nullable.items():
+        df = spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+        for c in cols:
+            if c in df.columns:
+                df = df.withColumn(
+                    c,
+                    F.when(
+                        F.abs(F.hash(F.lit(c), df[df.columns[0]])) % 100 < 15,
+                        None,
+                    ).otherwise(df[c]),
+                )
+        df.coalesce(1).write.mode("overwrite").parquet(str(base / f"{t}.parquet"))
+    return str(base)
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "q_multimodal_features",
+        "q_multimodal_frames",
+        "q_multimodal_resize",
+        "q_window_moving_median",
+        "q_dq_rapid_repeat",
+        "q_multitouch_attribution",
+        "q_text_gopher_rules",
+        "q_dedup_containment",
+    ],
+)
+def test_query_survives_null_slices(spark, null_sf_dir, qid):
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    registry.QUERIES[qid](spark, null_sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
