@@ -259,6 +259,8 @@ def kmeans_fit_assign(
         .collect()
     )
     cents = [[float(v) for v in r.embedding] for r in init]
+    # fewer rows than k (tiny slice): fit with the centroids we have
+    k = min(k, len(cents))
     if not cents:
         # empty input slice: no centroids to fit — return the empty
         # assignment with the contract schema instead of letting the

@@ -398,8 +398,9 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     mse = F.expr(
         "aggregate(sequence(1, size(embedding)), cast(0.0 as double), (acc, i) -> "
         "acc + pow(cast(element_at(embedding, i) as double) - "
-        "(element_at(los, i) + floor((cast(element_at(embedding, i) as double) "
-        "- element_at(los, i)) / (element_at(his, i) - element_at(los, i)) * 255.0 "
+        "(element_at(los, i) + floor(try_divide(cast(element_at(embedding, i) "
+        "as double) - element_at(los, i), element_at(his, i) - "
+        "element_at(los, i)) * 255.0 "
         "+ 0.5) / 255.0 * (element_at(his, i) - element_at(los, i))), 2)) "
         "/ size(embedding)"
     )

@@ -179,11 +179,18 @@ def feature_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("c_custkey").alias("cust_key"),
             F.col("c_mktsegment").alias("segment"),
-            F.round((F.col("c_acctbal") - F.col("mu")) / F.col("sigma"), 6).alias(
+            F.round(
+                F.try_divide(F.col("c_acctbal") - F.col("mu"), F.col("sigma")), 6
+            ).alias(
                 "acctbal_zscore"
             ),
             F.round(
-                (F.col("c_acctbal") - F.col("lo")) / (F.col("hi") - F.col("lo")), 6
+                # try_divide: constant column (single-row slice) has
+                # zero range/sigma -> NULL scaled value
+                F.try_divide(
+                    F.col("c_acctbal") - F.col("lo"), F.col("hi") - F.col("lo")
+                ),
+                6,
             ).alias("acctbal_minmax"),
         )
         .orderBy("cust_key")

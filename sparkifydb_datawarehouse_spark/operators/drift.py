@@ -81,8 +81,10 @@ def drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     tot = Window.partitionBy()
-    p = F.col("n_ref") / F.sum("n_ref").over(tot)
-    q = F.col("n_cur") / F.sum("n_cur").over(tot)
+    # try_divide: a slice with an empty ref or cur period (single-row
+    # fixture) has a zero normalizer -> NULL shares, not a crash
+    p = F.try_divide(F.col("n_ref"), F.sum("n_ref").over(tot))
+    q = F.try_divide(F.col("n_cur"), F.sum("n_cur").over(tot))
     return (
         counts.select(
             F.col("bin").cast("long").alias("bin"),

@@ -83,9 +83,11 @@ def ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("y")).alias("sxy"),
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
     ).select(
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        # try_divide: zero covariate variance (single-row slice) makes
+        # theta undefined -> NULL adjustment, not a crash
+        F.try_divide(
+            F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
         ).alias("th"),
         (F.col("sx") / F.col("n")).alias("mean_x"),
     )

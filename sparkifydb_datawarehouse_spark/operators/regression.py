@@ -228,10 +228,15 @@ def kfold_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) * (F.col("tsx") - F.col("sx"))
     params = j.select(
         "fold",
-        (num / den).alias("slope"),
+        # try_divide: a fold whose training complement is a single
+        # point (degenerate slice) has no defined OLS fit -> NULL
+        F.try_divide(num, den).alias("slope"),
         (
-            ((F.col("tsy") - F.col("sy")) - num / den * (F.col("tsx") - F.col("sx")))
-            / (F.col("tn") - F.col("n"))
+            F.try_divide(
+                (F.col("tsy") - F.col("sy"))
+                - F.try_divide(num, den) * (F.col("tsx") - F.col("sx")),
+                F.col("tn") - F.col("n"),
+            )
         ).alias("icept"),
     )
     return (

@@ -323,8 +323,12 @@ def agg_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "return_flag",
         "n",
         F.round(m1, 6).alias("mean_qty"),
-        F.round(m3 / F.sqrt(m2 * m2 * m2), 6).alias("skewness_qty"),
-        F.round(m4 / (m2 * m2) - F.lit(3), 6).alias("excess_kurtosis_qty"),
+        # try_divide: zero variance (constant/single-row slice) has no
+        # defined skew/kurtosis -> NULL, not an ANSI error
+        F.round(F.try_divide(m3, F.sqrt(m2 * m2 * m2)), 6).alias("skewness_qty"),
+        F.round(F.try_divide(m4, m2 * m2) - F.lit(3), 6).alias(
+            "excess_kurtosis_qty"
+        ),
     ).orderBy("return_flag")
 
 
@@ -572,14 +576,16 @@ def agg_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
         ).alias("dof"),
         F.round(chi2, 4).alias("chi2"),
+        # try_divide: a 1x1 contingency table (single-row slice) has
+        # min(r-1, c-1) = 0 -> Cramer's V undefined -> NULL
         F.round(
             F.sqrt(
-                chi2
-                / (
+                F.try_divide(
+                    chi2,
                     F.any_value("total")
                     * F.least(
                         F.countDistinct("lang") - 1, F.countDistinct("source") - 1
-                    )
+                    ),
                 )
             ),
             6,

@@ -561,12 +561,18 @@ def agg_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tot.select(
         "k",
         F.col("nn").cast("long").alias("n_total"),
+        # try_divide x2: one group (k-1 = 0) or zero residual dof
+        # (nn = k, the single-row slice) -> F undefined -> NULL
         F.round(
-            (F.col("sum_sq_over_n") - F.col("ts") * F.col("ts") / F.col("nn"))
-            / (F.col("k") - 1)
-            / (
-                (F.col("tssq") - F.col("sum_sq_over_n"))
-                / (F.col("nn") - F.col("k"))
+            F.try_divide(
+                F.try_divide(
+                    F.col("sum_sq_over_n") - F.col("ts") * F.col("ts") / F.col("nn"),
+                    F.col("k") - 1,
+                ),
+                F.try_divide(
+                    F.col("tssq") - F.col("sum_sq_over_n"),
+                    F.col("nn") - F.col("k"),
+                ),
             ),
             4,
         ).alias("f_stat"),

@@ -265,3 +265,53 @@ def test_query_survives_null_slices(spark, null_sf_dir, qid):
     registry.QUERIES[qid](spark, null_sf_dir).write.format("noop").mode(
         "overwrite"
     ).save()
+
+
+# ---------------------------------------------------------------------------
+# Single-row gate: the third registry-wide audit (one row per table —
+# a brand-new tenant). 283/292 passed; the nine crashes were all
+# degenerate-denominator statistics (zero variance/range/dof) plus a
+# k-means seed shortfall, fixed with try_divide NULL semantics (the
+# guards are inert at oracle scale, so value-parity is unchanged) and
+# a k = min(k, n) clamp.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def one_row_sf_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("sf_one")
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(1)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(str(base / f"{t}.parquet"))
+        )
+    return str(base)
+
+
+@pytest.mark.parametrize(
+    "qid",
+    [
+        "q_ab_cuped",
+        "q_agg_anova",
+        "q_agg_chisquare",
+        "q_agg_skew_kurt",
+        "q_drift_psi",
+        "q_embedding_quantize",
+        "q_feature_scaling",
+        "q_kfold_metrics",
+        "q_kmeans_embeddings",
+    ],
+)
+def test_query_survives_single_row(spark, one_row_sf_dir, qid):
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    registry.QUERIES[qid](spark, one_row_sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
