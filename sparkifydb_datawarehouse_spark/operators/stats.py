@@ -591,3 +591,43 @@ def agg_chisquare(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Geometric mean — the multiplicative average (right-skewed money
+# amounts, growth factors). exp(avg(ln x)) on both engines; the
+# all-positive domain is asserted by the same filter on both sides.
+# ---------------------------------------------------------------------------
+
+_ORACLE_GEOMEAN = """
+SELECT o_orderpriority AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(EXP(AVG(LN(o_totalprice))), 2) AS geomean_price,
+       ROUND(AVG(o_totalprice), 2) AS mean_price
+FROM orders
+WHERE o_totalprice > 0
+GROUP BY priority
+ORDER BY priority
+"""
+
+
+@query("q_agg_geomean", oracle=_ORACLE_GEOMEAN)
+def agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric vs arithmetic mean order value per priority — the
+    gap between the two is the skewness read a finance dashboard
+    actually uses.
+
+    Single hash agg; AVG(LN(x)) is the mergeable form (sum of logs),
+    so the shuffle carries one double per group. The x > 0 filter is
+    the domain guard on BOTH engines (ln(0) diverges between them —
+    the ORACLES.md Kaplan-Meier lesson)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.exp(F.avg(F.log("o_totalprice"))), 2).alias("geomean_price"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        )
+        .orderBy("priority")
+    )
