@@ -54,7 +54,9 @@ def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("order_key"),
             F.col("o_totalprice").alias("total_price"),
         )
-        .orderBy("cust_key", "order_key")
+        # no trailing sort: full-result parity query, the driver/oracle
+        # compare is order-insensitive — a global sort of a join-sized
+        # result would be paid cost with no consumer (VERDICT r3).
     )
 
 
@@ -85,7 +87,7 @@ def join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         finished.alias("f")
         .join(open_.alias("r"), F.col("f.cust_key") == F.col("r.cust_key"), "full")
         .select(F.col("f.cust_key").alias("f_cust"), F.col("r.cust_key").alias("r_cust"))
-        .orderBy(F.col("f_cust").asc_nulls_first(), F.col("r_cust").asc_nulls_first())
+        # no trailing sort: order-insensitive parity compare (VERDICT r3)
     )
 
 
@@ -115,7 +117,7 @@ def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_name").alias("cust_name"),
             F.col("c_acctbal").alias("acct_bal"),
         )
-        .orderBy("cust_key")
+        # no trailing sort: order-insensitive parity compare (VERDICT r3)
     )
 
 
@@ -139,7 +141,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select(F.col("c_custkey").alias("cust_key"), F.col("c_name").alias("cust_name"))
-        .orderBy("cust_key")
+        # no trailing sort: order-insensitive parity compare (VERDICT r3)
     )
 
 
@@ -204,7 +206,7 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_quantity").alias("quantity"),
             F.col("p_size").alias("part_size"),
         )
-        .orderBy("order_key", "line_number")
+        # no trailing sort: order-insensitive parity compare (VERDICT r3)
     )
 
 

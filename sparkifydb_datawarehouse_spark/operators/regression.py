@@ -115,7 +115,17 @@ ORDER BY return_flag
 def winsorized_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winsorized mean per return flag: clip at the exact per-group
     [p05, p95] (pass 1, broadcast cut-point table) then re-aggregate
-    (pass 2). The clipped-vs-raw delta is the outlier influence."""
+    (pass 2). The clipped-vs-raw delta is the outlier influence.
+
+    SCALE NOTE: `F.percentile` is EXACT — it buffers every value of
+    the group in the aggregation buffer, and group SIZE here is
+    fact-scale (3 return flags over all of lineitem), so this exact
+    form is the oracle-parity/fixture form only. At warehouse scale
+    pass 1 must be `F.approx_percentile(col, [0.05, 0.95], 10000)` —
+    a mergeable t-digest sketch with bounded memory per group — as
+    q_agg_robust_stats_approx does for MAD; the cut-points move within
+    sketch error and the winsorized mean is stable to it. Pass 2 is
+    unchanged (broadcast cuts + one hash agg) in either form."""
     li = load_table(spark, sf_dir, "lineitem")
     cuts = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
         F.percentile("l_extendedprice", F.lit(0.05)).alias("lo"),

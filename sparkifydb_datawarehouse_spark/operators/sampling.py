@@ -396,7 +396,7 @@ SELECT o_orderkey AS order_key,
        ROUND(o_totalprice, 2) AS weight,
        ROUND(k, 6) AS es_key
 FROM keyed
-ORDER BY k DESC, o_orderkey
+ORDER BY ROUND(k, 6) DESC, o_orderkey
 LIMIT 100
 """
 
@@ -418,15 +418,20 @@ def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
     u = (hash_bucket(F.col("o_orderkey").cast("string")) + 0.5) / 1000.0
     k = F.pow(u, 1.0 / F.col("o_totalprice"))
+    # Sort/select on the 6-decimal-ROUNDED key: pow is a libm
+    # transcendental with no cross-engine rounding guarantee, so the
+    # top-100 cutoff must be decided on the rounded value (plus the
+    # order_key tie-break) on BOTH engines or a 1-ulp difference can
+    # flip membership at the boundary — the q_price_dispersion
+    # rounded-sort-key discipline (ORACLES.md).
     return (
         orders.select(
             F.col("o_orderkey").alias("order_key"),
             F.round("o_totalprice", 2).alias("weight"),
-            k.alias("_k"),
+            F.round(k, 6).alias("es_key"),
         )
-        .orderBy(F.col("_k").desc(), "order_key")
+        .orderBy(F.col("es_key").desc(), "order_key")
         .limit(100)
-        .select("order_key", "weight", F.round("_k", 6).alias("es_key"))
     )
 
 

@@ -440,10 +440,11 @@ WITH daily AS (
     FROM daily
 )
 SELECT day AS change_day,
-       ROUND(ABS(n * prefix - i * total) * 1.0 / (n * 100.0), 2) AS cusum_abs,
+       ROUND(ABS(CAST(n AS HUGEINT) * prefix - CAST(i AS HUGEINT) * total)
+             * 1.0 / (n * 100.0), 2) AS cusum_abs,
        CAST(n AS BIGINT) AS n_days
 FROM scanned
-ORDER BY ABS(n * prefix - i * total) DESC, day
+ORDER BY ABS(CAST(n AS HUGEINT) * prefix - CAST(i AS HUGEINT) * total) DESC, day
 LIMIT 1
 """
 
@@ -476,8 +477,16 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn("prefix", F.sum("cents").over(w))
         .withColumn("i", F.row_number().over(Window.orderBy("day")))
         .crossJoin(F.broadcast(totals))
+        # DECIMAL(38,0) products: with n ≈ thousands of days and total
+        # cents approaching 1e16 at warehouse scale, n*prefix exceeds
+        # 2^63 — the same BIGINT→DECIMAL(38) lift q_agg_anova uses
+        # (HUGEINT on the DuckDB side).
         .withColumn(
-            "dev", F.abs(F.col("n") * F.col("prefix") - F.col("i") * F.col("total"))
+            "dev",
+            F.abs(
+                F.col("n").cast("decimal(19,0)") * F.col("prefix").cast("decimal(19,0)")
+                - F.col("i").cast("decimal(19,0)") * F.col("total").cast("decimal(19,0)")
+            ),
         )
     )
     return (

@@ -843,8 +843,14 @@ def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
     back?"): per-customer LAG over order dates, then discrete
     percentiles over the gap population — integer day counts
     end-to-end, so the cross-engine compare is exact with no rounding.
-    One customer-keyed window shuffle; the distribution aggregation is
-    the same disc-percentile emulation as q_percentile_bands."""
+    One customer-keyed window shuffle; the percentile is computed over
+    the gap HISTOGRAM, not the gap population: gap_days is a
+    calendar-bounded small integer (≤ dataset span in days), so a hash
+    agg collapses ~|orders| gaps to ≲ a-few-thousand (value, count)
+    rows and the cumulative window runs over that bounded frame — no
+    single-partition sort ever touches fact-scale data (the
+    stats_tests.py discipline; quantile_disc over ties is identical on
+    the histogram because tied ranks share the value)."""
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     gaps = orders.select(
@@ -853,15 +859,17 @@ def purchase_cadence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(F.col("o_orderdate").cast("date")).over(w),
         ).alias("gap_days")
     ).filter(F.col("gap_days").isNotNull())
-    ranked = gaps.select(
+    hist = gaps.groupBy("gap_days").agg(F.count(F.lit(1)).alias("cnt"))
+    w_cum = Window.orderBy("gap_days").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = hist.select(
         "gap_days",
-        F.row_number().over(Window.orderBy("gap_days")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy()).alias("n"),
     )
 
     def disc(p: float):
         return F.min(
-            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("gap_days"))
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("gap_days"))
         )
 
     return ranked.agg(
@@ -959,7 +967,10 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     shipped, median/p95 per priority class plus breach counts (>120d).
     Integer days end-to-end; discrete percentiles per the
     q_percentile_bands rule; one fact join + per-order fold, then the
-    per-priority disc-percentile window over the ORDER aggregate."""
+    percentiles come from the (priority, fill_days) HISTOGRAM — a hash
+    agg collapses ~|orders| rows to ≤ 5·(day-span) histogram rows
+    before any window touches them, so no per-priority partition ever
+    sorts fact-scale data (same shape as q_purchase_cadence)."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     per_order = (
@@ -973,17 +984,25 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    w = Window.partitionBy("priority").orderBy("fill_days")
-    ranked = per_order.select(
+    hist = per_order.groupBy("priority", "fill_days").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("fill_days")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = hist.select(
         "priority",
         "fill_days",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("cum"),
+        F.sum("cnt").over(Window.partitionBy("priority")).alias("n"),
     )
 
     def disc(p: float):
         return F.min(
-            F.when(F.col("rn") >= F.ceil(F.lit(p) * F.col("n")), F.col("fill_days"))
+            F.when(F.col("cum") >= F.ceil(F.lit(p) * F.col("n")), F.col("fill_days"))
         )
 
     return (
@@ -992,9 +1011,9 @@ def fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n").cast("long").alias("n_orders"),
             disc(0.5).alias("median_fill_days"),
             disc(0.95).alias("p95_fill_days"),
-            F.count(F.when(F.col("fill_days") > 120, 1)).cast("long").alias(
-                "n_sla_breaches"
-            ),
+            F.sum(F.when(F.col("fill_days") > 120, F.col("cnt")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("n_sla_breaches"),
         )
         .orderBy("priority")
     )

@@ -21,7 +21,7 @@ registry.load_all_modules()
 EXCHANGE_BUDGETS = {
     "q_activity_heatmap": 3,
     "q_agg_groupby": 2,
-    "q_fulfillment_latency": 4,
+    "q_fulfillment_latency": 5,  # +1 r4: histogram agg replaces fact-scale per-priority sort
     "q_agg_robust_stats_approx": 4,
     "q_agg_rollup": 2,
     "q_agg_skew_kurt": 2,
@@ -61,7 +61,7 @@ EXCHANGE_BUDGETS = {
     "q_cohort_retention": 5,
     "q_corpus_funnel": 9,
     "q_dedup_clusters": 1,
-    "q_dedup_exact": 2,
+    "q_dedup_exact": 3,  # +1 r4: deliberate scan spread before fingerprinting (SCALING.md (f))
     "q_dedup_fuzzy_minhash": 5,
     "q_dedup_ngram_jaccard": 7,
     "q_dedup_representative": 2,
@@ -85,7 +85,7 @@ EXCHANGE_BUDGETS = {
     "q_islands_consecutive": 3,
     "q_join_fuzzy_levenshtein": 2,
     "q_join_interval_overlap": 2,
-    "q_join_left": 2,
+    "q_join_left": 1,  # -1 r4: dropped cosmetic trailing sort
     "q_join_range": 2,
     "q_keyset_pagination": 0,
     "q_kmeans_embeddings": 1,
@@ -96,7 +96,7 @@ EXCHANGE_BUDGETS = {
     "q_impute_median": 4,
     "q_price_dispersion": 1,
     "q_profile_columns": 2,
-    "q_purchase_cadence": 2,
+    "q_purchase_cadence": 3,  # +1 r4: histogram agg replaces fact-scale global sort
     "q_supplier_hhi": 2,
     "q_rollup_timebucket": 2,
     "q_aging_report": 6,

@@ -362,7 +362,7 @@ def test_containment_has_no_cartesian_and_one_fact_shuffle_chain(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" not in plan.replace(
         "BroadcastNestedLoopJoin BuildRight, Cross", ""
-    ) or True  # scalar cap broadcast is the only nested-loop allowed
+    ), plan[:1500]  # scalar cap broadcast is the only nested-loop allowed
     # the 1-row cap frame must arrive via broadcast, not shuffle
     assert "BroadcastExchange" in plan, plan[:1500]
 
