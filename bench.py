@@ -2,7 +2,14 @@
 """Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "sf": ..., "host_load_index": ...,
+"control_sec": ..., "value_normalized": ...}.
+
+host_load_index ~1.0 means the host was quiet and raw times are
+trustworthy; >1.3 means ambient load inflated them — prefer
+value_normalized (first-order correction) and re-measure perf claims
+on a quiet host. Full per-query raw AND normalized detail goes to
+stderr (the stdout line must fit the driver's 2000-byte tail window).
 
 Each query is forced to full execution with a noop-format write (all
 work, no sink cost). Every query gets one untimed warmup run first:
@@ -115,6 +122,19 @@ HEADLINE = [
 ]
 
 
+# Host-noise defense (round-4, VERDICT r3 #1): the shared harness host
+# has twice distorted the official BENCH artifact (r2 parse truncation,
+# r3 a 1.49x phantom regression from ambient load). The bench now
+# carries its own load probe: a DATA-INDEPENDENT synthetic control —
+# 1e9-row range -> xxhash64 -> sum, pure CPU across 32 tasks, zero IO,
+# zero dependence on repo code or scale factor — timed before, between,
+# and after the interleaved passes. host_load_index = median(control) /
+# QUIET_CONTROL_SEC; ~1.0 on a quiet host, rises with contention.
+# Compare bench rounds on raw times only when the index is ~1; else
+# divide by the index for a first-order correction.
+QUIET_CONTROL_SEC = 0.43  # min-of-5 on a quiet host (load avg 0.6), 2026-08-14
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     registry.load_all_modules()
@@ -126,12 +146,34 @@ def main() -> None:
         registry.QUERIES[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    def run_control() -> float:
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1_000_000_000, 1, 32)
+            .selectExpr("sum(xxhash64(id) % 1000003) as s")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.perf_counter() - t0
+
     for name in HEADLINE:  # warmup: JVM, codegen compile, file index
         run(name)
+    run_control()  # warmup the control's codegen too
 
-    # min of 3: the harness host is shared (load spikes distort single
-    # runs by 5-10x); the minimum estimates the plan's true cost
-    timings = {name: round(min(run(name) for _ in range(3)), 3) for name in HEADLINE}
+    # min over 3 INTERLEAVED passes (A,B,C,A,B,C — not A,A,A): a load
+    # spike confined to one wall-clock interval can no longer sit on
+    # all three samples of the same query, so min-of-passes recovers
+    # the quiet cost unless contention spans the whole bench.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    controls = [run_control()]
+    for _ in range(3):
+        for name in HEADLINE:
+            samples[name].append(run(name))
+        controls.append(run_control())
+    timings = {name: round(min(ts), 3) for name, ts in samples.items()}
+    ctrl = sorted(controls)[len(controls) // 2]  # median of 4
+    host_load_index = round(ctrl / QUIET_CONTROL_SEC, 2)
 
     # Full-precision detail to stderr for humans; stdout gets ONE compact
     # JSON line. The driver keeps only the last ~2000 bytes of stdout and
@@ -141,7 +183,15 @@ def main() -> None:
     # the window, the fastest entries are folded out of the map (their cost
     # stays in "value"; the drop is counted in "queries_omitted" — no
     # silent cap).
-    print(json.dumps({"detail": timings}, sort_keys=True), file=sys.stderr)
+    detail = {
+        "detail": timings,
+        "detail_normalized": {
+            n: round(s / max(host_load_index, 0.01), 3) for n, s in timings.items()
+        },
+        "control_samples": [round(c, 3) for c in controls],
+        "host_load_index": host_load_index,
+    }
+    print(json.dumps(detail, sort_keys=True), file=sys.stderr)
 
     compact = {name: round(sec, 2) for name, sec in timings.items()}
     total = round(sum(timings.values()), 3)
@@ -153,6 +203,9 @@ def main() -> None:
             "unit": "sec",
             "queries": queries,
             "sf": sf_dir,
+            "host_load_index": host_load_index,
+            "control_sec": round(ctrl, 3),
+            "value_normalized": round(total / max(host_load_index, 0.01), 1),
         }
         if omitted:
             result["queries_omitted"] = omitted
