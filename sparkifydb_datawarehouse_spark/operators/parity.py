@@ -78,6 +78,67 @@ def join_inner_multikey(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# A6 strict-NUMERIC variant — Redshift bare `NUMERIC` is DECIMAL(18,0)
+# (/root/reference/sql_queries.py:26,49,76 declare length/duration NUMERIC),
+# so the reference's 3-key match at sql_queries.py:130 compares ROUNDED
+# WHOLE-NUMBER seconds, not doubles. SURVEY §1 consciously chose DoubleType
+# end-to-end; this registered variant reproduces the rounded-match semantic
+# exactly so the one documented fidelity delta is itself value-checked.
+# Both engines round double→DECIMAL(18,0) ties half-AWAY-FROM-ZERO
+# (verified: 950.5→951, -950.5→-951 on Spark and DuckDB alike).
+#
+# Fidelity delta pinned at sf0.01 (events, build filter value > 20):
+# DECIMAL(18,0) semantics match 6746 rows; raw-double semantics match
+# 6739 — the 7 extra rows match ONLY because rounding collapses values
+# that differ in the cents digits (e.g. probe 41.8 vs build 42.2 both
+# → 42). That is precisely the behavior a Redshift user gets from the
+# reference schema and would lose under naive double porting.
+# ---------------------------------------------------------------------------
+
+_ORACLE_A6_DEC18 = """
+SELECT e.event_id AS event_id,
+       e.user_id AS user_id,
+       e.event_type AS event_type,
+       CAST(CAST(e.value AS DECIMAL(18,0)) AS BIGINT) AS value_dec18
+FROM events e
+JOIN (
+    SELECT DISTINCT user_id AS uid, event_type AS etype,
+                    CAST(value AS DECIMAL(18,0)) AS vdec
+    FROM events
+    WHERE value > 20
+) d ON e.user_id = d.uid AND e.event_type = d.etype
+   AND CAST(e.value AS DECIMAL(18,0)) = d.vdec
+"""
+
+
+@query("q_join_inner_multikey_decimal18", oracle=_ORACLE_A6_DEC18)
+def join_inner_multikey_decimal18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vdec = F.col("value").cast("decimal(18,0)")
+    triples = (
+        ev.filter(F.col("value") > 20)
+        .select(
+            F.col("user_id").alias("uid"),
+            F.col("event_type").alias("etype"),
+            vdec.alias("vdec"),
+        )
+        .distinct()
+    )
+    return ev.join(
+        triples,
+        (ev.user_id == triples.uid)
+        & (ev.event_type == triples.etype)
+        & (vdec == triples.vdec),
+        "inner",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        vdec.cast("long").alias("value_dec18"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # A9 — inner equi-join on a 2-column key (the artist-dimension build:
 # /root/reference/sql_queries.py:147-149 joins on title+artist_name only,
 # and deliberately does NOT dedup the result — duplicates are faithful).
