@@ -131,23 +131,150 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes):  # pragma: no cover - codec gate
-    """Decode a real image payload. The container ships no codecs;
-    this is the marked plug-point for PIL/libvips in production."""
-    try:
+def decode_image(blob: bytes) -> dict:
+    """Decode a real image payload to
+    {"width", "height", "channels", "pixels" (RGB row-major bytes)}.
+
+    UNCOMPRESSED formats decode here in pure Python with no external
+    dependency (codecs.py): netpbm PPM (P6 binary / P3 ASCII) and
+    24-bit BI_RGB BMP. Compressed formats (PNG/JPEG/WebP/...) require
+    a real codec library, so that path keeps the NotImplementedError
+    gate on an import-try of Pillow."""
+    from .codecs import decode_bmp, decode_ppm
+
+    if blob[:2] in (b"P6", b"P3"):
+        return decode_ppm(blob)
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    try:  # pragma: no cover - codec gate for compressed formats
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "real image decode requires an image codec (e.g. Pillow), "
-            "which is not available in this environment; use the "
+            "compressed-image decode requires a codec library (e.g. "
+            "Pillow), which is not available in this environment; "
+            "uncompressed PPM/BMP decode natively (codecs.py), and the "
             "deterministic fake-media path (attach_fake_media + "
-            "multimodal_features) for pipeline testing"
+            "multimodal_features) covers pipeline testing"
         ) from exc
-    import io
+    import io  # pragma: no cover
 
-    from PIL import Image
+    from PIL import Image  # pragma: no cover
 
-    return Image.open(io.BytesIO(blob))
+    img = Image.open(io.BytesIO(blob)).convert("RGB")  # pragma: no cover
+    return {  # pragma: no cover
+        "width": img.width,
+        "height": img.height,
+        "channels": 3,
+        "pixels": img.tobytes(),
+    }
+
+
+# ---------------------------------------------------------------------------
+# REAL decode path, oracle-checked end-to-end: plant genuine P6 PPM
+# bytes (deterministic gradient from doc_id), decode them with the
+# pure-Python parser, and reduce to integer channel sums. Because the
+# planted pixel at index i is (31·doc_id + 7·i) mod 256, the decoded
+# statistics have a closed form DuckDB can compute with
+# generate_series — so the encode → parse-header → raster-walk →
+# stats pipeline is VALUE-checked, not just rows-only.
+# ---------------------------------------------------------------------------
+
+_PX_A, _PX_B = 31, 7  # pixel[i] = (A*doc_id + B*i) % 256
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _attach_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → real P6 PPM bytes (numpy gradient raster + P6 writer)."""
+    import numpy as np
+
+    from .codecs import encode_ppm_p6
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = d % 64 + 1, d % 48 + 1
+            px = (
+                ((np.arange(w * h * 3, dtype=np.int64) * _PX_B + d * _PX_A) % 256)
+                .astype(np.uint8)
+                .tobytes()
+            )
+            blobs.append(encode_ppm_p6(w, h, px))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _decode_ppm_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """REAL decode: parse the PPM header + raster via decode_image,
+    then integer channel sums (numpy over the decoded buffer)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            img = decode_image(bytes(media))
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64)
+            rgb = px.reshape(-1, 3)
+            out.append(
+                (
+                    int(doc_id),
+                    img["width"],
+                    img["height"],
+                    img["channels"],
+                    int(rgb[:, 0].sum()),
+                    int(rgb[:, 1].sum()),
+                    int(rgb[:, 2].sum()),
+                )
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _DECODE_SCHEMA.fields])
+
+
+_ORACLE_DECODE_PPM = f"""
+WITH px AS (
+    SELECT doc_id,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS width,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS height,
+           UNNEST(generate_series(0, (doc_id % 64 + 1) * (doc_id % 48 + 1) * 3 - 1)) AS i
+    FROM documents
+)
+SELECT doc_id, width, height, 3 AS channels,
+       SUM(CASE WHEN i % 3 = 0 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_r,
+       SUM(CASE WHEN i % 3 = 1 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_g,
+       SUM(CASE WHEN i % 3 = 2 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_b
+FROM px
+GROUP BY doc_id, width, height
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_decode_ppm", oracle=_ORACLE_DECODE_PPM)
+def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → REAL P6 PPM binary column → pure-Python decode →
+    integer channel sums, value-checked against the closed form of the
+    planted gradient. Per-row work is heavy (encode + parse + raster
+    walk), so the scan is spread across executors first (single-file
+    fixture gives one scan partition — the llm/dedup.py idiom); the
+    features that leave mapInPandas are seven fixed-width columns,
+    payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_ppm,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_ppm_features, _DECODE_SCHEMA).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

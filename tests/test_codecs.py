@@ -1,0 +1,113 @@
+"""Pure-Python image codec tests (llm/codecs.py) + the real decode
+path in llm/multimodal.decode_image. No Spark session needed."""
+
+from __future__ import annotations
+
+import pytest
+
+from sparkifydb_datawarehouse_spark.llm.codecs import (
+    ImageDecodeError,
+    decode_bmp,
+    decode_ppm,
+    encode_bmp_24,
+    encode_ppm_p6,
+)
+from sparkifydb_datawarehouse_spark.llm.multimodal import decode_image
+
+# a 2x2 RGB image: red, green / blue, white (row-major, top-down)
+PX_2X2 = bytes(
+    [255, 0, 0, 0, 255, 0,
+     0, 0, 255, 255, 255, 255]
+)
+
+
+def test_ppm_p6_roundtrip():
+    blob = encode_ppm_p6(2, 2, PX_2X2)
+    img = decode_ppm(blob)
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["pixels"] == PX_2X2
+
+
+def test_ppm_p6_with_comments_and_odd_whitespace():
+    blob = b"P6 # a comment\n# full comment line\n 2\t2 #trailing\n255\n" + PX_2X2
+    img = decode_ppm(blob)
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == PX_2X2
+
+
+def test_ppm_p3_ascii():
+    body = " ".join(str(b) for b in PX_2X2).encode()
+    blob = b"P3\n2 2\n255\n" + body
+    img = decode_ppm(blob)
+    assert img["pixels"] == PX_2X2
+
+
+def test_ppm_raster_binary_values_not_eaten_by_tokenizer():
+    # raster bytes that LOOK like whitespace (0x0A, 0x20) must survive:
+    # the P6 raster starts exactly one byte after the maxval token
+    px = bytes([10, 32, 9] * 4)
+    img = decode_ppm(encode_ppm_p6(2, 2, px))
+    assert img["pixels"] == px
+
+
+def test_ppm_truncated_raster_raises():
+    blob = encode_ppm_p6(2, 2, PX_2X2)[:-1]
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        decode_ppm(blob)
+
+
+def test_ppm_bad_maxval_raises():
+    with pytest.raises(ImageDecodeError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + PX_2X2 * 2)
+
+
+def test_bmp_roundtrip_normalizes_to_topdown_rgb():
+    blob = encode_bmp_24(2, 2, PX_2X2)
+    img = decode_bmp(blob)
+    assert (img["width"], img["height"], img["channels"]) == (2, 2, 3)
+    assert img["pixels"] == PX_2X2
+
+
+def test_bmp_row_padding():
+    # width 3 -> 9 bytes/row, padded to 12: padding must be skipped
+    px = bytes(range(3 * 2 * 3))
+    img = decode_bmp(encode_bmp_24(3, 2, px))
+    assert (img["width"], img["height"]) == (3, 2)
+    assert img["pixels"] == px
+
+
+def test_bmp_rejects_compressed():
+    blob = bytearray(encode_bmp_24(2, 2, PX_2X2))
+    blob[30] = 1  # BI_RLE8
+    with pytest.raises(ImageDecodeError, match="BI_RGB"):
+        decode_bmp(bytes(blob))
+
+
+def test_decode_image_dispatches_by_magic():
+    assert decode_image(encode_ppm_p6(2, 2, PX_2X2))["pixels"] == PX_2X2
+    assert decode_image(encode_bmp_24(2, 2, PX_2X2))["pixels"] == PX_2X2
+
+
+def test_decode_image_gate_remains_for_compressed():
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow present; gate not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_image(png_magic)
+
+
+def test_planted_gradient_matches_closed_form():
+    # the q_multimodal_decode_ppm contract: pixel[i] = (31*d + 7*i) % 256
+    import numpy as np
+
+    d = 123
+    w, h = d % 64 + 1, d % 48 + 1
+    px = ((np.arange(w * h * 3, dtype=np.int64) * 7 + d * 31) % 256).astype(np.uint8)
+    img = decode_ppm(encode_ppm_p6(w, h, px.tobytes()))
+    rgb = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64).reshape(-1, 3)
+    expect_r = sum((31 * d + 7 * i) % 256 for i in range(w * h * 3) if i % 3 == 0)
+    assert int(rgb[:, 0].sum()) == expect_r
