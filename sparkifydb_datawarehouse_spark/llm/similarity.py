@@ -656,3 +656,120 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivf_ids = similarity_ivf_nprobe(spark, sf_dir, nprobe=n).select("vec_id")
         out = out.unionAll(recall_row(ivf_ids, "ivf", n))
     return out.orderBy("method", "nprobe")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the billion-scale ANN memory trick the
+# similarity family was missing: split each 64-dim vector into M=8
+# subvectors, quantize each against K=8 per-subspace centroids
+# (deterministic "training": the first K vectors' subvectors, the
+# q_similarity_ivf convention), store only the M code bytes, and
+# answer queries by Asymmetric Distance Computation — one M×K lookup
+# table of query-to-centroid distances, summed per candidate.
+#
+# Scale reading: codes are M bytes vs d floats per vector (32× here,
+# 256× with K=256 and d=512) — the compression that lets a 100 TB
+# embedding corpus fit an in-memory index. The LUT is M×K rows
+# broadcast; the search is a code-table scan + tiny-LUT hash join +
+# per-vector sum — no raw vectors are read after encoding. Per-subspace
+# distances are rounded to 6dp and carried as INTEGER micro-units so
+# the ADC sum is exact integer arithmetic on both engines (no
+# float-summation-order drift).
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces
+_PQ_K = 8  # centroids per subspace (vec_id < _PQ_K)
+_PQ_SUB = 8  # dims per subspace (64 / _PQ_M)
+
+_DUCK_SUB_L2_6 = (
+    "CAST(ROUND(list_sum(list_transform(range(1, {n}), i -> "
+    "({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) * 1000000) AS BIGINT)"
+)
+
+_ORACLE_PQ = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+subs AS (
+    SELECT vec_id, label, m, emb[m * {_PQ_SUB} + 1 : m * {_PQ_SUB} + {_PQ_SUB}] AS sub
+    FROM e, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(m)
+),
+cents AS (SELECT m, vec_id AS cent_id, sub AS cent_sub FROM subs WHERE vec_id < {_PQ_K}),
+dists AS (
+    SELECT s.vec_id, s.label, s.m, c.cent_id,
+           {_DUCK_SUB_L2_6.format(n=_PQ_SUB + 1, a='s.sub', b='c.cent_sub')} AS d6
+    FROM subs s JOIN cents c ON s.m = c.m
+),
+codes AS (
+    SELECT vec_id, label, m, cent_id AS code,
+           ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d6, cent_id) AS rn
+    FROM dists
+),
+lut AS (SELECT m, cent_id, d6 FROM dists WHERE vec_id = {_QUERY_VEC_ID}),
+adc AS (
+    SELECT c.vec_id, c.label, SUM(l.d6) AS adc6
+    FROM (SELECT * FROM codes WHERE rn = 1 AND vec_id <> {_QUERY_VEC_ID}) c
+    JOIN lut l ON l.m = c.m AND l.cent_id = c.code
+    GROUP BY c.vec_id, c.label
+)
+SELECT vec_id, label, ROUND(adc6 / 1000000.0, 6) AS adc_dist
+FROM adc
+ORDER BY adc6, vec_id
+LIMIT {_TOP_K}
+"""
+
+
+@query("q_similarity_pq", oracle=_ORACLE_PQ)
+def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC approximate top-k (smallest approximate L2) for the
+    standard query vector — encode once, search on codes + a broadcast
+    M×K lookup table. Fully value-checked: per-subspace L2 rounded to
+    integer micro-units before the argmin and the ADC sum, so both the
+    code assignment and the final ordering are exact-integer decisions
+    on both engines."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    subs = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {_PQ_M - 1}), "
+                f"m -> slice(emb, m * {_PQ_SUB} + 1, {_PQ_SUB}))"
+            )
+        ).alias("m", "sub"),
+    )
+    cents = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "m", F.col("vec_id").alias("cent_id"), F.col("sub").alias("cent_sub")
+    )
+    d6 = F.round(
+        F.aggregate(
+            F.zip_with("sub", "cent_sub", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * 1000000
+    ).cast("long")
+    dists = subs.join(F.broadcast(cents), "m").withColumn("d6", d6)
+    w = Window.partitionBy("vec_id", "m").orderBy("d6", "cent_id")
+    codes = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("vec_id") != _QUERY_VEC_ID))
+        .select("vec_id", "label", "m", F.col("cent_id").alias("code"))
+    )
+    lut = dists.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
+        "m", F.col("cent_id").alias("code"), "d6"
+    )
+    return (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id", "label")
+        .agg(F.sum("d6").alias("adc6"))
+        .orderBy("adc6", "vec_id")
+        .limit(_TOP_K)
+        .select(
+            "vec_id",
+            "label",
+            F.round(F.col("adc6") / 1000000.0, 6).alias("adc_dist"),
+        )
+    )
