@@ -119,6 +119,9 @@ HEADLINE = [
     "q_multitouch_attribution",      # bounded RANGE frame + fixed-point credit
     "q_grouped_regression",          # per-key OLS, one sufficient-stats agg
     "q_ts_acf",                      # daily fold + multi-lag window + corr
+    "q_ann_recall",                  # recall@k QA harness (7 top-k subplans)
+    "q_similarity_pq",               # product-quantization ADC search
+    "q_multimodal_decode_ppm",       # real PPM decode via mapInPandas
 ]
 
 

@@ -67,3 +67,43 @@ def test_ivf_nprobe1_matches_registered_single_cell_query(spark):
         for r in registry.QUERIES["q_similarity_ivf"](spark, SF_ORACLE).collect()
     }
     assert got == want
+
+
+def test_pq_adc_recall_vs_exact_l2(spark):
+    """PQ/ADC top-10 vs exact-L2 brute-force ground truth: with 8
+    subspaces x 8 centroids the codebook is tiny, so we gate a modest
+    floor — the point is the measurement exists (ADC ordering is a
+    REAL approximation here, unlike the identically-bucketed oracles)."""
+    from pyspark.sql import functions as F
+
+    emb = (
+        registry.QUERIES["q_similarity_pq"](spark, SF_ORACLE)
+        .select("vec_id")
+        .collect()
+    )
+    pq_ids = {r["vec_id"] for r in emb}
+
+    vecs = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    q = vecs.filter(F.col("vec_id") == 0).select(F.col("emb").alias("q_emb"))
+    l2 = F.aggregate(
+        F.zip_with("emb", "q_emb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    truth = {
+        r["vec_id"]
+        for r in (
+            vecs.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(q))
+            .select("vec_id", l2.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        )
+    }
+    recall = len(pq_ids & truth) / 10.0
+    # measured 2026-08-14 at sf0.01; floor one notch below measurement
+    assert recall >= 0.3, f"PQ recall@10 collapsed: {recall} ({pq_ids} vs {truth})"

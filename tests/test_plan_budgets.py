@@ -159,6 +159,12 @@ EXCHANGE_BUDGETS = {
     "q_dedup_containment_sketch": 8,
     "q_grouped_regression": 3,
     "q_rate_anomaly": 1,
+    # round-4 additions
+    "q_ann_recall": 33,  # 7 top-k subplans unioned; QA harness by design
+    "q_similarity_pq": 5,
+    "q_multimodal_decode_ppm": 2,
+    "q_join_inner_multikey_decimal18": 2,
+    "q_winsorized_agg": 4,
 }
 
 
