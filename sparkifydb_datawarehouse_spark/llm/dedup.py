@@ -44,16 +44,16 @@ ORDER BY fingerprint
 @query("q_dedup_exact", oracle=_ORACLE_EXACT)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # Spread the scan before fingerprinting: a single parquet fixture
-    # file gives ONE scan partition, which would run the whole-corpus
-    # regexp+md5 projection serially (the _shingle_hashes_exploded
-    # discipline, same rationale: per-row CPU dominates the one
-    # (doc_id, text) transfer). The fingerprint groupBy's own shuffle
-    # still carries (hash, doc_id, count) only.
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    # Measured negative result (round 4): a scan-spread repartition
+    # before the fingerprint projection — the _shingle_hashes_exploded
+    # idiom — was tried per VERDICT r3 #7 and REGRESSED this query
+    # (0.40 → 0.58 s min-of-5, quiet host, sf0.1): unlike shingling,
+    # the per-row regexp+md5 here is cheap relative to shuffling full
+    # text, so the map-side projection on scan partitions wins. The
+    # groupBy shuffle carries (hash, doc_id, count) only.
     fp = F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " "))
     return (
-        spread.groupBy(fp.alias("fingerprint"))
+        docs.groupBy(fp.alias("fingerprint"))
         .agg(
             F.min("doc_id").alias("keeper_doc_id"),
             F.count(F.lit(1)).alias("n_copies"),

@@ -61,7 +61,7 @@ EXCHANGE_BUDGETS = {
     "q_cohort_retention": 5,
     "q_corpus_funnel": 9,
     "q_dedup_clusters": 1,
-    "q_dedup_exact": 3,  # +1 r4: deliberate scan spread before fingerprinting (SCALING.md (f))
+    "q_dedup_exact": 2,  # r4: scan-spread tried and reverted (measured regression; see dedup.py)
     "q_dedup_fuzzy_minhash": 5,
     "q_dedup_ngram_jaccard": 7,
     "q_dedup_representative": 2,
