@@ -387,16 +387,19 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_AES = f"""
 WITH keyed AS (
     SELECT o_orderkey, o_totalprice,
+           CAST(ROUND(-LN(({_duck_bucket("o_orderkey::VARCHAR")} + 0.5) / 1000.0)
+                      * 1000000000) AS BIGINT) AS a,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS wc,
            POWER(({_duck_bucket("o_orderkey::VARCHAR")} + 0.5) / 1000.0,
                  1.0 / o_totalprice) AS k
     FROM orders
-    WHERE o_totalprice > 0
+    WHERE ROUND(o_totalprice * 100) >= 1
 )
 SELECT o_orderkey AS order_key,
        ROUND(o_totalprice, 2) AS weight,
        ROUND(k, 6) AS es_key
 FROM keyed
-ORDER BY ROUND(k, 6) DESC, o_orderkey
+ORDER BY CAST(a AS DOUBLE) / CAST(wc AS DOUBLE) ASC, o_orderkey
 LIMIT 100
 """
 
@@ -415,23 +418,38 @@ def sample_weighted_noreplace(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_sample_weighted (rate-based, with-replacement flavor): this is
     the exact-k no-replacement form.
     """
-    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
-    u = (hash_bucket(F.col("o_orderkey").cast("string")) + 0.5) / 1000.0
+    # Cross-engine-deterministic ordering WITHOUT collapsing the key:
+    # maximizing u^(1/w) == minimizing (-ln u)/w. pow/ln are libm
+    # transcendentals (no cross-engine rounding guarantee), so the
+    # naive fix — sorting on round(pow,6) — is deterministic but
+    # DEGENERATE: near the top, u^(1/w) -> 1 for every large weight
+    # and thousands of rows tie at 1.000000, making the "weighted"
+    # cutoff an order_key lottery (caught by the round-4 10x audit).
+    # Instead: (a) -ln(u) is rounded ONCE per md5 bucket to integer
+    # nano-units — a fixed 1000-value table verified bit-identical
+    # across Spark/DuckDB/libm; (b) weight becomes exact integer
+    # cents; (c) the rank key a/wc is then a SINGLE IEEE-754 division
+    # of two exact integers — correctly rounded by the standard, hence
+    # bit-identical on both engines (the _dot_fold argument), and
+    # DENSE: no tie plateau, the top-100 stays genuinely
+    # weight-driven. es_key stays the classic E-S key for display.
+    orders = load_table(spark, sf_dir, "orders")
+    b = hash_bucket(F.col("o_orderkey").cast("string"))
+    u = (b + 0.5) / 1000.0
+    a = F.round(-F.log(u) * 1e9).cast("long")
+    wc = F.round(F.col("o_totalprice") * 100).cast("long")
     k = F.pow(u, 1.0 / F.col("o_totalprice"))
-    # Sort/select on the 6-decimal-ROUNDED key: pow is a libm
-    # transcendental with no cross-engine rounding guarantee, so the
-    # top-100 cutoff must be decided on the rounded value (plus the
-    # order_key tie-break) on BOTH engines or a 1-ulp difference can
-    # flip membership at the boundary — the q_price_dispersion
-    # rounded-sort-key discipline (ORACLES.md).
     return (
-        orders.select(
+        orders.filter(F.round(F.col("o_totalprice") * 100) >= 1)
+        .select(
             F.col("o_orderkey").alias("order_key"),
             F.round("o_totalprice", 2).alias("weight"),
             F.round(k, 6).alias("es_key"),
+            (a.cast("double") / wc.cast("double")).alias("_rank_key"),
         )
-        .orderBy(F.col("es_key").desc(), "order_key")
+        .orderBy(F.col("_rank_key").asc(), "order_key")
         .limit(100)
+        .drop("_rank_key")
     )
 
 
