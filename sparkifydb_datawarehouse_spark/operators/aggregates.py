@@ -117,6 +117,60 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# B4c — HLL accuracy CALIBRATION (round 4): q_agg_approx_distinct is
+# rows-only because the estimate is engine-specific, which left "the
+# sketch is accurate" as an unchecked claim. This query turns the
+# claim itself into the oracled VALUE: for each configured rsd, Spark
+# computes |approx − exact| / exact and emits within_3rsd — Spark's
+# HLL++ is deterministic for fixed data (register-max merge is
+# commutative), so the flag is stable, and the oracle asserts the
+# exact count plus the contract flag = 1. If the sketch ever degrades
+# past 3·rsd, the driver's value-hash catches it — the same
+# self-verification discipline as the minhash MAE calibration
+# (llm/dedup.py) and the t-digest ≤1% anchor.
+# ---------------------------------------------------------------------------
+
+_HLL_RSDS = (0.05, 0.02, 0.01)
+
+_ORACLE_HLL_CALIBRATION = f"""
+WITH exact AS (
+    SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_exact FROM orders
+)
+SELECT rsd, n_exact, CAST(1 AS INTEGER) AS within_3rsd
+FROM exact, (SELECT UNNEST([{", ".join(str(r) for r in _HLL_RSDS)}]) AS rsd)
+ORDER BY rsd
+"""
+
+
+@query("q_agg_approx_distinct_calibration", oracle=_ORACLE_HLL_CALIBRATION)
+def agg_approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.countDistinct("o_custkey").cast("long").alias("n_exact")] + [
+        F.approx_count_distinct("o_custkey", rsd=r).alias(f"approx_{i}")
+        for i, r in enumerate(_HLL_RSDS)
+    ]
+    wide = orders.agg(*aggs)
+    per_rsd = [
+        wide.select(
+            F.lit(r).alias("rsd"),
+            F.col("n_exact"),
+            (
+                F.abs(F.col(f"approx_{i}") - F.col("n_exact"))
+                / F.col("n_exact")
+                <= 3 * r
+            )
+            .cast("int")
+            .alias("within_3rsd"),
+        )
+        for i, r in enumerate(_HLL_RSDS)
+    ]
+    out = per_rsd[0]
+    for df in per_rsd[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("rsd")
+
+
+# ---------------------------------------------------------------------------
 # B5 — rollup + cube (multi-level totals via Expand).
 # ---------------------------------------------------------------------------
 
