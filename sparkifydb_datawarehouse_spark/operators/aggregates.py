@@ -154,9 +154,13 @@ def agg_approx_distinct_calibration(spark: SparkSession, sf_dir: str) -> DataFra
         wide.select(
             F.lit(r).alias("rsd"),
             F.col("n_exact"),
+            # try_divide: NULL (not a crash) on an empty corpus where
+            # n_exact = 0 — inert at oracle scale (the empty-slice gate)
             (
-                F.abs(F.col(f"approx_{i}") - F.col("n_exact"))
-                / F.col("n_exact")
+                F.try_divide(
+                    F.abs(F.col(f"approx_{i}") - F.col("n_exact")),
+                    F.col("n_exact"),
+                )
                 <= 3 * r
             )
             .cast("int")

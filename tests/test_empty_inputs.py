@@ -178,6 +178,13 @@ _EMPTY_GATE_QUERIES = [
     "q_dq_volume_anomaly",
     "q_graph_kcore",
     "q_sql_udf",
+    # round-4 additions (audited empty+one-row clean on 2026-08-14)
+    "q_ann_recall",
+    "q_similarity_pq",
+    "q_multimodal_decode_ppm",
+    "q_agg_approx_distinct_calibration",
+    "q_join_inner_multikey_decimal18",
+    "q_sample_weighted_noreplace",
 ]
 
 
@@ -306,6 +313,12 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_feature_scaling",
         "q_kfold_metrics",
         "q_kmeans_embeddings",
+        # round-4 additions
+        "q_ann_recall",
+        "q_similarity_pq",
+        "q_multimodal_decode_ppm",
+        "q_agg_approx_distinct_calibration",
+        "q_sample_weighted_noreplace",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
