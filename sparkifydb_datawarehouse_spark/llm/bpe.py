@@ -1,0 +1,193 @@
+"""BPE tokenizer: train (character-level byte-pair merges, Sennrich
+2016, public literature) and APPLY — the step q_text_bpe_merges only
+cost-modeled. Token counting under a LEARNED subword tokenizer is the
+statistic LLM data pipelines actually bill by (tokens, not words), so
+"apply the tokenizer at corpus scale" is a first-class operator.
+
+Architecture (the k-means/centroid discipline for bounded driver
+state):
+- TRAIN on the word-TYPE histogram, not the corpus: distinct words +
+  frequencies are vocabulary-bounded (Heaps' law), and the trainer
+  only needs the top-V types (V=200 here) — a deterministic top-k
+  (count desc, word asc) collected to the driver like k-means
+  centroids or cut-point tables. The merge loop is pure Python over
+  ≤V short strings — milliseconds, independent of corpus size.
+- APPLY is map-side: the ≤N_MERGES merge table rides to executors in
+  the UDF closure (broadcast-sized), encoding is a per-word greedy
+  merge with a per-batch word→length memo (Zipf makes the memo hit
+  rate high), and only fixed-width counts leave mapInPandas. No
+  shuffle touches text; the final per-language rollup is a tiny agg.
+
+Rows-only registration: the greedy iterative merge is genuinely
+non-SQL-expressible (the documented rows-only category); behavioral
+correctness is pinned by hand-computed classic examples in
+tests/test_bpe.py (lowest/newer corpus), determinism asserted.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..registry import query
+from ..tables import load_table
+
+_TOKEN_SPLIT = r"\s+"
+_N_TYPES = 200  # top word types fed to the trainer
+_N_MERGES = 30
+_EOW = "</w>"
+
+
+def train_bpe(word_freqs: dict[str, int], n_merges: int = _N_MERGES) -> list[tuple[str, str]]:
+    """Classic BPE trainer over a word-type histogram. Deterministic:
+    ties on pair frequency break lexicographically (smallest pair)."""
+    vocab: dict[tuple[str, ...], int] = {
+        tuple(w) + (_EOW,): f for w, f in word_freqs.items() if w
+    }
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pairs: dict[tuple[str, str], int] = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        if not pairs:
+            break
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        merges.append(best)
+        merged = best[0] + best[1]
+        new_vocab: dict[tuple[str, ...], int] = {}
+        for sym, f in vocab.items():
+            out: list[str] = []
+            i = 0
+            while i < len(sym):
+                if i < len(sym) - 1 and (sym[i], sym[i + 1]) == best:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def bpe_encode(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy apply: repeatedly merge the lowest-rank adjacent pair
+    (leftmost on rank ties) — the standard BPE inference loop."""
+    sym = list(word) + [_EOW]
+    while len(sym) > 1:
+        best_rank = None
+        best_i = -1
+        for i in range(len(sym) - 1):
+            r = ranks.get((sym[i], sym[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                best_i = i
+        if best_rank is None:
+            break
+        sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+    return sym
+
+
+def learn_corpus_merges(
+    spark: SparkSession, sf_dir: str, n_types: int = _N_TYPES, n_merges: int = _N_MERGES
+) -> list[tuple[str, str]]:
+    """Deterministic top-V word-type histogram → driver-side trainer.
+    The collect is bounded at n_types rows (the k-means-centroid rule
+    for driver state)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    top = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w")
+        .limit(n_types)
+        .collect()
+    )
+    return train_bpe({r["w"]: r["n"] for r in top}, n_merges)
+
+
+_BPE_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("n_docs", LongType()),
+        StructField("n_words", LongType()),
+        StructField("n_subwords", LongType()),
+        StructField("subwords_per_word", DoubleType()),
+    ]
+)
+
+
+@query("q_text_bpe_apply")  # rows-only: greedy merge loop is non-SQL-expressible
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the corpus-learned BPE merges to every document and roll
+    up token economics per language: words, subword tokens, and the
+    fertility ratio (subwords/word) — the number that decides training
+    cost under a given tokenizer."""
+    merges = learn_corpus_merges(spark, sf_dir)
+    ranks = {p: i for i, p in enumerate(merges)}
+
+    def encode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            rows = []
+            for lang, text in zip(pdf["lang"], pdf["text"]):
+                if text is None:
+                    rows.append((lang, 1, 0, 0))
+                    continue
+                n_words = 0
+                n_sub = 0
+                for w in str(text).lower().split():
+                    n_words += 1
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = len(bpe_encode(w, ranks))
+                        memo[w] = hit
+                    n_sub += hit
+                rows.append((lang, 1, n_words, n_sub))
+            yield pd.DataFrame(
+                rows, columns=["lang", "n_docs", "n_words", "n_subwords"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    # per-row Python cost dominates → spread the single-file fixture
+    # scan (the shingle-spread precondition HOLDS here, unlike the
+    # reverted q_dedup_exact case: greedy BPE is ~100x a regexp+md5)
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    per_doc = spread.mapInPandas(
+        encode_batches,
+        StructType(
+            [
+                StructField("lang", StringType()),
+                StructField("n_docs", LongType()),
+                StructField("n_words", LongType()),
+                StructField("n_subwords", LongType()),
+            ]
+        ),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.round(
+                F.try_divide(F.sum("n_subwords"), F.sum("n_words")), 4
+            ).alias("subwords_per_word"),
+        )
+        .orderBy("lang")
+    )

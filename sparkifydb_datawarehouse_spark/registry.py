@@ -91,6 +91,7 @@ def load_all_modules() -> None:
         windows,
     )
     from .llm import (  # noqa: F401
+        bpe,
         chunking,
         clustering,
         containment,
