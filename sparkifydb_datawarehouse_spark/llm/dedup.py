@@ -939,3 +939,153 @@ def dedup_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin
+# family — Bayardo et al. WWW'07, Xiao et al. WWW'08, public
+# literature): find every document pair with shingle-set Jaccard ≥ t
+# over the WHOLE corpus — no id-band, no source restriction (the
+# candidate windows q_dedup_ngram_jaccard uses) and no sketch
+# approximation (minhash). The scale mechanism is the prefix filter:
+# order each doc's shingles by GLOBAL rarity (document frequency asc,
+# shingle asc — any total order is sound, rare-first minimizes
+# candidates) and index only the first |x| − ⌈(t/(1+t))·|x|⌉ + 1 of
+# them. Soundness: j ≥ t ⇒ |A∩B| ≥ α = ⌈t/(1+t)·(|A|+|B|)⌉, while a
+# pair sharing NO prefix shingle has |A∩B| ≤ suffix_a + suffix_b
+# < t/(1+t)·(|A|+|B|) ≤ α — contradiction, so every qualifying pair
+# meets in ≥1 (rare) prefix-shingle bucket. The brute-force oracle
+# verifies this math empirically: a missed pair fails the value hash.
+#
+# 100 TB shape: postings explode only prefix shingles (rare by
+# construction — bucket depth collapses vs the full inverted index);
+# the integer length filter (t·|a| ≤ |b| ≤ |a|/t) prunes map-side;
+# verification joins candidates back to full postings, so its cost is
+# bounded by candidate volume, not corpus size. Threshold and
+# prefix arithmetic are exact integers on both engines.
+#
+# Measured profile (round 4): sf0.1 ~2.8 s (459k raw candidates →
+# 125k after the position filter → 256 pairs). At 10× (replica-built
+# corpus) candidates grow 78× (9.8M) because every doc has 10
+# high-overlap replicas — EXACT similarity joins are inherently
+# output/candidate-sensitive, and a self-similar corpus is their
+# adversarial case (~60 s). A count filter (s shared prefix shingles)
+# was tried and REJECTED: the sound bound is s + ⌈la/3⌉ + ⌈lb/3⌉ − 2
+# (suffix sizes ADD across sides; the min-form dropped 360 true pairs
+# at 10× before the oracle-discipline caught it), which prunes almost
+# nothing at these set sizes. At 100 TB the sketch tier (minhash LSH)
+# remains the first-stage candidate generator; prefix-filter is the
+# exact mid-scale tool and the post-LSH verifier.
+# ---------------------------------------------------------------------------
+
+_PF_T_NUM, _PF_T_DEN = 1, 2  # Jaccard threshold t = 1/2
+
+_ORACLE_PREFIX_FILTER = """
+WITH toks AS (
+    SELECT doc_id, list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS tk
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct(CASE WHEN len(tk) >= 3 THEN
+               list_transform(range(1, len(tk) - 1),
+                              i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])
+               ELSE [] END) AS toks
+    FROM toks
+), pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.toks, b.toks)) AS li,
+           len(a.toks) AS la, len(b.toks) AS lb
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.toks) > 0 AND len(b.toks) > 0
+)
+SELECT doc_a, doc_b,
+       ROUND(li * 1.0 / (la + lb - li), 6) AS jaccard
+FROM pairs
+WHERE 3 * li >= la + lb
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("q_dedup_prefix_filter", oracle=_ORACLE_PREFIX_FILTER)
+def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    # exploded distinct shingles, materialized once (three consumers:
+    # sizes, prefix index, verification postings) — the
+    # q_dedup_ngram_jaccard localCheckpoint discipline
+    ex = spread.select(
+        "doc_id", F.explode(_word_shingles("text")).alias("shingle")
+    ).localCheckpoint(eager=True)
+    sized = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = ex.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+
+    # global rarity order -> per-doc rank -> keep the prefix:
+    # px = n - ceil(n * t/(1+t)) + 1, t=1/2 -> n - ceil(n/3) + 1
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    prefix = (
+        ex.join(dfreq, "shingle")
+        .withColumn("rk", F.row_number().over(w))
+        .join(sized, "doc_id")
+        .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") / 3) + 1)
+        .select("doc_id", "shingle", "n", "rk")
+    )
+
+    # candidate pairs: shared prefix shingle + integer length filter
+    # (t*la <= lb <= la/t), then the PPJoin POSITION filter: at the
+    # pair's FIRST prefix match (ra, rb), every other shared shingle is
+    # strictly later in the global order on both sides (an earlier one
+    # would itself be a prefix match), so |A∩B| ≤ 1 + min(la−ra, lb−rb)
+    # — prune pairs whose bound can't reach α = ⌈(la+lb)/3⌉. Measured
+    # at sf0.1: 459k raw candidates → 125k, verify 4.5 s → 1.9 s; the
+    # brute-force oracle re-proves soundness on every run.
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (_PF_T_DEN * F.col("b.n") >= _PF_T_NUM * F.col("a.n"))
+            & (_PF_T_DEN * F.col("a.n") >= _PF_T_NUM * F.col("b.n")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n").alias("la"),
+            F.col("b.n").alias("lb"),
+            F.col("a.rk").alias("ra"),
+            F.col("b.rk").alias("rb"),
+        )
+        .groupBy("doc_a", "doc_b", "la", "lb")
+        .agg(F.min(F.struct("ra", "rb")).alias("m"))
+        .filter(
+            3 * (1 + F.least(F.col("la") - F.col("m.ra"), F.col("lb") - F.col("m.rb")))
+            >= F.col("la") + F.col("lb")
+        )
+        .select("doc_a", "doc_b", "la", "lb")
+    )
+
+    # verification: exact |A∩B| via candidate-bounded posting joins —
+    # cost tracks candidate volume, never corpus size
+    li = (
+        cand.join(ex.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            ex.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id"))
+            & (F.col("ta.shingle") == F.col("tb.shingle")),
+        )
+        .groupBy("doc_a", "doc_b", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("li"))
+    )
+    return (
+        li.filter(3 * F.col("li") >= F.col("la") + F.col("lb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("li") / (F.col("la") + F.col("lb") - F.col("li")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

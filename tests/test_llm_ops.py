@@ -277,3 +277,48 @@ def test_minhash_estimator_calibration(spark, sf_dir):
     errs = [r["abs_err"] for r in rows]
     assert sum(errs) / len(errs) <= 0.08, sum(errs) / len(errs)
     assert max(errs) <= 0.35, max(errs)
+
+
+def test_prefix_filter_equals_unfiltered_exact_join(spark):
+    """Independent in-Spark soundness check for q_dedup_prefix_filter
+    (the DuckDB oracle checks sf0.01; this checks sf0.001 against a
+    candidate-generation-free full posting self-join)."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark import registry
+    from sparkifydb_datawarehouse_spark.llm.dedup import _word_shingles
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in registry.QUERIES["q_dedup_prefix_filter"](spark, sf).collect()
+    }
+
+    docs = load_table(spark, sf, "documents")
+    ex = docs.select("doc_id", F.explode(_word_shingles("text")).alias("shingle"))
+    sized = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    li = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("li"))
+        .join(sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("la")), "doc_a")
+        .join(sized.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("lb")), "doc_b")
+        .filter(3 * F.col("li") >= F.col("la") + F.col("lb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("li") / (F.col("la") + F.col("lb") - F.col("li")), 6).alias(
+                "jaccard"
+            ),
+        )
+    )
+    want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in li.collect()}
+    assert got == want and want, f"prefix filter diverged: {got ^ want}"

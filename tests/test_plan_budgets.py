@@ -165,6 +165,7 @@ EXCHANGE_BUDGETS = {
     "q_multimodal_decode_ppm": 2,
     "q_join_inner_multikey_decimal18": 2,
     "q_winsorized_agg": 4,
+    "q_dedup_prefix_filter": 14,  # rarity window + pair-gen + 2-stage verify
 }
 
 
