@@ -382,3 +382,83 @@ def audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# B4d — Count-Min sketch with an oracled accuracy CONTRACT (round 4,
+# Cormode & Muthukrishnan 2005, public literature). q_agg_heavy_hitters
+# is the exact form; this is the mergeable sublinear-memory form a
+# 1000-executor cluster actually ships per partition: d=4 hash rows ×
+# w=8192 counters (128 KB of state regardless of key cardinality),
+# point estimate = min over rows. Two guarantees become the VALUE
+# (the q_agg_approx_distinct_calibration pattern): the estimate never
+# undercounts (deterministic CMS property), and for the fixture's hash
+# realization it stays within exact + ceil(8N/w) (the ε = 2e/w-style
+# bound with generous slack). Spark's xxhash64 is deterministic, so
+# both flags are stable and DuckDB asserts them alongside the exact
+# counts — sketch degradation fails the driver's value hash.
+#
+# Plan shape: counters are ONE explode(d)+groupBy pass with map-side
+# combine (shuffle carries ≤ d·w partial rows per partition, never
+# facts); the probe side broadcasts the d·w counter table under the
+# candidate keys. At 100 TB the counter table is what crosses the
+# wire — that is the entire point of the sketch.
+# ---------------------------------------------------------------------------
+
+_CMS_W, _CMS_D = 8192, 4
+
+_ORACLE_CMS = """
+WITH counts AS (
+    SELECT l_partkey AS part_key, CAST(COUNT(*) AS BIGINT) AS n_exact
+    FROM lineitem
+    GROUP BY l_partkey
+)
+SELECT part_key, n_exact,
+       CAST(1 AS INTEGER) AS never_undercounts,
+       CAST(1 AS INTEGER) AS within_eps
+FROM counts
+ORDER BY n_exact DESC, part_key
+LIMIT 10
+"""
+
+
+@query("q_agg_count_min", oracle=_ORACLE_CMS)
+def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    rows = F.sequence(F.lit(0), F.lit(_CMS_D - 1))
+    counters = (
+        li.select(F.col("l_partkey"), F.explode(rows).alias("r"))
+        .groupBy(
+            "r", F.pmod(F.xxhash64("l_partkey", "r"), F.lit(_CMS_W)).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = li.agg(F.count(F.lit(1)).alias("n_total"))
+    top = (
+        li.groupBy(F.col("l_partkey").alias("part_key"))
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), "part_key")
+        .limit(10)
+    )
+    est = (
+        top.select("part_key", "n_exact", F.explode(rows).alias("r"))
+        .withColumn("bucket", F.pmod(F.xxhash64("part_key", "r"), F.lit(_CMS_W)))
+        .join(F.broadcast(counters), ["r", "bucket"])
+        .groupBy("part_key", "n_exact")
+        .agg(F.min("c").alias("cms_est"))
+        .crossJoin(F.broadcast(total))
+    )
+    eps = F.ceil(8.0 * F.col("n_total") / _CMS_W)
+    return (
+        est.select(
+            "part_key",
+            "n_exact",
+            (F.col("cms_est") >= F.col("n_exact")).cast("int").alias(
+                "never_undercounts"
+            ),
+            (F.col("cms_est") <= F.col("n_exact") + eps).cast("int").alias(
+                "within_eps"
+            ),
+        )
+        .orderBy(F.col("n_exact").desc(), "part_key")
+    )

@@ -185,6 +185,9 @@ _EMPTY_GATE_QUERIES = [
     "q_agg_approx_distinct_calibration",
     "q_join_inner_multikey_decimal18",
     "q_sample_weighted_noreplace",
+    "q_agg_count_min",
+    "q_dedup_prefix_filter",
+    "q_text_bpe_apply",
 ]
 
 
@@ -319,6 +322,9 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_ppm",
         "q_agg_approx_distinct_calibration",
         "q_sample_weighted_noreplace",
+        "q_agg_count_min",
+        "q_dedup_prefix_filter",
+        "q_text_bpe_apply",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
