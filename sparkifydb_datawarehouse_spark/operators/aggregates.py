@@ -462,3 +462,98 @@ def agg_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_exact").desc(), "part_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# B4e — Bloom-filter semi-join pruning with an oracled contract
+# (round 4; Bloom 1970, public literature) — completes the sketch
+# triad: HLL answers "how many distinct", CMS "how often", Bloom "is
+# it a member". The realistic deployment is runtime join pruning: the
+# build side's key set becomes an m-bit filter that prunes the probe
+# side BEFORE the shuffle (Spark's own runtime row-group Bloom
+# pushdown, here spelled explicitly as DataFrame ops so the contract
+# is checkable). Two guarantees become the oracled value: NO FALSE
+# NEGATIVES (a Bloom filter never drops a true match — deterministic
+# property of the construction) and a false-positive rate under a
+# generous bound for these parameters (k=4, m=65536, n_build ≈
+# hundreds → theoretical fp ≈ (1−e^{−kn/m})^k ≪ 1%). xxhash64 is
+# deterministic, so both flags are stable for fixed data and DuckDB
+# asserts them next to the exact counts.
+#
+# Plan shape: the "bits" are the DISTINCT (hash_row, bucket) pairs —
+# ≤ k·n_build rows partial-agg'd map-side and broadcast; the probe
+# pass is scan + broadcast join, no fact shuffle. At 100 TB that is
+# exactly the semi-join-pruning economics this sketch exists for.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M, _BLOOM_K = 65536, 4
+
+_ORACLE_BLOOM = """
+WITH build AS (
+    SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+), probe AS (
+    SELECT c_custkey FROM customer
+)
+SELECT CAST((SELECT COUNT(*) FROM probe) AS BIGINT) AS n_probe,
+       CAST((SELECT COUNT(*) FROM probe WHERE c_custkey IN (SELECT o_custkey FROM build)) AS BIGINT) AS n_true,
+       CAST(1 AS INTEGER) AS no_false_negatives,
+       CAST(1 AS INTEGER) AS fp_within_bound
+"""
+
+
+@query("q_join_bloom_prefilter", oracle=_ORACLE_BLOOM)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    rows = F.sequence(F.lit(0), F.lit(_BLOOM_K - 1))
+    build = (
+        orders.filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+        .distinct()
+    )
+    bits = (
+        build.select(F.col("o_custkey"), F.explode(rows).alias("r"))
+        .select(
+            "r", F.pmod(F.xxhash64("o_custkey", "r"), F.lit(_BLOOM_M)).alias("bucket")
+        )
+        .distinct()
+    )
+    probe = (
+        cust.select("c_custkey")
+        .select(F.col("c_custkey"), F.explode(rows).alias("r"))
+        .withColumn("bucket", F.pmod(F.xxhash64("c_custkey", "r"), F.lit(_BLOOM_M)))
+        .join(F.broadcast(bits.withColumn("hit", F.lit(1))), ["r", "bucket"], "left")
+        .groupBy("c_custkey")
+        .agg((F.count("hit") == _BLOOM_K).alias("bloom_pass"))
+    )
+    truth = probe.join(
+        build.withColumn("is_true", F.lit(1)),
+        probe.c_custkey == build.o_custkey,
+        "left",
+    ).select(
+        "c_custkey", "bloom_pass", F.coalesce("is_true", F.lit(0)).alias("is_true")
+    )
+    return truth.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum("is_true").cast("long").alias("n_true"),
+        # no false negatives: every true member passes the filter
+        F.min(
+            F.when(F.col("is_true") == 1, F.col("bloom_pass").cast("int")).otherwise(1)
+        )
+        .cast("int")
+        .alias("no_false_negatives"),
+        # false positives bounded: non-members that pass stay under 1%
+        (
+            F.try_divide(
+                F.sum(
+                    F.when(
+                        (F.col("is_true") == 0) & F.col("bloom_pass"), 1
+                    ).otherwise(0)
+                ),
+                F.sum(F.when(F.col("is_true") == 0, 1).otherwise(0)),
+            )
+            <= 0.01
+        )
+        .cast("int")
+        .alias("fp_within_bound"),
+    )

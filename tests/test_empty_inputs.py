@@ -188,6 +188,7 @@ _EMPTY_GATE_QUERIES = [
     "q_agg_count_min",
     "q_dedup_prefix_filter",
     "q_text_bpe_apply",
+    "q_join_bloom_prefilter",
 ]
 
 
@@ -325,6 +326,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_agg_count_min",
         "q_dedup_prefix_filter",
         "q_text_bpe_apply",
+        "q_join_bloom_prefilter",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
