@@ -169,3 +169,72 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_key")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning (round 4): the last §4-optimizer behavior
+# without a registered demo. The fact side is written PARTITIONED BY
+# its dim key; the dim filter is on an ATTRIBUTE (n_name), so the
+# qualifying key set is only known at run time — Catalyst injects a
+# dynamicpruningexpression subquery into the fact scan's
+# PartitionFilters (reusing the broadcast), and the scan reads ONLY
+# the matching partition directories. At 100 TB partition pruning is
+# the difference between scanning 2 of 25 nation partitions and
+# scanning the table; the plan gate in tests/test_plan_quality.py
+# asserts the dynamicpruning subquery is actually in the scan.
+# ---------------------------------------------------------------------------
+
+_DPP_READY: set[str] = set()
+
+
+def _ensure_partitioned_customer(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib
+    import shutil
+
+    from ..tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    name = f"part_customer_{tag}"
+    if sf_dir not in _DPP_READY:
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+        (
+            load_table(spark, sf_dir, "customer")
+            .write.mode("overwrite")
+            .partitionBy("c_nationkey")
+            .saveAsTable(name)
+        )
+        _DPP_READY.add(sf_dir)
+    return name
+
+
+_ORACLE_DPP = """
+SELECT n.n_name AS nation_name,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(SUM(c.c_acctbal), 2) AS total_balance
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_7', 'NATION_19')
+GROUP BY n.n_name
+ORDER BY nation_name
+"""
+
+
+@query("q_join_partition_pruned", oracle=_ORACLE_DPP)
+def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..tables import load_table
+
+    t_cust = _ensure_partitioned_customer(spark, sf_dir)
+    c = spark.table(t_cust)
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_7", "NATION_19")
+    )
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+        )
+        .orderBy("nation_name")
+    )

@@ -395,3 +395,17 @@ def test_multitouch_single_user_shuffle(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning(user_id") == 1, plan[:1500]
+
+
+def test_partition_pruned_join_has_dynamic_pruning(spark, sf_dir):
+    """q_join_partition_pruned's fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — the dim filter
+    is on an attribute, so only runtime pruning can restrict the scan
+    to the qualifying nation partitions."""
+    plan = (
+        registry.QUERIES["q_join_partition_pruned"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
