@@ -189,6 +189,7 @@ _EMPTY_GATE_QUERIES = [
     "q_dedup_prefix_filter",
     "q_text_bpe_apply",
     "q_join_bloom_prefilter",
+    "q_join_partition_pruned",
 ]
 
 
@@ -327,6 +328,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_dedup_prefix_filter",
         "q_text_bpe_apply",
         "q_join_bloom_prefilter",
+        "q_join_partition_pruned",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
