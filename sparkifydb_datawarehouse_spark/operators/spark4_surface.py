@@ -293,3 +293,67 @@ def sql_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY month
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow (round 4) — the last cell of the Python-execution matrix
+# (row UDF → pandas UDF → arrow_udf scalar → UDAF → UDTF →
+# mapInPandas/applyInPandas → mapInArrow): a partition-level iterator
+# of pyarrow RecordBatches, zero pandas materialization — the lowest-
+# overhead Python tier for batch-shaped work (no index, no block
+# consolidation, columns stay Arrow buffers end to end). Same
+# discipline as q_udf_arrow: integer-cents output so the cross-engine
+# compare is exact.
+# ---------------------------------------------------------------------------
+
+_ORACLE_MAP_IN_ARROW = """
+SELECT l_returnflag AS return_flag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS net_cents
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_map_in_arrow", oracle=_ORACLE_MAP_IN_ARROW)
+def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net-price cents via mapInArrow: pyarrow.compute kernels over
+    RecordBatch iterators (floor-of-cents — unambiguous across
+    engines, the q_udf_arrow rule), then a plain hash agg. The
+    per-batch transform emits only (return_flag, net_cents) — the
+    Arrow tier's analog of 'shuffle features, not payloads'."""
+    from ..tables import load_table
+
+    def _net(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            net = pc.floor(
+                pc.multiply(
+                    pc.multiply(
+                        batch.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+                    ),
+                    pa.scalar(100.0),
+                )
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("l_returnflag"), net],
+                names=["return_flag", "net_cents"],
+            )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    per_row = li.mapInArrow(_net, "return_flag string, net_cents long")
+    return (
+        per_row.groupBy("return_flag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("net_cents").cast("long").alias("net_cents"),
+        )
+        .orderBy("return_flag")
+    )

@@ -107,3 +107,95 @@ def test_minhash_identical_docs_identical_sigs(spark, text):
     sigs = {r["doc_id"]: r["sig"] for r in _minhash_signatures(df).collect()}
     if len(sigs) == 2:  # both docs long enough to shingle
         assert sigs[0] == sigs[1]
+
+
+# ---------------------------------------------------------------------------
+# Round-4 property tests: codecs, BPE, CMS.
+# ---------------------------------------------------------------------------
+
+
+@given(
+    w=st.integers(min_value=1, max_value=9),
+    h=st.integers(min_value=1, max_value=9),
+    data=st.data(),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_bmp_roundtrip_property(w, h, data):
+    """decode(encode(pixels)) == pixels for BOTH codecs, any tiny
+    image — including raster bytes that look like whitespace."""
+    from sparkifydb_datawarehouse_spark.llm.codecs import (
+        decode_bmp,
+        decode_ppm,
+        encode_bmp_24,
+        encode_ppm_p6,
+    )
+
+    px = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    assert decode_ppm(encode_ppm_p6(w, h, px))["pixels"] == px
+    assert decode_bmp(encode_bmp_24(w, h, px))["pixels"] == px
+
+
+@given(
+    words=st.dictionaries(
+        st.text(alphabet="abcd", min_size=1, max_size=6),
+        st.integers(min_value=1, max_value=50),
+        min_size=1,
+        max_size=12,
+    ),
+    n_merges=st.integers(min_value=0, max_value=20),
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_encode_reconstructs_word(words, n_merges):
+    """Subwords always concatenate back to word + end-of-word marker,
+    for any trained merge table and any word (seen or unseen)."""
+    from sparkifydb_datawarehouse_spark.llm.bpe import bpe_encode, train_bpe
+
+    merges = train_bpe(words, n_merges=n_merges)
+    ranks = {p: i for i, p in enumerate(merges)}
+    for w in list(words) + ["abcddcba", "x"]:
+        sym = bpe_encode(w, ranks)
+        assert "".join(sym) == w + "</w>"
+        assert len(sym) >= 1
+
+
+@given(
+    keys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=200)
+)
+@settings(max_examples=25, deadline=None)
+def test_count_min_never_undercounts(spark, keys):
+    """CMS point estimates >= true counts on arbitrary key streams —
+    the deterministic half of the q_agg_count_min contract, re-proven
+    on random data rather than the fixture."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    W, D = 64, 4  # tiny sketch: collisions guaranteed, bound must hold
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    rows = F.sequence(F.lit(0), F.lit(D - 1))
+    counters = (
+        df.select("k", F.explode(rows).alias("r"))
+        .groupBy("r", F.pmod(F.xxhash64("k", "r"), F.lit(W)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    est = (
+        df.distinct()
+        .select("k", F.explode(rows).alias("r"))
+        .withColumn("bucket", F.pmod(F.xxhash64("k", "r"), F.lit(W)))
+        .join(counters, ["r", "bucket"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est"))
+        .collect()
+    )
+    true = Counter(keys)
+    assert est, "no estimates"
+    for r in est:
+        assert r["est"] >= true[r["k"]], (r, true[r["k"]])
