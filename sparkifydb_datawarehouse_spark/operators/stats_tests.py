@@ -652,3 +652,122 @@ def agg_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return stacked.orderBy("x", "y")
+
+
+# ---------------------------------------------------------------------------
+# Poisson-bootstrap confidence interval (round 4; Efron's bootstrap in
+# the one-pass "Poisson(1) weights" form — the variant production
+# systems use at scale because it needs NO resampled copies of the
+# data: replicate r gives every row an independent Poisson(1) weight,
+# and Σ w·x / Σ w is a draw from the bootstrap distribution of the
+# mean. All B replicates ride ONE explode + hash-aggregation pass
+# (map-side combined: the shuffle carries B partial rows per
+# partition, never facts), so the cost is B× map work, zero extra
+# passes — at 100 TB that is the only bootstrap you can afford.
+#
+# Determinism: the Poisson(1) draw is the portable md5 bucket pushed
+# through the exact inverse-CDF thresholds (P(0)=e⁻¹≈.368, cumulative
+# ×1000 → 368/736/920/981/996), so both engines simulate the SAME
+# weights; replicate means divide exact integer cents by exact
+# integer weight-sums (IEEE-identical), and the 2.5%/97.5% cut uses
+# the repo's disc-percentile emulation over the B-row replicate frame.
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 100
+# cumulative Poisson(1) CDF × 1000, truncated at w = 5
+_BOOT_CUTS = (368, 736, 920, 981, 996)
+
+_DUCK_BOOT_BUCKET = (
+    "(('0x' || substr(md5(o_orderkey::VARCHAR || '#' || r::VARCHAR), 1, 15))"
+    "::BIGINT % 1000)"
+)
+
+_ORACLE_BOOTSTRAP = f"""
+WITH weighted AS (
+    SELECT r,
+           CASE WHEN {_DUCK_BOOT_BUCKET} < 368 THEN 0
+                WHEN {_DUCK_BOOT_BUCKET} < 736 THEN 1
+                WHEN {_DUCK_BOOT_BUCKET} < 920 THEN 2
+                WHEN {_DUCK_BOOT_BUCKET} < 981 THEN 3
+                WHEN {_DUCK_BOOT_BUCKET} < 996 THEN 4
+                ELSE 5 END AS w,
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+    FROM orders, (SELECT UNNEST(generate_series(0, {_BOOT_B - 1})) AS r)
+), reps AS (
+    SELECT r, ROUND(CAST(SUM(w * cents) AS DOUBLE)
+                    / CAST(SUM(w) AS DOUBLE) / 100.0, 4) AS m
+    FROM weighted GROUP BY r
+), ranked AS (
+    SELECT m, ROW_NUMBER() OVER (ORDER BY m) AS rk, COUNT(*) OVER () AS n
+    FROM reps
+)
+SELECT CAST({_BOOT_B} AS INTEGER) AS b_reps,
+       ROUND(AVG(m), 2) AS boot_mean,
+       MIN(CASE WHEN rk >= CEIL(0.025 * n) THEN m END) AS ci_lo,
+       MIN(CASE WHEN rk >= CEIL(0.975 * n) THEN m END) AS ci_hi
+FROM ranked
+"""
+
+
+@query("q_bootstrap_ci", oracle=_ORACLE_BOOTSTRAP)
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI for mean order value via B=100 deterministic
+    Poisson-weight replicates in one aggregation pass."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    exploded = orders.select(
+        "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r")
+    )
+    b = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.col("o_orderkey"), F.col("r"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    w = (
+        F.when(b < _BOOT_CUTS[0], 0)
+        .when(b < _BOOT_CUTS[1], 1)
+        .when(b < _BOOT_CUTS[2], 2)
+        .when(b < _BOOT_CUTS[3], 3)
+        .when(b < _BOOT_CUTS[4], 4)
+        .otherwise(5)
+    )
+    reps = (
+        exploded.withColumn("w", w)
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("s"),
+            F.sum("w").alias("n"),
+        )
+        .select(
+            "r",
+            F.round(
+                F.try_divide(F.col("s").cast("double"), F.col("n").cast("double"))
+                / 100.0,
+                4,
+            ).alias("m"),
+        )
+    )
+    ranked = reps.select(
+        "m",
+        F.row_number().over(Window.orderBy("m")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )  # B rows — the single-partition window is over 100 replicates
+
+    def disc(p: float):
+        return F.min(
+            F.when(F.col("rk") >= F.ceil(F.lit(p) * F.col("n")), F.col("m"))
+        )
+
+    return ranked.agg(
+        F.lit(_BOOT_B).cast("int").alias("b_reps"),
+        F.round(F.avg("m"), 2).alias("boot_mean"),
+        disc(0.025).alias("ci_lo"),
+        disc(0.975).alias("ci_hi"),
+    )

@@ -190,6 +190,8 @@ _EMPTY_GATE_QUERIES = [
     "q_text_bpe_apply",
     "q_join_bloom_prefilter",
     "q_join_partition_pruned",
+    "q_bootstrap_ci",
+    "q_map_in_arrow",
 ]
 
 
@@ -329,6 +331,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_text_bpe_apply",
         "q_join_bloom_prefilter",
         "q_join_partition_pruned",
+        "q_bootstrap_ci",
+        "q_map_in_arrow",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
