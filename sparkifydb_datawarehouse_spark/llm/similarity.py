@@ -773,3 +773,103 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("adc6") / 1000000.0, 6).alias("adc_dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding PCA (round 4): top-k principal components of the corpus —
+# the dimensionality lens every embedding pipeline eventually needs
+# (effective rank, variance concentration, whitening decisions). The
+# distributed part is ONLY the covariance accumulation: a d×d Gram
+# fold per Arrow batch (numpy outer-product partials, mergeable sums)
+# — the 100 TB shape, since d×d (64×64 here) is constant-size driver
+# state no matter the corpus. The eigensolve runs on the driver over
+# that d×d matrix (deterministic deflated power iteration, fixed
+# e1-init and iteration count — the k-means bounded-driver-state
+# rule). Registered rows-only: an iterative eigensolver is not
+# SQL-expressible; invariants (non-increasing nonnegative
+# eigenvalues, eigenvalue-sum ≤ total variance, orthonormal
+# components) are pytest-pinned.
+# ---------------------------------------------------------------------------
+
+_PCA_K = 3
+_PCA_ITERS = 500  # near-flat spectra (random-ish embeddings) converge slowly
+
+
+def _covariance_gram(emb: DataFrame) -> tuple:
+    """(n, mean vector, covariance matrix) via mergeable numpy
+    partials over mapInArrow batches — one pass, d²-sized results."""
+    import numpy as np
+
+    d_dim = len(emb.select("emb").first()["emb"])
+
+    def _partials(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            x = np.vstack(batch.column("emb").to_pylist()).astype(np.float64)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([x.shape[0]]),
+                    pa.array([x.sum(axis=0).tolist()]),
+                    pa.array([(x.T @ x).reshape(-1).tolist()]),
+                ],
+                names=["n", "s", "g"],
+            )
+
+    parts = emb.select("emb").mapInArrow(
+        _partials, "n long, s array<double>, g array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    import numpy as np
+
+    s = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    g = np.sum([np.asarray(p["g"]) for p in parts], axis=0).reshape(d_dim, d_dim)
+    mu = s / n
+    cov = g / n - np.outer(mu, mu)
+    return n, mu, cov
+
+
+@query("q_embedding_pca")  # rows-only: iterative eigensolver
+def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 principal components of the embedding corpus: component
+    index, eigenvalue, explained-variance ratio, and the leading
+    loading's dimension — deterministic (fixed init, fixed iteration
+    count, sign normalized to a positive leading loading)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("emb")
+    )
+    if emb.isEmpty():
+        return spark.createDataFrame(
+            [],
+            "component int, eigenvalue double, explained_ratio double, top_dim int",
+        )
+    n, mu, cov = _covariance_gram(emb)
+    total_var = float(np.trace(cov))
+    rows = []
+    a = cov.copy()
+    for comp in range(_PCA_K):
+        v = np.zeros(a.shape[0])
+        v[comp % a.shape[0]] = 1.0  # deterministic init
+        for _ in range(_PCA_ITERS):
+            w = a @ v
+            norm = np.linalg.norm(w)
+            if norm < 1e-12:
+                break
+            v = w / norm
+        lam = float(v @ a @ v)
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v  # canonical sign
+        rows.append(
+            (
+                comp + 1,
+                round(lam, 6),
+                round(lam / total_var, 6) if total_var > 0 else 0.0,
+                int(np.argmax(np.abs(v))),
+            )
+        )
+        a = a - lam * np.outer(v, v)  # deflate
+    return spark.createDataFrame(
+        rows, "component int, eigenvalue double, explained_ratio double, top_dim int"
+    )

@@ -171,3 +171,103 @@ def ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mde, 4).alias("mde_abs"),
         F.round(mde / F.col("grand_mean"), 6).alias("mde_rel"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences (round 4; Card & Krueger-style two-period
+# two-group estimator, public literature): the quasi-experimental
+# companion to the randomized A/B path — when assignment is NOT
+# randomized (a feature shipped to one cohort), DiD removes both the
+# group-level baseline difference and the common time trend:
+# DiD = (T_post − T_pre) − (C_post − C_pre). The whole estimator plus
+# its large-sample standard error reduces to per-cell (n, Σ, Σ²)
+# sufficient statistics — ONE map-side-combined aggregation over
+# events at any scale, the q_ab_cuped economics.
+#
+# Determinism: "treated" is the portable md5 user bucket (identical
+# cross-engine), the period split is a literal timestamp, cell sums
+# are integer cents, and the variance/SE algebra divides exact
+# integers (IEEE-identical) with report-time rounding only.
+# ---------------------------------------------------------------------------
+
+_DID_SPLIT = "2024-01-16 00:00:00"
+
+_ORACLE_DID = f"""
+WITH cells AS (
+    SELECT ({_duck_bucket("user_id::VARCHAR")} < 500) AS treated,
+           (ts >= TIMESTAMP '{_DID_SPLIT}') AS post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)
+               * CAST(ROUND(value * 100) AS BIGINT)) AS ssq
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY treated, post
+), m AS (
+    SELECT
+      MAX(CASE WHEN treated AND post THEN s * 1.0 / n END) AS tp,
+      MAX(CASE WHEN treated AND NOT post THEN s * 1.0 / n END) AS tb,
+      MAX(CASE WHEN NOT treated AND post THEN s * 1.0 / n END) AS cp,
+      MAX(CASE WHEN NOT treated AND NOT post THEN s * 1.0 / n END) AS cb,
+      SUM(CASE WHEN treated AND post THEN (ssq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) / n END) AS v1,
+      SUM(CASE WHEN treated AND NOT post THEN (ssq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) / n END) AS v2,
+      SUM(CASE WHEN NOT treated AND post THEN (ssq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) / n END) AS v3,
+      SUM(CASE WHEN NOT treated AND NOT post THEN (ssq * 1.0 / n - (s * 1.0 / n) * (s * 1.0 / n)) / n END) AS v4,
+      CAST(SUM(n) AS BIGINT) AS n_events
+    FROM cells
+)
+SELECT ROUND(tb / 100.0, 2) AS treat_pre,
+       ROUND(tp / 100.0, 2) AS treat_post,
+       ROUND(cb / 100.0, 2) AS control_pre,
+       ROUND(cp / 100.0, 2) AS control_post,
+       ROUND(((tp - tb) - (cp - cb)) / 100.0, 2) AS did_estimate,
+       ROUND(SQRT(v1 + v2 + v3 + v4) / 100.0, 4) AS did_se,
+       n_events
+FROM m
+"""
+
+
+@query("q_diff_in_diff", oracle=_ORACLE_DID)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.round(F.col("value") * 100).cast("long")
+    cells = (
+        ev.groupBy(
+            (hash_bucket(F.col("user_id").cast("string")) < 500).alias("treated"),
+            (F.col("ts") >= F.lit(_DID_SPLIT).cast("timestamp")).alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(cents).alias("s"),
+            F.sum(cents * cents).alias("ssq"),
+        )
+    )
+    mean = F.col("s") / F.col("n")
+    var_of_mean = (F.col("ssq") / F.col("n") - mean * mean) / F.col("n")
+
+    def cell(t: bool, p: bool, col):
+        return F.max(
+            F.when((F.col("treated") == t) & (F.col("post") == p), col)
+        )
+
+    agg = cells.agg(
+        cell(True, False, mean).alias("tb"),
+        cell(True, True, mean).alias("tp"),
+        cell(False, False, mean).alias("cb"),
+        cell(False, True, mean).alias("cp"),
+        F.sum(var_of_mean).alias("vsum"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return agg.select(
+        F.round(F.col("tb") / 100.0, 2).alias("treat_pre"),
+        F.round(F.col("tp") / 100.0, 2).alias("treat_post"),
+        F.round(F.col("cb") / 100.0, 2).alias("control_pre"),
+        F.round(F.col("cp") / 100.0, 2).alias("control_post"),
+        F.round(
+            ((F.col("tp") - F.col("tb")) - (F.col("cp") - F.col("cb"))) / 100.0, 2
+        ).alias("did_estimate"),
+        F.round(F.sqrt(F.col("vsum")) / 100.0, 4).alias("did_se"),
+        F.col("n_events"),
+    )

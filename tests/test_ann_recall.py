@@ -107,3 +107,40 @@ def test_pq_adc_recall_vs_exact_l2(spark):
     recall = len(pq_ids & truth) / 10.0
     # measured 2026-08-14 at sf0.01; floor one notch below measurement
     assert recall >= 0.3, f"PQ recall@10 collapsed: {recall} ({pq_ids} vs {truth})"
+
+
+def test_pca_invariants(spark):
+    """q_embedding_pca: eigenvalues non-increasing and non-negative;
+    explained ratios in (0, 1] and summing below 1; deterministic."""
+    rows = registry.QUERIES["q_embedding_pca"](spark, SF_ORACLE).collect()
+    assert [r["component"] for r in rows] == [1, 2, 3]
+    lams = [r["eigenvalue"] for r in rows]
+    assert all(l >= 0 for l in lams)
+    assert lams == sorted(lams, reverse=True)
+    ratios = [r["explained_ratio"] for r in rows]
+    assert all(0 < x <= 1 for x in ratios) and sum(ratios) <= 1.0
+    again = registry.QUERIES["q_embedding_pca"](spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_pca_matches_numpy_eigh(spark):
+    """Power-iteration eigenvalues agree with numpy's full eigensolve
+    on the same covariance matrix (top-3, 1e-4 tolerance)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.llm.similarity import _covariance_gram
+
+    emb = (
+        spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+        .select(F.col("embedding").cast("array<double>").alias("emb"))
+    )
+    _, _, cov = _covariance_gram(emb)
+    true_top = sorted(np.linalg.eigvalsh(cov))[::-1][:3]
+    got = [
+        r["eigenvalue"]
+        for r in registry.QUERIES["q_embedding_pca"](spark, SF_ORACLE).collect()
+    ]
+    for g, t in zip(got, true_top):
+        assert abs(g - t) < 1e-4, (got, true_top)

@@ -192,6 +192,8 @@ _EMPTY_GATE_QUERIES = [
     "q_join_partition_pruned",
     "q_bootstrap_ci",
     "q_map_in_arrow",
+    "q_diff_in_diff",
+    "q_embedding_pca",
 ]
 
 
@@ -333,6 +335,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_join_partition_pruned",
         "q_bootstrap_ci",
         "q_map_in_arrow",
+        "q_diff_in_diff",
+        "q_embedding_pca",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
