@@ -166,6 +166,14 @@ EXCHANGE_BUDGETS = {
     "q_join_inner_multikey_decimal18": 2,
     "q_winsorized_agg": 4,
     "q_dedup_prefix_filter": 14,  # rarity window + pair-gen + 2-stage verify
+    "q_agg_count_min": 5,
+    "q_join_bloom_prefilter": 7,
+    "q_bootstrap_ci": 2,
+    "q_diff_in_diff": 2,
+    "q_map_in_arrow": 2,
+    "q_text_bpe_apply": 3,
+    "q_agg_approx_distinct_calibration": 6,
+    "q_join_partition_pruned": 3,
 }
 
 
