@@ -122,6 +122,11 @@ HEADLINE = [
     "q_ann_recall",                  # recall@k QA harness (7 top-k subplans)
     "q_similarity_pq",               # product-quantization ADC search
     "q_multimodal_decode_ppm",       # real PPM decode via mapInPandas
+    "q_dedup_prefix_filter",         # PPJoin exact similarity self-join
+    "q_agg_count_min",               # CMS frequency sketch + contract
+    "q_join_bloom_prefilter",        # Bloom semi-join pruning + contract
+    "q_bootstrap_ci",                # one-pass Poisson bootstrap
+    "q_map_in_arrow",                # Arrow RecordBatch tier
 ]
 
 
