@@ -717,7 +717,14 @@ def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
     )
-    exploded = orders.select(
+    # Spread the scan BEFORE the B-fold explode: each input row costs
+    # B md5+conv evaluations, so per-row CPU dominates the one
+    # (key, cents) transfer — the spread idiom's precondition HOLDS
+    # here (unlike q_dedup_exact's cheap projection). Without it the
+    # single-file fixture ran all B·|orders| hashes on one task:
+    # 13.2 → 0.7 s at sf0.1 (round-4 sweep adjudication).
+    spread = orders.repartition(spark.sparkContext.defaultParallelism)
+    exploded = spread.select(
         "o_orderkey", "cents", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r")
     )
     b = (

@@ -168,7 +168,7 @@ EXCHANGE_BUDGETS = {
     "q_dedup_prefix_filter": 14,  # rarity window + pair-gen + 2-stage verify
     "q_agg_count_min": 5,
     "q_join_bloom_prefilter": 7,
-    "q_bootstrap_ci": 2,
+    "q_bootstrap_ci": 3,  # +1: deliberate scan spread before the B-fold md5 explode
     "q_diff_in_diff": 2,
     "q_map_in_arrow": 2,
     "q_text_bpe_apply": 3,
