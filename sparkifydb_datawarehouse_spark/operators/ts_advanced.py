@@ -443,3 +443,130 @@ def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("max_burst").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution (round 4; Anderl et al. 2016,
+# public literature) — the MODEL-BASED member of the attribution
+# family (last-touch = heuristic, multi-touch = positional, this =
+# counterfactual): build the first-order journey Markov chain
+# (START → channel states → CONVERSION / NULL absorbers), compute the
+# absorption probability P(conv), then for each channel the REMOVAL
+# EFFECT 1 − P(conv | channel deleted) — "how much conversion
+# disappears without this touchpoint" — and normalize effects into
+# attribution shares.
+#
+# Scale shape: the distributed work is ONE per-user window pass +
+# a transition-pair aggregation (states² ≤ dozens of rows at any
+# corpus size); the chain solve is numpy on the driver over that
+# constant-size matrix — the k-means/PCA bounded-driver-state rule.
+# Registered rows-only (absorbing-chain linear solve is not
+# SQL-expressible); invariants pinned in pytest.
+# ---------------------------------------------------------------------------
+
+
+@query("q_markov_attribution")  # rows-only: absorbing-chain linear solve
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Removal-effect attribution over user journeys: journeys run
+    through each user's events in time order up to the FIRST purchase
+    (→ CONV) or their end (→ NULL); channels are the non-purchase
+    event types. Output per channel: transition-observed touch count,
+    removal effect, and normalized attribution share."""
+    import numpy as np
+
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # truncate each journey at its first purchase (inclusive)
+    marked = ev.withColumn(
+        "purchases_before",
+        F.count(F.when(F.col("event_type") == "purchase", 1)).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    ).filter(F.col("purchases_before") == 0)
+    nxt = F.lead("event_type").over(w)
+    first = F.row_number().over(w)
+    steps = marked.select(
+        "user_id",
+        F.col("event_type").alias("cur"),
+        first.alias("rn"),
+        F.coalesce(
+            F.when(F.col("event_type") == "purchase", None).otherwise(nxt),
+            F.when(F.col("event_type") == "purchase", F.lit("CONV")).otherwise(
+                F.lit("NULL")
+            ),
+        ).alias("nxt_state"),
+    )
+    start_edges = steps.filter(F.col("rn") == 1).select(
+        F.lit("START").alias("src"), F.col("cur").alias("dst")
+    )
+    walk_edges = steps.filter(F.col("cur") != "purchase").select(
+        F.col("cur").alias("src"),
+        F.when(F.col("nxt_state") == "purchase", "CONV")
+        .otherwise(F.col("nxt_state"))
+        .alias("dst"),
+    )
+    # START straight to purchase counts as a zero-channel conversion
+    start_edges = start_edges.withColumn(
+        "dst", F.when(F.col("dst") == "purchase", "CONV").otherwise(F.col("dst"))
+    )
+    counts = (
+        start_edges.unionAll(walk_edges)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )  # states² rows — bounded by event-type cardinality, never corpus
+
+    states = sorted(
+        {r["src"] for r in counts}
+        | {r["dst"] for r in counts}
+        | {"START", "CONV", "NULL"}  # absorbers exist even if unvisited
+    )
+    channels = sorted(s for s in states if s not in ("START", "CONV", "NULL"))
+    idx = {s: i for i, s in enumerate(states)}
+    n_states = len(states)
+    mat = np.zeros((n_states, n_states))
+    touch = {c: 0 for c in channels}
+    for r in counts:
+        mat[idx[r["src"]], idx[r["dst"]]] += r["n"]
+        if r["src"] in touch:
+            touch[r["src"]] += r["n"]
+
+    def p_conv(drop: str | None) -> float:
+        t = mat.copy()
+        if drop is not None:
+            d = idx[drop]
+            t[d, :] = 0.0
+            t[d, idx["NULL"]] = 1.0  # removed channel absorbs to NULL
+        row_sums = t.sum(axis=1, keepdims=True)
+        row_sums[row_sums == 0] = 1.0
+        p = t / row_sums
+        for absorber in ("CONV", "NULL"):
+            a = idx[absorber]
+            p[a, :] = 0.0
+            p[a, a] = 1.0
+        # absorption probabilities: x = P x + b with b = column CONV
+        trans = [i for i, s in enumerate(states) if s not in ("CONV", "NULL")]
+        q = p[np.ix_(trans, trans)]
+        b = p[np.ix_(trans, [idx["CONV"]])]
+        x = np.linalg.solve(np.eye(len(trans)) - q, b)
+        return float(x[trans.index(idx["START"])])
+
+    base = p_conv(None)
+    effects = {
+        c: max(0.0, 1.0 - (p_conv(c) / base if base > 0 else 0.0)) for c in channels
+    }
+    total = sum(effects.values())
+    rows = [
+        (
+            c,
+            int(touch[c]),
+            round(effects[c], 6),
+            round(effects[c] / total, 6) if total > 0 else 0.0,
+        )
+        for c in channels
+    ]
+    return spark.createDataFrame(
+        rows, "channel string, n_touches long, removal_effect double, attribution double"
+    )

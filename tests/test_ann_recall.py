@@ -144,3 +144,16 @@ def test_pca_matches_numpy_eigh(spark):
     ]
     for g, t in zip(got, true_top):
         assert abs(g - t) < 1e-4, (got, true_top)
+
+
+def test_markov_attribution_invariants(spark):
+    """Removal effects in [0,1]; attribution shares normalize to 1;
+    every channel present; deterministic."""
+    rows = registry.QUERIES["q_markov_attribution"](spark, SF_ORACLE).collect()
+    assert {r["channel"] for r in rows} == {"click", "view", "signup", "error"}
+    for r in rows:
+        assert 0.0 <= r["removal_effect"] <= 1.0
+        assert r["n_touches"] > 0
+    assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-4
+    again = registry.QUERIES["q_markov_attribution"](spark, SF_ORACLE).collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in rows]

@@ -194,6 +194,7 @@ _EMPTY_GATE_QUERIES = [
     "q_map_in_arrow",
     "q_diff_in_diff",
     "q_embedding_pca",
+    "q_markov_attribution",
 ]
 
 
@@ -337,6 +338,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_map_in_arrow",
         "q_diff_in_diff",
         "q_embedding_pca",
+        "q_markov_attribution",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
