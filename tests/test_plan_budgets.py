@@ -174,6 +174,7 @@ EXCHANGE_BUDGETS = {
     "q_text_bpe_apply": 3,
     "q_agg_approx_distinct_calibration": 6,
     "q_join_partition_pruned": 3,
+    "q_markov_attribution": 0,  # driver-solve; distributed part is window + tiny agg
 }
 
 
