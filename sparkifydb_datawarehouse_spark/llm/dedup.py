@@ -1099,3 +1099,209 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-tier near-dup join (VERDICT r4 #2): minhash-LSH CANDIDATE
+# generation feeding exact posting-join VERIFICATION — the claimed
+# 100 TB dedup posture as ONE accounted operator. Tier 1 replaces the
+# prefix-filter's inverted-index candidate generator (whose candidate
+# volume is corpus-similarity-sensitive: 78× growth at 10× on the
+# replica corpus, SCALING.md (j)) with LSH bucket collisions, whose
+# volume tracks the NEAR-DUPLICATE volume instead. Tier 2 is the same
+# exact |A∩B| aggregation the prefix filter uses, so the output is
+# EXACT Jaccard ≥ t over whatever tier 1 surfaced.
+#
+# Banding: 16 bands × 2 rows over the same 32 rehash minhashes
+# (threshold (1/16)^(1/2) = 0.25). The wider banding is what makes the
+# composition ORACLE-ABLE against the brute-force Jaccard oracle: a
+# true pair at j must collide in ≥1 band with p = 1−(1−j²)^16, and the
+# corpus' qualifying pairs all sit at j ≥ 0.889 (miss p ≈ 1.4e-11;
+# empirically 0 misses at sf0.001/0.01/0.1 — and deterministic for
+# fixed data, xxhash64 is seedless). At the 8×4 production banding a
+# j = 0.89 pair misses with p ≈ 4e-4 — sound for dedup (minhash's
+# documented recall contract) but not for a value-hash oracle gate.
+# A t-threshold pair at exactly j = 0.5 collides with p ≈ 0.99 per
+# the 16×2 curve; the fixture has no pairs in [0.5, 0.889), and the
+# pytest recall gate plants its own.
+#
+# 100 TB shape: tier-1 shuffles carry 32-column sketch rows (one per
+# doc after map-side combine) then (band_sig, doc_id) — never text,
+# never the full inverted index. Tier-2 cost is bounded by candidate
+# volume (posting joins keyed on 64-bit shingle hashes). Bucket-depth
+# cap as in minhash_band_pairs, surfaced via the same Observation.
+# ---------------------------------------------------------------------------
+
+
+def _lsh_verified_tiers(
+    docs: DataFrame,
+    max_bucket: int = _MAX_BUCKET,
+    observation=None,
+    checkpoint_candidates: bool = False,
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Returns (ex, cand_raw, cand, verified):
+
+    ex        — (doc_id, h): distinct 3-word shingles as 64-bit hashes,
+                localCheckpointed (three consumers: sketch, both verify
+                posting sides);
+    cand_raw  — LSH bucket-collision pairs (doc_a < doc_b, distinct);
+    cand      — cand_raw after the integer length filter
+                t·|a| ≤ |b| ≤ |a|/t (a j ≥ t pair cannot violate it);
+    verified  — exact-Jaccard output rows (doc_a, doc_b, jaccard ≥ t).
+    """
+    spark = docs.sparkSession
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    ex = (
+        spread.select("doc_id", F.explode(_word_shingles("text")).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .localCheckpoint(eager=True)
+    )
+    sized = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+    # tier 1: 32 rehash minhashes (one codegen agg pass, map-side
+    # combine) -> 16 band signatures -> bucket self-pairing in
+    # expression space (one shuffle, no self-join re-sketch)
+    mins = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
+            for k in range(_N_MINHASH)
+        ]
+    )
+    n_bands = _N_MINHASH // 2
+    stack_args = ", ".join(
+        f"{b}, xxhash64(m{2 * b}, m{2 * b + 1})" for b in range(n_bands)
+    )
+    banded = mins.select(
+        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_sig)")
+    )
+    buckets = (
+        banded.groupBy("band", "band_sig")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .withColumn("n_dropped", F.greatest(F.size("ids") - max_bucket, F.lit(0)))
+    )
+    if observation is not None:
+        buckets = buckets.observe(
+            observation,
+            F.sum((F.col("n_dropped") > 0).cast("long")).alias("buckets_capped"),
+            F.sum("n_dropped").alias("ids_dropped"),
+        )
+    cand_raw = (
+        buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ids, (x, i) -> "
+                    "transform(slice(ids, i + 2, size(ids)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    if checkpoint_candidates:
+        # the stages query consumes cand_raw in 2 stage rows and its
+        # descendants (cand, verified) in 2 more — cut the lineage so
+        # the sketch+bucket job runs once, not once per stage row
+        cand_raw = cand_raw.localCheckpoint(eager=True)
+
+    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("la"))
+    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("lb"))
+    cand = (
+        cand_raw.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            (_PF_T_DEN * F.col("lb") >= _PF_T_NUM * F.col("la"))
+            & (_PF_T_DEN * F.col("la") >= _PF_T_NUM * F.col("lb"))
+        )
+    )
+
+    # tier 2: exact |A∩B| via candidate-bounded posting joins — the
+    # prefix-filter verify stage verbatim; zero-overlap candidates
+    # produce no join rows and fall out before the threshold filter
+    li = (
+        cand.join(ex.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        .join(
+            ex.alias("tb"),
+            (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.h") == F.col("tb.h")),
+        )
+        .groupBy("doc_a", "doc_b", "la", "lb")
+        .agg(F.count(F.lit(1)).alias("li"))
+    )
+    verified = (
+        li.filter(
+            (_PF_T_NUM + _PF_T_DEN) * F.col("li")
+            >= _PF_T_NUM * (F.col("la") + F.col("lb"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("li") / (F.col("la") + F.col("lb") - F.col("li")), 6
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+    return ex, cand_raw, cand, verified
+
+
+@query("q_dedup_lsh_verified", oracle=_ORACLE_PREFIX_FILTER)
+def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with exact shingle-set Jaccard ≥ 1/2,
+    candidates from minhash LSH instead of the exact prefix-filter
+    index. Same brute-force oracle as q_dedup_prefix_filter — the
+    driver re-proves on every run that the LSH tier surfaced every
+    qualifying pair (see banding note above)."""
+    _, _, _, verified = _lsh_verified_tiers(load_table(spark, sf_dir, "documents"))
+    return verified
+
+
+@query("q_dedup_lsh_verified_stages")  # rows-only: LSH stage counts are
+# engine-specific (xxhash64 banding); the END result is oracled above
+def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage accounting for the two-tier join: one row per stage
+    with its pair count, how many TRUE pairs (prefix-filter exact
+    ground truth) it retains, and the recall fraction. The executable
+    form of the recall claim — on the fixture every stage must show
+    recall 1.0 (pinned by tests/test_llm_ops.py); on self-similar
+    replica corpora the banding curve's residual miss rate shows up
+    honestly (measured 0.998 at 10×, SCALING.md). truth and cand_raw
+    each feed 3-4 subplans of the final union, so both are
+    localCheckpointed — without it the prefix-filter ground-truth job
+    re-executes once per stage row (4× cost at 10×)."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, cand_raw, cand, verified = _lsh_verified_tiers(
+        docs, checkpoint_candidates=True
+    )
+    truth = (
+        dedup_prefix_filter(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+
+    def stage_row(ord_: int, name: str, pairs: DataFrame) -> DataFrame:
+        p = pairs.select("doc_a", "doc_b")
+        n = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+        rec = truth.join(p, ["doc_a", "doc_b"], "left_semi").agg(
+            F.count(F.lit(1)).alias("n_true_recalled")
+        )
+        return (
+            n.crossJoin(rec)
+            .crossJoin(n_true)
+            .select(
+                F.lit(ord_).alias("stage_ord"),
+                F.lit(name).alias("stage"),
+                "n_pairs",
+                "n_true_recalled",
+                F.round(F.try_divide("n_true_recalled", "n_true"), 6).alias("recall"),
+            )
+        )
+
+    return (
+        stage_row(1, "lsh_candidates", cand_raw)
+        .unionByName(stage_row(2, "length_filtered", cand))
+        .unionByName(stage_row(3, "verified", verified))
+        .orderBy("stage_ord")
+    )

@@ -322,3 +322,74 @@ def test_prefix_filter_equals_unfiltered_exact_join(spark):
     )
     want = {(r["doc_a"], r["doc_b"], r["jaccard"]) for r in li.collect()}
     assert got == want and want, f"prefix filter diverged: {got ^ want}"
+
+
+def test_lsh_verified_equals_prefix_filter(spark, sf_dir):
+    """q_dedup_lsh_verified must emit the SAME exact-Jaccard pairs as
+    q_dedup_prefix_filter on the fixture: tier 1 (16x2 minhash LSH)
+    may only change HOW candidates are found, never the verified
+    output (the fixture's qualifying pairs sit at j >= 0.889 where the
+    16x2 collision-miss probability is ~1.4e-11; xxhash64 is seedless
+    so the run is deterministic)."""
+    from sparkifydb_datawarehouse_spark import registry
+
+    a = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in registry.QUERIES["q_dedup_lsh_verified"](spark, sf_dir).collect()
+    }
+    b = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in registry.QUERIES["q_dedup_prefix_filter"](spark, sf_dir).collect()
+    }
+    assert a == b and a, f"two-tier diverged from exact join: {a ^ b}"
+
+
+def test_lsh_verified_stages_full_recall_on_fixture(spark, sf_dir):
+    """The per-stage accounting query must report recall 1.0 at every
+    stage on the fixture (candidates can only shrink toward truth,
+    never below it)."""
+    from sparkifydb_datawarehouse_spark import registry
+
+    rows = registry.QUERIES["q_dedup_lsh_verified_stages"](spark, sf_dir).collect()
+    assert [r["stage"] for r in rows] == [
+        "lsh_candidates",
+        "length_filtered",
+        "verified",
+    ]
+    for r in rows:
+        assert r["recall"] == 1.0, f"stage {r['stage']} lost true pairs: {r}"
+    # candidate volume must be monotone non-increasing through the tiers
+    assert rows[0]["n_pairs"] >= rows[1]["n_pairs"] >= rows[2]["n_pairs"]
+
+
+def test_lsh_verified_recalls_planted_borderline_pairs(spark, tmp_path):
+    """The fixture's near-dups all sit at j >= 0.889; this plants 15
+    pairs at exactly j = 28/48 = 0.583 — INSIDE [0.5, 0.889) where the
+    16x2 banding curve is the binding constraint (per-pair collision
+    p ~ 0.99) — plus sub-threshold distractors at j = 18/38 = 0.474
+    that must NOT appear. Deterministic corpus + seedless xxhash64 =>
+    a reproducible recall; gate at >= 0.9."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from sparkifydb_datawarehouse_spark.llm.dedup import _lsh_verified_tiers
+
+    rows = []
+    planted, distract = set(), set()
+    for k in range(15):
+        common = " ".join(f"w{k}_{i}" for i in range(30))
+        rows.append((4 * k, common + " " + " ".join(f"a{k}_{i}" for i in range(10))))
+        rows.append((4 * k + 1, common + " " + " ".join(f"b{k}_{i}" for i in range(10))))
+        planted.add((4 * k, 4 * k + 1))
+        # distractor pair: 20 common words -> j = 18/38 < 0.5
+        dcommon = " ".join(f"d{k}_{i}" for i in range(20))
+        rows.append((4 * k + 2, dcommon + " " + " ".join(f"c{k}_{i}" for i in range(10))))
+        rows.append((4 * k + 3, dcommon + " " + " ".join(f"e{k}_{i}" for i in range(10))))
+        distract.add((4 * k + 2, 4 * k + 3))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    _, _, _, verified = _lsh_verified_tiers(docs)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
+    found = set(got) & planted
+    assert len(found) / len(planted) >= 0.9, f"recall too low: {sorted(got)}"
+    assert not (set(got) & distract), "sub-threshold pair leaked through verify"
+    for pair in found:
+        assert got[pair] == round(28 / 48, 6), got[pair]
