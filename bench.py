@@ -127,6 +127,7 @@ HEADLINE = [
     "q_join_bloom_prefilter",        # Bloom semi-join pruning + contract
     "q_bootstrap_ci",                # one-pass Poisson bootstrap
     "q_map_in_arrow",                # Arrow RecordBatch tier
+    "q_dedup_lsh_verified",          # two-tier LSH candidates -> exact verify
 ]
 
 
@@ -140,7 +141,11 @@ HEADLINE = [
 # QUIET_CONTROL_SEC; ~1.0 on a quiet host, rises with contention.
 # Compare bench rounds on raw times only when the index is ~1; else
 # divide by the index for a first-order correction.
-QUIET_CONTROL_SEC = 0.43  # min-of-5 on a quiet host (load avg 0.6), 2026-08-14
+# The 0.43 s pin is THIS host's quiet CPU cost (min-of-5, load avg 0.6,
+# 2026-08-14); on different hardware the index would conflate machine
+# speed with ambient load, so it is overridable — and control_sec (the
+# raw median) is always emitted for per-host baselining (ADVICE r4).
+QUIET_CONTROL_SEC = float(os.environ.get("SPARK_GRAFT_QUIET_CONTROL", "0.43"))
 
 
 def main() -> None:
