@@ -16,9 +16,13 @@ registry.load_all_modules()
 
 
 @pytest.fixture(scope="module")
-def recall_table(spark):
-    rows = registry.QUERIES["q_ann_recall"](spark, SF_ORACLE).collect()
-    return {(r["method"], r["nprobe"]): r["recall"] for r in rows}
+def recall_rows(spark):
+    return registry.QUERIES["q_ann_recall"](spark, SF_ORACLE).collect()
+
+
+@pytest.fixture(scope="module")
+def recall_table(recall_rows):
+    return {(r["method"], r["probe_param"]): r["recall"] for r in recall_rows}
 
 
 def test_recall_floors_at_fixture(recall_table):
@@ -30,6 +34,42 @@ def test_recall_floors_at_fixture(recall_table):
     assert recall_table[("ivf", 2)] >= 0.9
     assert recall_table[("ivf", 4)] >= 0.9
     assert recall_table[("sign_lsh", 3)] >= 0.6
+
+
+def test_multitable_lsh_lifts_radius0_recall(recall_table):
+    """VERDICT r4 #5: L independent 4-bit tables must lift the
+    radius-0 operating point from single-table's measured 0.0 to
+    >= 0.5 (measured 0.6/0.6/0.7 at L=8 across sf0.001/0.01/0.1)."""
+    assert recall_table[("lsh_multitable", 8)] >= 0.5
+    # more tables never hurt recall
+    assert (
+        recall_table[("lsh_multitable", 2)]
+        <= recall_table[("lsh_multitable", 4)]
+        <= recall_table[("lsh_multitable", 8)]
+    )
+
+
+def test_bucket_volume_accounting(recall_rows):
+    """n_cand is the honest cost ledger: monotone in each method's
+    probe param, and every method examines fewer candidates than the
+    brute-force scan over the full corpus."""
+    by = {(r["method"], r["probe_param"]): r for r in recall_rows}
+    n_corpus = 499 if "0.01" in SF_ORACLE or "0.001" in SF_ORACLE else None
+    for (m, keys) in (
+        ("sign_lsh", [0, 1, 2, 3]),
+        ("lsh_multitable", [2, 4, 8]),
+        ("ivf", [1, 2, 4]),
+    ):
+        vols = [by[(m, k)]["n_cand"] for k in keys]
+        assert vols == sorted(vols), (m, vols)
+        if n_corpus:
+            assert all(v < n_corpus for v in vols), (m, vols)
+    kinds = {r["method"]: r["param_kind"] for r in recall_rows}
+    assert kinds == {
+        "sign_lsh": "radius",
+        "lsh_multitable": "n_tables",
+        "ivf": "nprobe",
+    }
 
 
 def test_recall_monotone_in_probe_width(recall_table):

@@ -160,7 +160,10 @@ EXCHANGE_BUDGETS = {
     "q_grouped_regression": 3,
     "q_rate_anomaly": 1,
     # round-4 additions
-    "q_ann_recall": 33,  # 7 top-k subplans unioned; QA harness by design
+    # r5: 7 -> 10 method rows (multi-table LSH) + per-row n_cand
+    # accounting agg; every subplan reads the checkpointed scored
+    # scan/IVF assignment, so the exchanges move tiny agg rows
+    "q_ann_recall": 54,  # 10 top-k subplans unioned; QA harness by design
     "q_similarity_pq": 5,
     "q_multimodal_decode_ppm": 2,
     "q_join_inner_multikey_decimal18": 2,
