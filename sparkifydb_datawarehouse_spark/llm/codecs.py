@@ -24,7 +24,9 @@ class ImageDecodeError(ValueError):
 
 def _ppm_tokens(blob: bytes, n: int) -> tuple[list[bytes], int]:
     """First n whitespace-delimited header tokens, skipping '#' comments
-    (comments run to end-of-line per the netpbm spec). Returns the
+    (comments run to end-of-line per the netpbm spec, and may appear
+    wherever whitespace may — so a '#' adjacent to a token terminates
+    that token, acting as its delimiting whitespace). Returns the
     tokens and the offset of the byte AFTER the single whitespace that
     terminates the last token — for P6 that byte starts the raster."""
     tokens: list[bytes] = []
@@ -32,9 +34,16 @@ def _ppm_tokens(blob: bytes, n: int) -> tuple[list[bytes], int]:
     cur = bytearray()
     while i < len(blob) and len(tokens) < n:
         c = blob[i : i + 1]
-        if c == b"#" and not cur:
+        if c == b"#":
+            if cur:
+                tokens.append(bytes(cur))
+                cur = bytearray()
             while i < len(blob) and blob[i : i + 1] != b"\n":
                 i += 1
+            if i < len(blob):
+                i += 1  # consume the comment-terminating newline
+            if len(tokens) == n:
+                return tokens, i
         elif c.isspace():
             if cur:
                 tokens.append(bytes(cur))
@@ -58,7 +67,12 @@ def decode_ppm(blob: bytes) -> dict:
         raise ImageDecodeError(f"not a PPM: magic {blob[:2]!r}")
     magic = blob[:2]
     tokens, off = _ppm_tokens(blob, 4)
-    width, height, maxval = (int(t) for t in tokens[1:4])
+    try:
+        width, height, maxval = (int(t) for t in tokens[1:4])
+    except ValueError:
+        raise ImageDecodeError(
+            f"non-numeric PPM header token in {tokens[1:4]!r}"
+        ) from None
     if width <= 0 or height <= 0:
         raise ImageDecodeError(f"bad PPM dimensions {width}x{height}")
     if not 0 < maxval <= 255:
@@ -72,7 +86,12 @@ def decode_ppm(blob: bytes) -> dict:
         samples = blob[off:].split()
         if len(samples) < n:
             raise ImageDecodeError(f"P3 raster truncated: {len(samples)}/{n} samples")
-        pixels = bytes(int(s) for s in samples[:n])
+        try:
+            # bytes() rejects non-ints and values outside 0..255, so a
+            # malformed or >maxval-violating sample lands here too
+            pixels = bytes(int(s) for s in samples[:n])
+        except ValueError:
+            raise ImageDecodeError("P3 sample not an integer in 0..255") from None
     return {"width": width, "height": height, "channels": 3, "pixels": pixels}
 
 

@@ -107,7 +107,30 @@ def zorder_by(df: DataFrame, cols: list[str], bits: int = DEFAULT_BITS,
 # ---------------------------------------------------------------------------
 
 _BUCKETS_N = 8
-_BUCKETED_READY: set[str] = set()
+_BUCKETED_READY: dict[str, str] = {}
+
+
+def _source_fingerprint(sf_dir: str, table: str) -> str:
+    """mtime+size fingerprint of a source parquet (file or directory).
+
+    The materialized-copy caches below key on (sf_dir, fingerprint) so
+    a fixture regenerated under the SAME sf_dir within one process
+    triggers a rebuild instead of silently serving the stale bucketed/
+    partitioned copy (ADVICE r4). Single-threaded assumption: two
+    concurrent FIRST calls for one sf_dir would race on drop/write —
+    registered queries run sequentially in the driver and in pytest.
+    """
+    import os
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(path)
+    fp = f"{st.st_mtime_ns}:{st.st_size}"
+    if os.path.isdir(path):
+        fp += "".join(
+            f":{p}={os.stat(os.path.join(path, p)).st_mtime_ns}"
+            for p in sorted(os.listdir(path))
+        )
+    return fp
 
 
 def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
@@ -119,7 +142,10 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     t_orders, t_li = f"bkt_orders_{tag}", f"bkt_lineitem_{tag}"
-    if sf_dir not in _BUCKETED_READY:
+    fp = _source_fingerprint(sf_dir, "orders") + _source_fingerprint(
+        sf_dir, "lineitem"
+    )
+    if _BUCKETED_READY.get(sf_dir) != fp:
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         for name, src, key in (
             (t_orders, load_table(spark, sf_dir, "orders"), "o_orderkey"),
@@ -133,7 +159,7 @@ def _ensure_bucketed_pair(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
             src.write.mode("overwrite").bucketBy(_BUCKETS_N, key).sortBy(
                 key
             ).saveAsTable(name)
-        _BUCKETED_READY.add(sf_dir)
+        _BUCKETED_READY[sf_dir] = fp
     return t_orders, t_li
 
 
@@ -184,7 +210,7 @@ def join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 # asserts the dynamicpruning subquery is actually in the scan.
 # ---------------------------------------------------------------------------
 
-_DPP_READY: set[str] = set()
+_DPP_READY: dict[str, str] = {}
 
 
 def _ensure_partitioned_customer(spark: SparkSession, sf_dir: str) -> str:
@@ -195,7 +221,8 @@ def _ensure_partitioned_customer(spark: SparkSession, sf_dir: str) -> str:
 
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"part_customer_{tag}"
-    if sf_dir not in _DPP_READY:
+    fp = _source_fingerprint(sf_dir, "customer")
+    if _DPP_READY.get(sf_dir) != fp:
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
@@ -205,7 +232,7 @@ def _ensure_partitioned_customer(spark: SparkSession, sf_dir: str) -> str:
             .partitionBy("c_nationkey")
             .saveAsTable(name)
         )
-        _DPP_READY.add(sf_dir)
+        _DPP_READY[sf_dir] = fp
     return name
 
 

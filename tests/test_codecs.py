@@ -61,6 +61,29 @@ def test_ppm_bad_maxval_raises():
         decode_ppm(b"P6\n2 2\n65535\n" + PX_2X2 * 2)
 
 
+def test_ppm_non_numeric_header_token_raises_decode_error():
+    # int() must not escape as bare ValueError (ADVICE r4)
+    with pytest.raises(ImageDecodeError, match="non-numeric"):
+        decode_ppm(b"P6\n2 zz\n255\n" + PX_2X2)
+
+
+def test_ppm_p3_sample_over_255_raises_decode_error():
+    # bytes() on a sample > 255 must not escape as bare ValueError
+    with pytest.raises(ImageDecodeError, match="0..255"):
+        decode_ppm(b"P3\n1 1\n255\n300 0 0")
+    with pytest.raises(ImageDecodeError, match="0..255"):
+        decode_ppm(b"P3\n1 1\n255\nxx 0 0")
+
+
+def test_ppm_comment_adjacent_to_token_terminates_it():
+    # netpbm: comments may appear wherever whitespace may, so
+    # "2#c\n" is the token 2 followed by comment-as-whitespace
+    blob = b"P6\n2#c\n2 255#end\n" + PX_2X2
+    img = decode_ppm(blob)
+    assert (img["width"], img["height"]) == (2, 2)
+    assert img["pixels"] == PX_2X2
+
+
 def test_bmp_roundtrip_normalizes_to_topdown_rgb():
     blob = encode_bmp_24(2, 2, PX_2X2)
     img = decode_bmp(blob)

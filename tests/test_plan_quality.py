@@ -409,3 +409,34 @@ def test_partition_pruned_join_has_dynamic_pruning(spark, sf_dir):
         .toString()
     )
     assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
+def test_partitioned_copy_rebuilds_when_fixture_regenerated(spark, sf_dir, tmp_path):
+    """The DPP helper's materialized-copy cache keys on the SOURCE
+    parquet fingerprint (ADVICE r4): regenerating the fixture under the
+    same sf_dir must rebuild the partitioned copy, not serve the stale
+    one."""
+    import shutil
+
+    from sparkifydb_datawarehouse_spark.sources.layout import (
+        _ensure_partitioned_customer,
+    )
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    d = str(tmp_path / "sf")
+    (tmp_path / "sf").mkdir()
+    src = f"{sf_dir}/customer.parquet"
+    dst = f"{d}/customer.parquet"
+    (shutil.copytree if __import__("os").path.isdir(src) else shutil.copyfile)(
+        src, dst
+    )
+    n_full = spark.table(_ensure_partitioned_customer(spark, d)).count()
+    assert n_full == load_table(spark, sf_dir, "customer").count()
+
+    # regenerate the fixture in place: half the customers
+    half = load_table(spark, sf_dir, "customer").filter("c_custkey % 2 = 0")
+    n_half = half.count()
+    shutil.rmtree(dst, ignore_errors=True)
+    half.toPandas().to_parquet(dst)  # plain file, new mtime/size
+    n_after = spark.table(_ensure_partitioned_customer(spark, d)).count()
+    assert n_after == n_half != n_full
