@@ -128,6 +128,7 @@ HEADLINE = [
     "q_bootstrap_ci",                # one-pass Poisson bootstrap
     "q_map_in_arrow",                # Arrow RecordBatch tier
     "q_dedup_lsh_verified",          # two-tier LSH candidates -> exact verify
+    "q_multimodal_decode_png",       # stdlib-zlib PNG inflate + unfilter
 ]
 
 

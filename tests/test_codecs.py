@@ -8,8 +8,10 @@ import pytest
 from sparkifydb_datawarehouse_spark.llm.codecs import (
     ImageDecodeError,
     decode_bmp,
+    decode_png,
     decode_ppm,
     encode_bmp_24,
+    encode_png,
     encode_ppm_p6,
 )
 from sparkifydb_datawarehouse_spark.llm.multimodal import decode_image
@@ -111,8 +113,8 @@ def test_decode_image_dispatches_by_magic():
     assert decode_image(encode_bmp_24(2, 2, PX_2X2))["pixels"] == PX_2X2
 
 
-def test_decode_image_gate_remains_for_compressed():
-    png_magic = b"\x89PNG\r\n\x1a\n" + b"\x00" * 16
+def test_decode_image_gate_remains_for_jpeg():
+    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
     try:
         import PIL  # noqa: F401
 
@@ -120,7 +122,108 @@ def test_decode_image_gate_remains_for_compressed():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(png_magic)
+        decode_image(jpeg_magic)
+
+
+# --- PNG (stdlib-zlib decoder) ---------------------------------------------
+
+
+def _gradient(n):
+    return bytes((7 * i + 13) % 256 for i in range(n))
+
+
+def test_png_roundtrip_rgb_exercises_all_filters():
+    # height 10 > 5 rows: encoder cycles filter types 0-4 twice, so a
+    # wrong Sub/Up/Average/Paeth implementation cannot round-trip
+    w, h = 6, 10
+    px = _gradient(w * h * 3)
+    img = decode_png(encode_png(w, h, px, channels=3))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert img["pixels"] == px
+
+
+def test_png_roundtrip_rgba():
+    w, h = 5, 7
+    px = _gradient(w * h * 4)
+    img = decode_png(encode_png(w, h, px, channels=4))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 4)
+    assert img["pixels"] == px
+
+
+def test_png_crc_mismatch_raises():
+    blob = bytearray(encode_png(2, 2, _gradient(12)))
+    # flip one byte inside the IDAT payload: magic 8 + IHDR chunk 25,
+    # then 8 bytes of IDAT length+type put offset 35 in the deflate data
+    blob[8 + 25 + 8 + 2] ^= 0x01
+    with pytest.raises(ImageDecodeError, match="CRC"):
+        decode_png(bytes(blob))
+
+
+def test_png_truncated_chunk_raises():
+    blob = encode_png(2, 2, _gradient(12))
+    with pytest.raises(ImageDecodeError, match="truncated|IEND|IHDR"):
+        decode_png(blob[: len(blob) // 2])
+
+
+def test_png_unsupported_forms_raise():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    def png_with_ihdr(depth, color, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color, 0, 0, interlace)
+        raw = zlib.compress(b"\x00" * (2 * 3 + 1) * 2)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", raw)
+            + chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ImageDecodeError, match="bit depth 16"):
+        decode_png(png_with_ihdr(16, 2))
+    with pytest.raises(ImageDecodeError, match="color type 0"):
+        decode_png(png_with_ihdr(8, 0))  # grayscale
+    with pytest.raises(ImageDecodeError, match="color type 3"):
+        decode_png(png_with_ihdr(8, 3))  # palette
+    with pytest.raises(ImageDecodeError, match="Adam7"):
+        decode_png(png_with_ihdr(8, 2, interlace=1))
+
+
+def test_png_raster_size_mismatch_raises():
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            len(data).to_bytes(4, "big")
+            + ctype
+            + data
+            + zlib.crc32(ctype + data).to_bytes(4, "big")
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    short = zlib.compress(b"\x00" * 5)  # not (stride+1)*height
+    blob = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", short)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageDecodeError, match="size mismatch"):
+        decode_png(blob)
+
+
+def test_decode_image_dispatches_png_by_magic():
+    px = _gradient(2 * 2 * 3)
+    assert decode_image(encode_png(2, 2, px))["pixels"] == px
 
 
 def test_planted_gradient_matches_closed_form():

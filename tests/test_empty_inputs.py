@@ -195,6 +195,10 @@ _EMPTY_GATE_QUERIES = [
     "q_diff_in_diff",
     "q_embedding_pca",
     "q_markov_attribution",
+    # round-5 additions (audited empty+one-row at registration)
+    "q_multimodal_decode_png",
+    "q_dedup_lsh_verified",
+    "q_dedup_lsh_verified_stages",
 ]
 
 
@@ -339,6 +343,10 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_diff_in_diff",
         "q_embedding_pca",
         "q_markov_attribution",
+        # round-5 additions
+        "q_multimodal_decode_png",
+        "q_dedup_lsh_verified",
+        "q_dedup_lsh_verified_stages",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
