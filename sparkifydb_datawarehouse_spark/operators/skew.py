@@ -118,3 +118,64 @@ def join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "type_code")
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# AQE skew-join demo (VERDICT r4 #6): the PLANNER-side complement to
+# the manual salting above. The join key is planted maximally skewed —
+# every even l_orderkey collapses onto k = 0, so one shuffle partition
+# carries ~half the fact table — and the merge hint pins a sort-merge
+# join (the shape AQE's OptimizeSkewedJoin acts on; a 97-row dim would
+# otherwise broadcast and there'd be no skew to split). Under AQE with
+# realistic thresholds the hot partition is split into advisory-sized
+# sub-partitions with the dim side replicated per split — the
+# runtime-replan equivalent of salted_join, with zero query rewrite.
+# tests/test_plan_quality.py executes this query with the skew
+# thresholds scaled down to fixture size and asserts `skew=true` is in
+# the final adaptive plan; the value oracle holds under ANY session.
+# The downstream aggregate groups on k_name (not the join key), so the
+# join output's partitioning is never reused and the skew split costs
+# no extra shuffle.
+# ---------------------------------------------------------------------------
+
+_N_SKEW_KEYS = 97
+
+_ORACLE_SKEW_AQE = f"""
+WITH big AS (
+    SELECT CASE WHEN l_orderkey % 2 = 0 THEN 0
+                ELSE l_orderkey % {_N_SKEW_KEYS} END AS k,
+           l_extendedprice
+    FROM lineitem
+),
+dim AS (SELECT UNNEST(generate_series(0, {_N_SKEW_KEYS - 1})) AS k)
+SELECT 'K' || CAST(d.k AS VARCHAR) AS k_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(b.l_extendedprice), 2) AS total_price
+FROM big b JOIN dim d ON b.k = d.k
+GROUP BY d.k
+ORDER BY k_name
+"""
+
+
+@query("q_join_skew_aqe", oracle=_ORACLE_SKEW_AQE)
+def join_skew_aqe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    big = li.select(
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(0).cast("long"))
+        .otherwise(F.col("l_orderkey") % _N_SKEW_KEYS)
+        .alias("k"),
+        "l_extendedprice",
+    )
+    dim = spark.range(0, _N_SKEW_KEYS).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("K"), F.col("id").cast("string")).alias("k_name"),
+    )
+    return (
+        big.join(dim.hint("merge"), "k")
+        .groupBy("k_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+        .orderBy("k_name")
+    )

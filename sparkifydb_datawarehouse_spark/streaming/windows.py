@@ -156,6 +156,45 @@ def _has_agg(df: DataFrame) -> bool:
     return "Aggregate" in df._jdf.queryExecution().analyzed().toString()
 
 
+def run_stream_with_progress(
+    spark: SparkSession, streaming_df: DataFrame, name: str, mode: str = "append"
+) -> tuple[DataFrame, list[dict]]:
+    """Like run_stream_to_memory, but also returns the per-micro-batch
+    StreamingQueryProgress records (as dicts) so tests can assert the
+    OBSERVED late-data contract — `stateOperators[].
+    numRowsDroppedByWatermark` and the `eventTime.watermark` line are
+    the production evidence that a watermark actually dropped late
+    rows, not just that the query ran (VERDICT r4 #8)."""
+    import json
+
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    progress = [json.loads(p.json) for p in q.recentProgress]
+    return spark.sql(f"SELECT * FROM {name}"), progress
+
+
+def watermark_drop_counts(progress: list[dict]) -> tuple[int, list[str]]:
+    """(total rows dropped by watermark, watermark timestamps per
+    batch) pulled from StreamingQueryProgress dicts."""
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progress
+        for op in p.get("stateOperators", [])
+    )
+    marks = [
+        p["eventTime"]["watermark"]
+        for p in progress
+        if "watermark" in p.get("eventTime", {})
+    ]
+    return dropped, marks
+
+
 # ---------------------------------------------------------------------------
 # Oracle-checked batch equivalents (the driver's correctness handle on
 # the streaming semantics).

@@ -411,6 +411,53 @@ def test_partition_pruned_join_has_dynamic_pruning(spark, sf_dir):
     assert "dynamicpruning" in plan.lower(), plan[:1500]
 
 
+def test_skew_join_aqe_split_fires(spark, sf_dir):
+    """q_join_skew_aqe (VERDICT r4 #6): with the skew thresholds
+    scaled down to fixture size (production defaults are 256 MB — the
+    MECHANISM is what's under test, not the default trigger point),
+    AQE must detect the planted hot partition (~half of lineitem on
+    k = 0) and split it: `skew=true` on the executed SortMergeJoin.
+    Broadcast demotion is disabled so the runtime can't convert the
+    97-row dim side and dissolve the skew before the optimizer sees
+    it."""
+    confs = {
+        # fixture shuffle partitions compress to a few KB, so the
+        # byte floor sits at 256B (vs the 256MB production default)
+        # and the factor at 1.5x median — the planted hot partition
+        # carries ~half the rows, far beyond either bound
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.5",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = registry.QUERIES["q_join_skew_aqe"](spark, sf_dir)
+        rows = df.collect()  # executes THIS plan, finalizing AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan, plan[:500]
+        assert "skew=true" in plan, plan[:2500]
+        # value sanity under the skew-split plan: half the fact table
+        # must still land on K0 exactly once
+        k0 = next(r for r in rows if r["k_name"] == "K0")
+        total = sum(r["n_rows"] for r in rows)
+        assert k0["n_rows"] >= total * 0.45, (k0, total)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_partitioned_copy_rebuilds_when_fixture_regenerated(spark, sf_dir, tmp_path):
     """The DPP helper's materialized-copy cache keys on the SOURCE
     parquet fingerprint (ADVICE r4): regenerating the fixture under the
