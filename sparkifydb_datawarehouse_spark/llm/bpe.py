@@ -191,3 +191,97 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# DISTRIBUTED trainer (VERDICT r4 #7): the driver-side trainer above
+# is exact only over its top-_N_TYPES histogram slice. This loop
+# removes that bound by keeping the FULL word-type table distributed
+# and iterating the q_text_bpe_merges primitive: each round is one
+# vocabulary-sized pair-count shuffle (freq-weighted, map-side
+# combined) + a ONE-ROW collect (the argmax pair — the k-means-
+# centroid rule for driver state), then the merge is applied
+# DISTRIBUTEDLY as a codegen fold over the symbol arrays (greedy
+# left-to-right non-overlapping, exactly the Sennrich rule). State is
+# localCheckpointed per round (the pagerank iterative-lineage
+# discipline). At 100 TB: the type table is vocabulary-bounded
+# (Heaps' law), each round shuffles (symbol-pair, count) rows only —
+# text never shuffles after the initial histogram.
+# ---------------------------------------------------------------------------
+
+_N_DIST_MERGES = 12
+
+
+def _apply_merge(sym_col, a: str, b: str):
+    """Greedy left-to-right non-overlapping replacement of the
+    adjacent pair (a, b) with a+b inside a symbol array — as a pure
+    expression fold (no UDF; literals ride as expression nodes, so
+    arbitrary token text needs no escaping)."""
+    la, lb, lab = F.lit(a), F.lit(b), F.lit(a + b)
+    return F.aggregate(
+        sym_col,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (s == lb),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(lab)),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def train_bpe_distributed(
+    docs: DataFrame, n_merges: int = _N_DIST_MERGES, min_pair_count: int = 2
+) -> list[tuple[str, str, int]]:
+    """Full-vocabulary BPE training loop over a documents frame.
+    Returns [(left, right, pair_count), ...] in merge order. Stops
+    early when the best pair's weighted count falls below
+    min_pair_count (merging near-singletons adds no compression)."""
+    spark = docs.sparkSession
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    types = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "freq",
+            F.concat(F.split("w", ""), F.array(F.lit(_EOW))).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pair_expr = F.expr(
+        "CASE WHEN size(syms) >= 2 THEN transform(sequence(1, size(syms) - 1), "
+        "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) "
+        "ELSE array() END"
+    )
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        top = (
+            types.select("freq", F.explode(pair_expr).alias("p"))
+            .groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["cnt"] < min_pair_count:
+            break
+        a, b, cnt = top[0]["l"], top[0]["r"], int(top[0]["cnt"])
+        merges.append((a, b, cnt))
+        types = types.withColumn("syms", _apply_merge(F.col("syms"), a, b))
+        types = types.localCheckpoint(eager=True)
+    return merges
+
+
+@query("q_text_bpe_train_distributed")  # rows-only: iterative argmax
+# loop is non-SQL-expressible (documented category); equivalence to
+# the classic full-histogram trainer is pinned in tests/test_bpe.py
+def text_bpe_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE training loop as a registered query: one
+    row per learned merge with its rank and weighted pair count —
+    deterministic for fixed data (count desc, pair asc tie-break, the
+    train_bpe convention)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = train_bpe_distributed(docs)
+    return spark.createDataFrame(
+        [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )

@@ -60,3 +60,63 @@ def test_query_is_deterministic(spark):
     a = [tuple(r) for r in q(spark, SF_ORACLE).collect()]
     b = [tuple(r) for r in q(spark, SF_ORACLE).collect()]
     assert a == b
+
+
+def test_distributed_trainer_equals_classic_full_histogram(spark):
+    """The distributed loop (VERDICT r4 #7) must learn EXACTLY the
+    merges the classic driver-side trainer learns when that trainer is
+    given the FULL word-type histogram (no top-200 cap) — same
+    freq-weighted counts, same count-desc/pair-asc tie-break."""
+    from conftest import SF_ORACLE
+
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.llm.bpe import (
+        _N_DIST_MERGES,
+        _TOKEN_SPLIT,
+        train_bpe,
+        train_bpe_distributed,
+    )
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("text")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    full_hist = {
+        r["w"]: r["n"]
+        for r in docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    classic = train_bpe(full_hist, n_merges=_N_DIST_MERGES)
+    distributed = [(a, b) for a, b, _ in train_bpe_distributed(docs)]
+    assert distributed == classic
+
+
+def test_distributed_trainer_fertility_monotone_and_converges(spark):
+    """Applying a longer prefix of the learned merge list can only
+    merge more — per-corpus subword count must be non-increasing in
+    the number of merges (the compression contract); and on a tiny
+    convergent corpus the loop must stop early once no pair reaches
+    min_pair_count."""
+    from sparkifydb_datawarehouse_spark.llm.bpe import (
+        bpe_encode,
+        train_bpe_distributed,
+    )
+
+    docs = spark.createDataFrame(
+        [("low low low lower lowest newer newest new",)], "text string"
+    )
+    merges = train_bpe_distributed(docs, n_merges=50)
+    assert 0 < len(merges) < 50, "expected early convergence"
+    # pair counts recorded are all >= the floor
+    assert all(c >= 2 for _, _, c in merges)
+
+    words = "low lower lowest newer newest new unseen".split()
+    prev = None
+    for m in range(len(merges) + 1):
+        ranks = {(a, b): i for i, (a, b, _) in enumerate(merges[:m])}
+        total = sum(len(bpe_encode(w, ranks)) for w in words)
+        if prev is not None:
+            assert total <= prev, (m, total, prev)
+        prev = total

@@ -199,6 +199,8 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_decode_png",
     "q_dedup_lsh_verified",
     "q_dedup_lsh_verified_stages",
+    "q_text_bpe_train_distributed",
+    "q_join_skew_aqe",
 ]
 
 
@@ -347,6 +349,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_png",
         "q_dedup_lsh_verified",
         "q_dedup_lsh_verified_stages",
+        "q_text_bpe_train_distributed",
+        "q_join_skew_aqe",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
