@@ -174,6 +174,14 @@ def _minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # pass — callers that care assert `ids_dropped == 0` or log it.
 _MAX_BUCKET = 64
 
+# Two-tier verify: minimum agreeing minhash positions (of _N_MINHASH)
+# a candidate pair must show before the exact posting join pays for it.
+# 8/32 = estimated Jaccard 1/4 — half the exact threshold t = 1/2, so
+# only a pair whose deterministic estimate deviates −50% relative could
+# be lost (P ≈ 1.2e-3 at j exactly 0.5, ~1e-12 at the fixture's
+# j ≥ 0.889; the stages query measures realized recall per corpus).
+_EST_MIN_AGREE = 8
+
 
 def minhash_band_pairs(
     docs: DataFrame, max_bucket: int = _MAX_BUCKET, observation=None
@@ -1138,8 +1146,8 @@ def _lsh_verified_tiers(
     max_bucket: int = _MAX_BUCKET,
     observation=None,
     checkpoint_candidates: bool = False,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Returns (ex, cand_raw, cand, verified):
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Returns (ex, cand_raw, cand, cand_est, verified):
 
     ex        — (doc_id, h): distinct 3-word shingles as 64-bit hashes,
                 localCheckpointed (three consumers: sketch, both verify
@@ -1147,6 +1155,25 @@ def _lsh_verified_tiers(
     cand_raw  — LSH bucket-collision pairs (doc_a < doc_b, distinct);
     cand      — cand_raw after the integer length filter
                 t·|a| ≤ |b| ≤ |a|/t (a j ≥ t pair cannot violate it);
+    cand_est  — cand after the minhash-estimate filter: the pair's 32
+                already-computed minhashes must agree on ≥ _EST_MIN_AGREE
+                positions (ĵ ≥ 1/4 when the exact threshold is 1/2).
+                The 100× probe's root cause lives here: with 2-row
+                bands, RANDOM collisions between modestly-overlapping
+                docs scale ~n²·E[j²] — measured 2.2k/332k/21.7M raw
+                candidates at 1×/10×/100× against only 256/3k/30k true
+                pairs, and each junk candidate costs ~170 posting-join
+                rows in the verify tier (391 s at 100×). Per-position
+                agreement probability IS j (the MinHash identity), so
+                junk at j≈0.1 passes Binomial(32, 0.1) ≥ 8 with
+                p≈6e-4 while a threshold pair at j = 0.5 fails with
+                p≈1.2e-3 — and xxhash64 is seedless, so each pair's
+                estimate is a DETERMINISTIC constant: the recall
+                contract stays measurable (stages query) and the
+                fixture/replica true pairs at j ≥ 0.889 sit ≥ 25
+                agreements, unreachable by the cut. Cost: one 2-long
+                shuffle of the pair list + two hash joins against the
+                per-doc stats — not a posting explosion;
     verified  — exact-Jaccard output rows (doc_a, doc_b, jaccard ≥ t).
     """
     spark = docs.sparkSession
@@ -1156,22 +1183,30 @@ def _lsh_verified_tiers(
         .select("doc_id", F.xxhash64("shingle").alias("h"))
         .localCheckpoint(eager=True)
     )
-    sized = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
 
-    # tier 1: 32 rehash minhashes (one codegen agg pass, map-side
-    # combine) -> 16 band signatures -> bucket self-pairing in
-    # expression space (one shuffle, no self-join re-sketch)
-    mins = ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("h"), F.lit(k))).alias(f"m{k}")
-            for k in range(_N_MINHASH)
-        ]
+    # tier 1: 32 rehash minhashes + the doc's shingle count in ONE
+    # codegen agg pass (map-side combine) -> 16 band signatures ->
+    # bucket self-pairing in expression space (one shuffle, no
+    # self-join re-sketch). stats feeds three consumers (banding, both
+    # estimate/length sides), so cut its lineage.
+    stats = (
+        ex.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array(
+                *[
+                    F.min(F.xxhash64(F.col("h"), F.lit(k)))
+                    for k in range(_N_MINHASH)
+                ]
+            ).alias("sig"),
+        )
+        .localCheckpoint(eager=True)
     )
     n_bands = _N_MINHASH // 2
     stack_args = ", ".join(
-        f"{b}, xxhash64(m{2 * b}, m{2 * b + 1})" for b in range(n_bands)
+        f"{b}, xxhash64(sig[{2 * b}], sig[{2 * b + 1}])" for b in range(n_bands)
     )
-    banded = mins.select(
+    banded = stats.select(
         "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_sig)")
     )
     buckets = (
@@ -1206,22 +1241,35 @@ def _lsh_verified_tiers(
         # the sketch+bucket job runs once, not once per stage row
         cand_raw = cand_raw.localCheckpoint(eager=True)
 
-    sa = sized.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("la"))
-    sb = sized.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("lb"))
-    cand = (
-        cand_raw.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(
-            (_PF_T_DEN * F.col("lb") >= _PF_T_NUM * F.col("la"))
-            & (_PF_T_DEN * F.col("la") >= _PF_T_NUM * F.col("lb"))
-        )
+    sa = stats.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("n").alias("la"),
+        F.col("sig").alias("siga"),
     )
+    sb = stats.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("n").alias("lb"),
+        F.col("sig").alias("sigb"),
+    )
+    decorated = cand_raw.join(sa, "doc_a").join(sb, "doc_b")
+    cand = decorated.filter(
+        (_PF_T_DEN * F.col("lb") >= _PF_T_NUM * F.col("la"))
+        & (_PF_T_DEN * F.col("la") >= _PF_T_NUM * F.col("lb"))
+    )
+    # sig columns are 264 B/row — drop them BEFORE the posting join so
+    # the verify tier ships (doc_a, doc_b, la, lb) only
+    cand_est = cand.filter(
+        F.expr(
+            "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), "
+            f"0, (acc, v) -> acc + v) >= {_EST_MIN_AGREE}"
+        )
+    ).select("doc_a", "doc_b", "la", "lb")
 
     # tier 2: exact |A∩B| via candidate-bounded posting joins — the
     # prefix-filter verify stage verbatim; zero-overlap candidates
     # produce no join rows and fall out before the threshold filter
     li = (
-        cand.join(ex.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        cand_est.join(ex.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
         .join(
             ex.alias("tb"),
             (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.h") == F.col("tb.h")),
@@ -1243,7 +1291,7 @@ def _lsh_verified_tiers(
         )
         .orderBy("doc_a", "doc_b")
     )
-    return ex, cand_raw, cand, verified
+    return ex, cand_raw, cand, cand_est, verified
 
 
 @query("q_dedup_lsh_verified", oracle=_ORACLE_PREFIX_FILTER)
@@ -1253,7 +1301,7 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     index. Same brute-force oracle as q_dedup_prefix_filter — the
     driver re-proves on every run that the LSH tier surfaced every
     qualifying pair (see banding note above)."""
-    _, _, _, verified = _lsh_verified_tiers(load_table(spark, sf_dir, "documents"))
+    _, _, _, _, verified = _lsh_verified_tiers(load_table(spark, sf_dir, "documents"))
     return verified
 
 
@@ -1271,7 +1319,7 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed — without it the prefix-filter ground-truth job
     re-executes once per stage row (4× cost at 10×)."""
     docs = load_table(spark, sf_dir, "documents")
-    _, cand_raw, cand, verified = _lsh_verified_tiers(
+    _, cand_raw, cand, cand_est, verified = _lsh_verified_tiers(
         docs, checkpoint_candidates=True
     )
     truth = (
@@ -1302,6 +1350,7 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         stage_row(1, "lsh_candidates", cand_raw)
         .unionByName(stage_row(2, "length_filtered", cand))
-        .unionByName(stage_row(3, "verified", verified))
+        .unionByName(stage_row(3, "sketch_estimate", cand_est))
+        .unionByName(stage_row(4, "verified", verified))
         .orderBy("stage_ord")
     )

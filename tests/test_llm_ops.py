@@ -354,12 +354,18 @@ def test_lsh_verified_stages_full_recall_on_fixture(spark, sf_dir):
     assert [r["stage"] for r in rows] == [
         "lsh_candidates",
         "length_filtered",
+        "sketch_estimate",
         "verified",
     ]
     for r in rows:
         assert r["recall"] == 1.0, f"stage {r['stage']} lost true pairs: {r}"
     # candidate volume must be monotone non-increasing through the tiers
-    assert rows[0]["n_pairs"] >= rows[1]["n_pairs"] >= rows[2]["n_pairs"]
+    assert (
+        rows[0]["n_pairs"]
+        >= rows[1]["n_pairs"]
+        >= rows[2]["n_pairs"]
+        >= rows[3]["n_pairs"]
+    )
 
 
 def test_lsh_verified_recalls_planted_borderline_pairs(spark, tmp_path):
@@ -386,7 +392,7 @@ def test_lsh_verified_recalls_planted_borderline_pairs(spark, tmp_path):
         rows.append((4 * k + 3, dcommon + " " + " ".join(f"e{k}_{i}" for i in range(10))))
         distract.add((4 * k + 2, 4 * k + 3))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    _, _, _, verified = _lsh_verified_tiers(docs)
+    _, _, _, _, verified = _lsh_verified_tiers(docs)
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in verified.collect()}
     found = set(got) & planted
     assert len(found) / len(planted) >= 0.9, f"recall too low: {sorted(got)}"
