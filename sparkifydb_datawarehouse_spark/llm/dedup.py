@@ -1171,9 +1171,10 @@ def _lsh_verified_tiers(
                 estimate is a DETERMINISTIC constant: the recall
                 contract stays measurable (stages query) and the
                 fixture/replica true pairs at j ≥ 0.889 sit ≥ 25
-                agreements, unreachable by the cut. Cost: one 2-long
-                shuffle of the pair list + two hash joins against the
-                per-doc stats — not a posting explosion;
+                agreements, unreachable by the cut. Cost: zero extra
+                shuffles — lengths and byte-packed signatures ride the
+                bucket lists, so both filters evaluate inside the pair
+                explode and junk dies before any distinct;
     verified  — exact-Jaccard output rows (doc_a, doc_b, jaccard ≥ t).
     """
     spark = docs.sparkSession
@@ -1206,14 +1207,32 @@ def _lsh_verified_tiers(
     stack_args = ", ".join(
         f"{b}, xxhash64(sig[{2 * b}], sig[{2 * b + 1}])" for b in range(n_bands)
     )
+    # Banding uses the FULL 64-bit minhashes (byte-truncated band sigs
+    # would fold 5M docs into 65k buckets). What travels into the
+    # bucket lists is a fixed-width struct: (doc_id, n, p0..p3) where
+    # p0..p3 pack one BYTE per minhash (8 per long, 48 B total vs the
+    # 264 B array<long> sig). Truncation can only ADD agreements
+    # (expected ~32/256 ≈ 0.13 false agreements/pair), never remove a
+    # true one, so the ≥ _EST_MIN_AGREE cut stays recall-safe. The 100×
+    # probe showed the post-join-fix residual (232 s) was the candidate
+    # plumbing itself — a 21.7M-pair distinct plus two 264 B-sig
+    # decoration joins; decorating IN the explode lets junk pairs die
+    # before any shuffle and deletes both joins.
+    pack_sql = ", ".join(
+        f"'p{k}', ("
+        + " | ".join(f"shiftleft(sig[{8 * k + j}] & 255, {8 * j})" for j in range(8))
+        + ")"
+        for k in range(4)
+    )
     banded = stats.select(
-        "doc_id", F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_sig)")
+        F.expr(f"named_struct('doc_id', doc_id, 'n', n, {pack_sql})").alias("rec"),
+        F.expr(f"stack({n_bands}, {stack_args}) AS (band, band_sig)"),
     )
     buckets = (
         banded.groupBy("band", "band_sig")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-        .withColumn("n_dropped", F.greatest(F.size("ids") - max_bucket, F.lit(0)))
+        .agg(F.sort_array(F.collect_list("rec")).alias("recs"))
+        .filter(F.size("recs") > 1)
+        .withColumn("n_dropped", F.greatest(F.size("recs") - max_bucket, F.lit(0)))
     )
     if observation is not None:
         buckets = buckets.observe(
@@ -1221,49 +1240,56 @@ def _lsh_verified_tiers(
             F.sum((F.col("n_dropped") > 0).cast("long")).alias("buckets_capped"),
             F.sum("n_dropped").alias("ids_dropped"),
         )
-    cand_raw = (
-        buckets.withColumn("ids", F.slice("ids", 1, max_bucket))
+    # sort_array on structs orders by leading field doc_id, so i<j
+    # explode keeps doc_a < doc_b; agreement = 32 xor-mask byte
+    # compares on the packed longs, all constant-folded codegen. Masks
+    # are emitted as SIGNED 64-bit literals (255<<56 wraps negative —
+    # an unsigned literal would not parse as a Spark long).
+    def _s64(x: int) -> int:
+        return x - (1 << 64) if x >= (1 << 63) else x
+
+    agree_expr = " + ".join(
+        f"IF(((p.ra.p{k} ^ p.rb.p{k}) & {_s64(255 << (8 * j))}L) = 0, 1, 0)"
+        for k in range(4)
+        for j in range(8)
+    )
+    pairs_dec = (
+        buckets.withColumn("recs", F.slice("recs", 1, max_bucket))
         .select(
             F.explode(
                 F.expr(
-                    "flatten(transform(ids, (x, i) -> "
-                    "transform(slice(ids, i + 2, size(ids)), "
-                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                    "flatten(transform(recs, (x, i) -> "
+                    "transform(slice(recs, i + 2, size(recs)), "
+                    "y -> struct(x AS ra, y AS rb))))"
                 )
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+        .select(
+            F.col("p.ra.doc_id").alias("doc_a"),
+            F.col("p.rb.doc_id").alias("doc_b"),
+            F.col("p.ra.n").alias("la"),
+            F.col("p.rb.n").alias("lb"),
+            F.expr(agree_expr).alias("agree"),
+        )
     )
     if checkpoint_candidates:
-        # the stages query consumes cand_raw in 2 stage rows and its
-        # descendants (cand, verified) in 2 more — cut the lineage so
-        # the sketch+bucket job runs once, not once per stage row
-        cand_raw = cand_raw.localCheckpoint(eager=True)
+        # the stages query consumes the pair stream in 3 stage rows and
+        # its descendant (verified) in 1 more — cut the lineage so the
+        # sketch+bucket job runs once, not once per stage row
+        pairs_dec = pairs_dec.localCheckpoint(eager=True)
 
-    sa = stats.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("n").alias("la"),
-        F.col("sig").alias("siga"),
+    len_ok = (_PF_T_DEN * F.col("lb") >= _PF_T_NUM * F.col("la")) & (
+        _PF_T_DEN * F.col("la") >= _PF_T_NUM * F.col("lb")
     )
-    sb = stats.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("n").alias("lb"),
-        F.col("sig").alias("sigb"),
+    cand_raw = pairs_dec.select("doc_a", "doc_b").distinct()
+    cand = pairs_dec.filter(len_ok).select("doc_a", "doc_b").distinct()
+    # the hot path: only pairs surviving BOTH filters reach a distinct
+    # shuffle; the verify tier ships (doc_a, doc_b, la, lb) only
+    cand_est = (
+        pairs_dec.filter(len_ok & (F.col("agree") >= _EST_MIN_AGREE))
+        .select("doc_a", "doc_b", "la", "lb")
+        .distinct()
     )
-    decorated = cand_raw.join(sa, "doc_a").join(sb, "doc_b")
-    cand = decorated.filter(
-        (_PF_T_DEN * F.col("lb") >= _PF_T_NUM * F.col("la"))
-        & (_PF_T_DEN * F.col("la") >= _PF_T_NUM * F.col("lb"))
-    )
-    # sig columns are 264 B/row — drop them BEFORE the posting join so
-    # the verify tier ships (doc_a, doc_b, la, lb) only
-    cand_est = cand.filter(
-        F.expr(
-            "aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), "
-            f"0, (acc, v) -> acc + v) >= {_EST_MIN_AGREE}"
-        )
-    ).select("doc_a", "doc_b", "la", "lb")
 
     # tier 2: exact |A∩B| via candidate-bounded posting joins — the
     # prefix-filter verify stage verbatim; zero-overlap candidates
