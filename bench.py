@@ -129,6 +129,10 @@ HEADLINE = [
     "q_map_in_arrow",                # Arrow RecordBatch tier
     "q_dedup_lsh_verified",          # two-tier LSH candidates -> exact verify
     "q_multimodal_decode_png",       # stdlib-zlib PNG inflate + unfilter
+    "q_text_bm25",                   # map-only BM25 scan + 6-scalar stats row
+    "q_search_rrf_fusion",           # hybrid lexical+vector RRF fuse
+    "q_text_cdc_chunks",             # content-defined chunking dedup
+    "q_agg_kmv_overlap",             # KMV sketch set algebra + contract
 ]
 
 

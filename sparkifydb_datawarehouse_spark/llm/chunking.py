@@ -84,3 +84,128 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup — the storage/corpus dedup
+# primitive (Muthitacharoen et al., LBFS SOSP'01, public literature):
+# chunk boundaries are chosen by the CONTENT (a hash of a small local
+# window), not by fixed offsets, so inserting one byte early in a
+# document only perturbs the chunks around the edit — every chunk
+# after the next boundary re-aligns and still dedups. Fixed-size
+# chunking loses all alignment after any insertion; this is the
+# difference that matters for near-identical crawl snapshots.
+#
+# Boundary rule here: position p (2 ≤ p ≤ len-3) starts a new chunk
+# when md5(text[p : p+4]) begins with a '0' nibble — P = 1/16, so the
+# expected chunk length is ~16 chars. md5 of the 4-byte window stands
+# in for the cheap rolling (Rabin/buzhash) polynomial a production
+# chunker uses, because md5 is bit-identical in Spark and DuckDB —
+# the cost PROFILE (one hash per byte) is the same, so the measured
+# plan shape is honest even though the constant is bigger.
+#
+# Scale design (100 TB): boundary detection + chunk slicing are
+# MAP-ONLY array expressions inside the scan (no explode until chunks
+# exist — fan-out is len/16 per doc, same as the shingle explode the
+# dedup family already carries). The only shuffle is the chunk-level
+# groupBy, keyed on the chunk text (≈16 B — smaller than its own md5;
+# at larger chunk sizes you'd key on the hash). Per-source stats are
+# a second tiny aggregation over distinct-chunk rows.
+# ---------------------------------------------------------------------------
+
+_ORACLE_CDC = """
+WITH d AS (
+    SELECT source, text, LENGTH(text) AS n,
+           CASE WHEN LENGTH(text) >= 5 THEN
+               list_filter(range(2, LENGTH(text) - 2),
+                           p -> substr(md5(substr(text, p, 4)), 1, 1) = '0')
+           ELSE [] END AS bpos
+    FROM documents
+),
+se AS (
+    SELECT source, text,
+           list_prepend(1, bpos) AS starts,
+           list_append(bpos, n + 1) AS ends
+    FROM d
+),
+c AS (
+    SELECT source,
+           UNNEST(list_transform(range(1, len(starts) + 1),
+                  i -> substr(text, CAST(starts[i] AS INTEGER),
+                              CAST(ends[i] - starts[i] AS INTEGER)))) AS chunk
+    FROM se
+),
+per_chunk AS (
+    SELECT source, chunk, CAST(COUNT(*) AS BIGINT) AS n_copies,
+           CAST(LENGTH(chunk) AS BIGINT) AS blen
+    FROM c
+    WHERE chunk IS NOT NULL AND chunk <> ''
+    GROUP BY source, chunk
+)
+SELECT source,
+       CAST(SUM(n_copies) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) AS BIGINT) AS uniq_chunks,
+       CAST(SUM(n_copies * blen) AS BIGINT) AS total_bytes,
+       CAST(SUM(blen) AS BIGINT) AS uniq_bytes,
+       ROUND(1.0 - CAST(SUM(blen) AS DOUBLE) / SUM(n_copies * blen), 6) AS dedup_ratio,
+       ROUND(CAST(SUM(n_copies * blen) AS DOUBLE) / SUM(n_copies), 6) AS avg_chunk_len
+FROM per_chunk
+GROUP BY source
+ORDER BY source
+"""
+
+
+def cdc_chunk_array(text):
+    """Array-of-chunks column for a text column: boundaries where the
+    md5 of the 4-char window starting at p has a leading '0' nibble.
+    Map-only; reused by the behavioral shift-robustness test."""
+    n = F.length(text)
+    bpos = F.when(
+        n >= 5,
+        F.filter(
+            F.sequence(F.lit(2), n - 3),
+            lambda p: F.substring(F.md5(text.substr(p, F.lit(4))), 1, 1) == "0",
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.concat(F.array(F.lit(1)), bpos)
+    ends = F.concat(bpos, F.array(n + 1))
+    return F.zip_with(starts, ends, lambda s, e: text.substr(s, e - s))
+
+
+@query("q_text_cdc_chunks", oracle=_ORACLE_CDC)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking + chunk-level dedup accounting per
+    source. Boundary = md5-of-4-gram leading nibble '0' (avg chunk
+    ~16 chars); chunks between boundaries; dedup_ratio = bytes saved
+    by storing each distinct chunk once."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_chunk = (
+        docs.select("source", F.explode(cdc_chunk_array(F.col("text"))).alias("chunk"))
+        .filter(F.col("chunk").isNotNull() & (F.col("chunk") != ""))
+        .groupBy("source", "chunk")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .select(
+            "source", "n_copies", F.length("chunk").cast("long").alias("blen")
+        )
+    )
+    return (
+        per_chunk.groupBy("source")
+        .agg(
+            F.sum("n_copies").alias("total_chunks"),
+            F.count(F.lit(1)).alias("uniq_chunks"),
+            F.sum(F.col("n_copies") * F.col("blen")).alias("total_bytes"),
+            F.sum("blen").alias("uniq_bytes"),
+            F.round(
+                F.lit(1.0)
+                - F.sum("blen").cast("double")
+                / F.sum(F.col("n_copies") * F.col("blen")),
+                6,
+            ).alias("dedup_ratio"),
+            F.round(
+                F.sum(F.col("n_copies") * F.col("blen")).cast("double")
+                / F.sum("n_copies"),
+                6,
+            ).alias("avg_chunk_len"),
+        )
+        .orderBy("source")
+    )

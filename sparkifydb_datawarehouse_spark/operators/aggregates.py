@@ -557,3 +557,131 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("fp_within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# B4f — KMV (k-minimum-values) distinct sketch with SET ALGEBRA
+# (round 5; Bar-Yossef et al. 2002 / Beyer et al. SIGMOD'07, public
+# literature) — the fourth sketch: unlike HLL, a KMV synopsis supports
+# INTERSECTION estimates directly, which is what audience-overlap
+# dashboards need (q_audience_overlap is the exact form). Sketch per
+# set = the k smallest values of u(x) = xxhash64(x)/2^64 + 0.5 ∈ [0,1);
+# estimate D̂ = (k-1)/u_(k) (or the exact distinct-hash count when a
+# set has fewer than k members). Sketches MERGE by union + re-truncate
+# — that's the union estimate — and inclusion-exclusion gives the
+# intersection: D̂_∩ = D̂_A + D̂_B − D̂_∪.
+#
+# Calibration contract (the q_agg_approx_distinct_calibration
+# pattern): xxhash64 is deterministic, so for fixed data the estimate
+# is a stable VALUE; the query emits, per set, the exact count and a
+# flag that |D̂ − D|/D ≤ 3·rsd with rsd = 1/√(k−2) (k=256 → ~6.3%),
+# and for the intersection row |D̂_∩ − D_∩| ≤ 3·rsd·D_∪ (errors of the
+# three constituent sketches are each union-scale). DuckDB asserts the
+# exact counts plus literal-1 flags — sketch degradation fails the
+# driver's value hash.
+#
+# Plan shape: the shuffle carries DISTINCT (set, u) pairs — hashes,
+# never facts; the per-set k-th order statistic is a window rank over
+# those pairs. At 100 TB you'd keep the k smallest PER PARTITION
+# first (KMV's mergeability makes the partial exact, same
+# union+truncate rule) so the rank input is ≤ k·partitions rows; at
+# fixture scale the direct rank is the same plan minus that partial.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 256
+_KMV_RSD = 1.0 / (_KMV_K - 2) ** 0.5
+
+_ORACLE_KMV = """
+WITH m AS (
+    SELECT DISTINCT o_orderstatus AS s, o_custkey AS c
+    FROM orders WHERE o_orderstatus IN ('O', 'F')
+),
+sizes AS (
+    SELECT (SELECT COUNT(*) FROM m WHERE s = 'O') AS n_o,
+           (SELECT COUNT(*) FROM m WHERE s = 'F') AS n_f,
+           (SELECT COUNT(DISTINCT c) FROM m) AS n_u
+)
+SELECT set_name, n_exact, CAST(1 AS INTEGER) AS within_tol
+FROM (
+    SELECT 'F' AS set_name, CAST(n_f AS BIGINT) AS n_exact FROM sizes
+    UNION ALL SELECT 'O', CAST(n_o AS BIGINT) FROM sizes
+    UNION ALL SELECT 'intersection', CAST(n_o + n_f - n_u AS BIGINT) FROM sizes
+    UNION ALL SELECT 'union', CAST(n_u AS BIGINT) FROM sizes
+)
+ORDER BY set_name
+"""
+
+
+@query("q_agg_kmv_overlap", oracle=_ORACLE_KMV)
+def agg_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        orders.filter(F.col("o_orderstatus").isin("O", "F"))
+        .select(F.col("o_orderstatus").alias("set_name"), F.col("o_custkey").alias("c"))
+        .distinct()
+    )
+    union_set = base.select(F.lit("union").alias("set_name"), "c").distinct()
+    members = base.unionAll(union_set)
+    u = F.xxhash64("c").cast("double") / F.lit(float(2**64)) + F.lit(0.5)
+    with_u = members.select("set_name", u.alias("u"))
+    w = Window.partitionBy("set_name").orderBy("u")
+    kth = (
+        with_u.distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == _KMV_K)
+        .select("set_name", F.col("u").alias("u_k"))
+    )
+    # one aggregation carries both the exact member count and the
+    # distinct-hash count per set; kth (≤3 rows) broadcasts back in
+    stats = with_u.groupBy("set_name").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.countDistinct("u").alias("n_hashes"),
+    )
+    sets = stats.join(F.broadcast(kth), "set_name", "left").withColumn(
+        "est",
+        F.when(F.col("u_k").isNull(), F.col("n_hashes").cast("double")).otherwise(
+            F.lit(float(_KMV_K - 1)) / F.col("u_k")
+        ),
+    )
+    # pivot the three per-set rows into ONE row, then emit all four
+    # output rows from a single explode — the whole sketch pipeline is
+    # computed exactly once (a 4-way union of filtered branches would
+    # replicate the DAG per branch: measured 63 exchanges vs 7 here)
+    one = sets.agg(
+        *[
+            F.max(F.when(F.col("set_name") == s, F.col(col))).alias(f"{col}_{tag}")
+            for s, tag in (("O", "o"), ("F", "f"), ("union", "u"))
+            for col in ("est", "n_exact")
+        ]
+    )
+    tol = F.lit(3.0 * _KMV_RSD)
+
+    def row(name: str, n_exact, within):
+        return F.struct(
+            F.lit(name).alias("set_name"),
+            n_exact.cast("long").alias("n_exact"),
+            within.cast("int").alias("within_tol"),
+        )
+
+    def set_row(name: str, tag: str):
+        est, n = F.col(f"est_{tag}"), F.col(f"n_exact_{tag}")
+        return row(name, n, F.abs(est - n) / n <= tol)
+
+    exact_i = F.col("n_exact_o") + F.col("n_exact_f") - F.col("n_exact_u")
+    est_i = F.col("est_o") + F.col("est_f") - F.col("est_u")
+    inter = row(
+        "intersection", exact_i, F.abs(est_i - exact_i) <= tol * F.col("n_exact_u")
+    )
+    return (
+        one.select(
+            F.explode(
+                F.array(
+                    set_row("O", "o"), set_row("F", "f"), set_row("union", "u"), inter
+                )
+            ).alias("r")
+        )
+        .select("r.*")
+        .orderBy("set_name")
+    )

@@ -103,6 +103,7 @@ def load_all_modules() -> None:
         packing,
         prep_pipeline,
         pipeline,
+        retrieval,
         similarity,
         textstats,
     )

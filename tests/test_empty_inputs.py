@@ -201,6 +201,11 @@ _EMPTY_GATE_QUERIES = [
     "q_dedup_lsh_verified_stages",
     "q_text_bpe_train_distributed",
     "q_join_skew_aqe",
+    "q_text_bm25",
+    "q_search_rrf_fusion",
+    "q_text_cdc_chunks",
+    "q_agg_kmv_overlap",
+    "q_join_jaro_winkler",
 ]
 
 

@@ -178,6 +178,12 @@ EXCHANGE_BUDGETS = {
     "q_agg_approx_distinct_calibration": 6,
     "q_join_partition_pruned": 3,
     "q_markov_attribution": 0,  # driver-solve; distributed part is window + tiny agg
+    # round-5 additions
+    "q_text_bm25": 2,  # stats reduce + top-k; tf/dl are map-only
+    "q_search_rrf_fusion": 3,  # two TakeOrdered candidate lists + 2W-row fuse
+    "q_text_cdc_chunks": 3,  # chunk groupBy + per-source agg; chunking is map-only
+    "q_agg_kmv_overlap": 11,  # hash-only distincts/sort/agg; was 63 as a 4-way union
+    "q_join_jaro_winkler": 2,  # blocked equi-join; UDF only on candidates
 }
 
 

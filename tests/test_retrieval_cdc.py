@@ -1,0 +1,106 @@
+"""Behavioral tests for round-5 retrieval + CDC operators.
+
+The oracle parity test already value-checks q_text_bm25,
+q_search_rrf_fusion, and q_text_cdc_chunks; these tests pin the
+PROPERTIES the operators exist for — chiefly CDC's insertion
+re-alignment, which no fixed-size chunker has.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sparkifydb_datawarehouse_spark.llm.chunking import cdc_chunk_array
+from sparkifydb_datawarehouse_spark.llm.retrieval import (
+    _QUERY_TERMS,
+    search_rrf_fusion,
+    text_bm25,
+)
+
+from conftest import SF_SMOKE
+
+_BASE_TEXT = (
+    "key agg row scan slow fast table value part hash value table part "
+    "a row fast merge batch part value fast spark a a the line sort table "
+    "window table table key batch window spark order data column agg join "
+    "small line customer query line value a table customer fast key scan "
+    "query big table table part agg order scan stream fast order group"
+)
+
+
+def _chunk_set(spark, text: str) -> set[str]:
+    row = (
+        spark.createDataFrame([(text,)], "text string")
+        .select(cdc_chunk_array(F.col("text")).alias("chunks"))
+        .collect()[0]
+    )
+    return set(c for c in row["chunks"] if c)
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """Inserting a prefix shifts every byte, but chunks re-align at the
+    first content boundary: most chunks must survive the edit. A
+    fixed-offset chunker would share ~zero chunks here."""
+    base = _chunk_set(spark, _BASE_TEXT)
+    shifted = _chunk_set(spark, "zzq " + _BASE_TEXT)
+    assert len(base) > 5  # the boundary rule actually fires
+    shared = base & shifted
+    # everything after the first boundary following the edit is identical
+    assert len(shared) >= len(base) - 2
+    # and chunk concatenation reconstructs the document exactly
+    row = (
+        spark.createDataFrame([(_BASE_TEXT,)], "text string")
+        .select(F.concat_ws("", cdc_chunk_array(F.col("text"))).alias("joined"))
+        .collect()[0]
+    )
+    assert row["joined"] == _BASE_TEXT
+
+
+def test_cdc_short_and_empty_docs(spark):
+    """Docs shorter than one hash window become a single whole-doc
+    chunk; empty text yields no usable chunks (filtered downstream)."""
+    assert _chunk_set(spark, "abc") == {"abc"}
+    assert _chunk_set(spark, "") == set()
+
+
+def test_bm25_top_docs_contain_query_terms(spark):
+    rows = text_bm25(spark, SF_SMOKE).collect()
+    assert rows, "bm25 returned no rows"
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    top = rows[0]
+    assert top["bm25"] > 0
+    assert any(top[f"tf_{t}"] > 0 for t in _QUERY_TERMS)
+
+
+def test_rrf_fuses_both_rankers(spark):
+    rows = search_rrf_fusion(spark, SF_SMOKE).collect()
+    assert rows
+    scores = [r["rrf_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # fusion only ever adds two bounded reciprocal terms
+    assert all(0 < r["rrf_score"] <= 2.0 / 61 + 1e-9 for r in rows)
+    # at least one doc must carry BOTH a lexical and a vector rank at
+    # fixture scale (candidate lists are 50 of 100 ids)
+    assert any(r["rank_lex"] is not None and r["rank_vec"] is not None for r in rows)
+
+
+def test_jaro_winkler_matches_duckdb():
+    """Pin the exact DuckDB variant (floored transpositions, 0.7-gated
+    Winkler boost): 2000 random pairs, zero tolerance."""
+    import random
+
+    import duckdb
+
+    from sparkifydb_datawarehouse_spark.operators.fuzzy import jaro_winkler
+
+    rng = random.Random(7)
+    alpha = "abcdefgh"
+    with duckdb.connect() as con:
+        for _ in range(2000):
+            a = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+            b = "".join(rng.choice(alpha) for _ in range(rng.randint(0, 12)))
+            (expected,) = con.execute(
+                "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+            ).fetchone()
+            assert abs(expected - jaro_winkler(a, b)) < 1e-12, (a, b)
