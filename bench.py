@@ -133,6 +133,7 @@ HEADLINE = [
     "q_search_rrf_fusion",           # hybrid lexical+vector RRF fuse
     "q_text_cdc_chunks",             # content-defined chunking dedup
     "q_agg_kmv_overlap",             # KMV sketch set algebra + contract
+    "q_sample_dsir",                 # DSIR importance weighting toward a target domain
 ]
 
 

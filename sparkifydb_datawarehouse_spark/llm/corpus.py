@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators.sampling import _BUCKETS as SAMPLING_BUCKETS
+from ..operators.sampling import _duck_bucket, hash_bucket
 from ..registry import query
 from ..tables import load_table
 
@@ -162,4 +164,167 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token_id", "term", "n")
         .orderBy("token_id")
         .limit(1000)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection with Importance Resampling (Xie et al.,
+# NeurIPS 2023, public literature): pick raw-pool documents whose
+# hashed-n-gram distribution looks like a TARGET domain. Features are
+# unigrams + bigrams hashed into B buckets; two bag-of-buckets unigram
+# models (target vs pool, add-one smoothing) give a per-bucket
+# log-likelihood ratio; a document's importance weight is the sum of
+# its grams' ratios. The fixture's `source = 'src0'` slice stands in
+# for the target domain; the paper then Gumbel-resamples by weight —
+# here the selection is the top-k by weight (the deterministic
+# operating point; q_sample_temperature / q_sample_weighted_noreplace
+# already cover randomized selection given weights).
+#
+# Determinism (ORACLES.md discipline): per-bucket ratios are
+# integerized to MICRO-units (FLOOR(lr*1e6 + 0.5)) before the per-doc
+# sum, so the variable-order float summation that differs between
+# Spark partial aggregation and DuckDB can never drift an ulp — doc
+# scores are exact BIGINT sums (the tabulated-integer pattern from the
+# E-S sampler). Bucket hashing reuses the md5-conv pairing that
+# q_sample_hash pinned bit-for-bit across engines. LN parity at the
+# per-bucket level is the same contract q_text_bm25 relies on.
+#
+# Scale design (100 TB): both bucket-count models are ≤B-row
+# aggregations with map-side partial combine (the shuffle carries
+# (bucket, count) pairs, never grams); the ratio table (≤B rows)
+# broadcasts into the scoring scan, so scoring shuffles only
+# (doc_id, bucket) ints for the per-doc sum. Bigram construction is
+# posexplode + lead (codegen) per the minhash lesson, not a
+# higher-order array lambda.
+# ---------------------------------------------------------------------------
+
+_DSIR_TARGET = "src0"
+_DSIR_TOP = 25
+_DSIR_B = float(SAMPLING_BUCKETS)  # add-one smoothing mass = #buckets
+
+
+def _dsir_gram_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, is_tgt, bucket) for every unigram AND bigram."""
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    nxt = F.lead("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+    return (
+        toks.withColumn("nxt", nxt)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.array(
+                    F.col("tok"),
+                    F.when(
+                        F.col("nxt").isNotNull(), F.concat_ws(" ", "tok", "nxt")
+                    ),
+                )
+            ).alias("gram"),
+        )
+        .filter(F.col("gram").isNotNull())
+        .select(
+            "doc_id",
+            "source",
+            F.col("source").eqNullSafe(F.lit(_DSIR_TARGET)).alias("is_tgt"),
+            hash_bucket(F.col("gram")).alias("b"),
+        )
+    )
+
+
+_ORACLE_DSIR = f"""
+WITH toks AS (
+    SELECT doc_id, source,
+           list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, source, gram FROM (
+        SELECT doc_id, source, UNNEST(t) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id, source,
+               UNNEST(list_transform(range(1, len(t)),
+                                     i -> t[i] || ' ' || t[i + 1])) AS gram
+        FROM toks
+    )
+),
+bkt AS (
+    SELECT doc_id, source,
+           (source IS NOT DISTINCT FROM '{_DSIR_TARGET}') AS is_tgt,
+           {_duck_bucket('gram')} AS b
+    FROM grams
+),
+counts AS (
+    SELECT b,
+           SUM(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS ct,
+           SUM(CASE WHEN is_tgt THEN 0 ELSE 1 END) AS cs
+    FROM bkt GROUP BY b
+),
+tot AS (SELECT SUM(ct) AS nt, SUM(cs) AS ns FROM counts),
+lr AS (
+    SELECT b,
+           CAST(FLOOR((LN((ct + 1.0) / (nt + {_DSIR_B}))
+                       - LN((cs + 1.0) / (ns + {_DSIR_B}))) * 1e6 + 0.5)
+                AS BIGINT) AS lr_micro
+    FROM counts CROSS JOIN tot
+)
+SELECT p.doc_id, p.source,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(lr.lr_micro) AS BIGINT) AS score_micro,
+       ROUND(CAST(SUM(lr.lr_micro) AS DOUBLE) / 1e6, 6) AS score
+FROM bkt p JOIN lr USING (b)
+WHERE NOT p.is_tgt
+GROUP BY p.doc_id, p.source
+ORDER BY score_micro DESC, doc_id
+LIMIT {_DSIR_TOP}
+"""
+
+
+@query("q_sample_dsir", oracle=_ORACLE_DSIR)
+def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k pool documents by DSIR importance weight toward the
+    `src0` target domain (hashed unigram+bigram models, add-one
+    smoothing, integer micro-unit log-ratios)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = _dsir_gram_buckets(docs)
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).cast("long").alias("cs"),
+    )
+    tot = counts.agg(F.sum("ct").alias("nt"), F.sum("cs").alias("ns"))
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.floor(
+            (
+                F.log((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.lit(_DSIR_B)))
+                - F.log((F.col("cs") + F.lit(1.0)) / (F.col("ns") + F.lit(_DSIR_B)))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lr_micro"),
+    )
+    return (
+        grams.filter(~F.col("is_tgt"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum("lr_micro").alias("score_micro"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            "score_micro",
+            F.round(F.col("score_micro").cast("double") / F.lit(1e6), 6).alias(
+                "score"
+            ),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_DSIR_TOP)
     )

@@ -1380,3 +1380,73 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(4, "verified", verified))
         .orderBy("stage_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ingest dedup (round 5) — the production shape of exact
+# dedup: a NEW BATCH (today's crawl; the doc_id % 10 == 0 slice stands
+# in) deduped in two steps against an already-indexed corpus (the
+# rest). Step 1 collapses within-batch copies (min doc_id keeper);
+# step 2 LEFT ANTI joins the batch's fingerprints against the index's
+# distinct fingerprints — only genuinely new content survives.
+#
+# Scale design (100 TB index, ~TB daily batch): both join sides are
+# 16-byte md5 fingerprints — text never shuffles. The anti join
+# shuffles hash-keyed rows; in steady state the index side is a
+# fingerprint table bucketed by fingerprint (sources/layout.py's
+# bucketed-sink path), so re-ingest joins are shuffle-free on the big
+# side and only the day's batch moves. Same fingerprint normalization
+# as q_dedup_exact so the two operators compose.
+# ---------------------------------------------------------------------------
+
+_ORACLE_INCREMENTAL = """
+WITH fp AS (
+    SELECT doc_id,
+           md5(REGEXP_REPLACE(TRIM(LOWER(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           doc_id % 10 = 0 AS is_batch
+    FROM documents
+),
+batch AS (
+    SELECT fingerprint, MIN(doc_id) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_batch_copies
+    FROM fp WHERE is_batch GROUP BY fingerprint
+),
+idx AS (SELECT DISTINCT fingerprint FROM fp WHERE NOT is_batch)
+SELECT b.keeper_doc_id AS doc_id, b.fingerprint, b.n_batch_copies
+FROM batch b
+LEFT JOIN idx i USING (fingerprint)
+WHERE i.fingerprint IS NULL
+ORDER BY doc_id
+"""
+
+
+@query("q_dedup_incremental", oracle=_ORACLE_INCREMENTAL)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-batch docs surviving exact dedup against the indexed corpus:
+    within-batch collapse, then fingerprint anti-join vs the index."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias(
+            "fingerprint"
+        ),
+        (F.col("doc_id") % 10 == 0).alias("is_batch"),
+    )
+    batch = (
+        fp.filter("is_batch")
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_batch_copies"),
+        )
+    )
+    idx = fp.filter(~F.col("is_batch")).select("fingerprint")
+    return (
+        batch.join(idx, "fingerprint", "left_anti")
+        .select(
+            F.col("keeper_doc_id").alias("doc_id"),
+            "fingerprint",
+            "n_batch_copies",
+        )
+        .orderBy("doc_id")
+    )

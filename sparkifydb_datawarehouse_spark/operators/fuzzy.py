@@ -216,12 +216,19 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_type", "p_name"
     )
+    # Scale probe (round 5): the single-file fixture scan is one
+    # partition and the dim side auto-broadcasts, so without this
+    # spread ALL ~5.3M blocked pairs at sf0.1 ran the UDF in ONE task
+    # (26.4 s). Round-robin the probe side across the executor cores —
+    # the join output inherits its partitioning and the UDF
+    # parallelizes (26.4 -> ~2 s). On a many-file corpus the scan is
+    # already spread and this repartition is a no-op to remove.
     a = p.select(
         F.col("p_partkey").alias("part_a"),
         F.col("p_brand").alias("brand"),
         F.col("p_type").alias("ptype"),
         F.col("p_name").alias("name_a"),
-    )
+    ).repartition(spark.sparkContext.defaultParallelism)
     b = p.select(
         F.col("p_partkey").alias("part_b"),
         F.col("p_brand").alias("brand"),

@@ -115,6 +115,7 @@ def load_all_modules() -> None:
         orc_source,
         pysource,
         text_source,
+        xml_source,
     )
     from .streaming import joins as stream_joins  # noqa: F401
     from .streaming import stateful, windows as stream_windows  # noqa: F401

@@ -206,6 +206,9 @@ _EMPTY_GATE_QUERIES = [
     "q_text_cdc_chunks",
     "q_agg_kmv_overlap",
     "q_join_jaro_winkler",
+    "q_sample_dsir",
+    "q_scan_xml",
+    "q_dedup_incremental",
 ]
 
 

@@ -183,7 +183,10 @@ EXCHANGE_BUDGETS = {
     "q_search_rrf_fusion": 3,  # two TakeOrdered candidate lists + 2W-row fuse
     "q_text_cdc_chunks": 3,  # chunk groupBy + per-source agg; chunking is map-only
     "q_agg_kmv_overlap": 11,  # hash-only distincts/sort/agg; was 63 as a 4-way union
-    "q_join_jaro_winkler": 2,  # blocked equi-join; UDF only on candidates
+    "q_join_jaro_winkler": 3,  # blocked equi-join; +1 probe-side scan spread so the UDF parallelizes
+    "q_sample_dsir": 8,  # 2 gram-pipeline windows + B-row count/total aggs; ratio table broadcast
+    "q_scan_xml": 1,  # typed XML roundtrip; sort only
+    "q_dedup_incremental": 3,  # batch collapse + fingerprint anti-join; hashes shuffle, text doesn't
 }
 
 
