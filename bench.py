@@ -134,6 +134,7 @@ HEADLINE = [
     "q_text_cdc_chunks",             # content-defined chunking dedup
     "q_agg_kmv_overlap",             # KMV sketch set algebra + contract
     "q_sample_dsir",                 # DSIR importance weighting toward a target domain
+    "q_multimodal_decode_jpeg",      # pure-Python baseline JPEG decode
 ]
 
 

@@ -6,9 +6,10 @@ over raw pixel bytes, and PNG's only compression is DEFLATE — which
 stdlib `zlib` inflates — leaving just chunk framing and the five
 scanline filters (None/Sub/Up/Average/Paeth) to implement. These
 decoders make the multimodal DECODE step real — `multimodal.
-decode_image` dispatches here by magic bytes and keeps its
-NotImplementedError gate only for formats that genuinely require an
-external codec library (JPEG/WebP/...).
+decode_image` dispatches here by magic bytes (baseline JPEG decodes
+in the sibling codecs_jpeg.py) and keeps its NotImplementedError gate
+only for formats that genuinely require an external codec library
+(WebP, progressive/arithmetic JPEG, ...).
 
 All decoders return the same normalized dict:
     {"width": int, "height": int, "channels": int,  # 3=RGB, 4=RGBA

@@ -1,0 +1,648 @@
+"""Pure-Python baseline JPEG codec (stdlib + numpy only).
+
+Closes the last compressed-image gap in the multimodal decode path
+(VERDICT r4 "What's missing #2"): `decode_jpeg` is a real baseline
+sequential DCT decoder per the public ITU-T T.81 spec — marker parse
+(SOI/APPn/DQT/SOF0/DHT/DRI/SOS/RSTn/EOI), canonical Huffman decode of
+DC diffs and AC run/size pairs, zigzag + dequantization, float64
+separable IDCT, chroma upsampling (4:4:4 / 4:2:2 / 4:2:0 by sampling
+factors), and BT.601 YCbCr→RGB. Grayscale (1 component) and YCbCr
+(3 components) are supported; progressive (SOF2), arithmetic coding,
+12-bit precision, and >2 chroma subsampling raise ImageDecodeError —
+a clear refusal, not garbage.
+
+`encode_jpeg_baseline` is the fixture generator (the encode_png
+pattern): standard Annex-K-style quantization tables at their spec
+values, Huffman tables written into the file's own DHT segments (so
+the bitstream is self-describing and roundtrip correctness does not
+depend on any table being "the" typical one). The planted-media
+oracle relies on a quantization-exactness property: an 8x8 block of
+constant even value v has DC = 8*(v-128), which divides the table's
+Q[0]=16 exactly, so decode reproduces v bit-for-bit and DuckDB can
+check channel sums in closed form. `encode_jpeg_from_coeffs` exposes
+the coefficient layer so tests can pin the Huffman/zigzag/AC path
+against an independently computed IDCT.
+
+Spec reference: ITU-T T.81 (public): markers §B, Huffman coding §C/F,
+zigzag Figure 5, IDCT Annex A.3.3, typical tables Annex K.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import ImageDecodeError
+
+# Zigzag: index i in zigzag order -> natural (row-major) index.
+ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Annex-K quantization tables, natural (row-major) order.
+QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+)
+QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int32,
+)
+
+# Huffman tables in DHT wire form: (counts per code length 1..16,
+# symbol list). Annex-K typical tables; roundtrip correctness does not
+# depend on these exact values because they are serialized into the
+# file's own DHT segments.
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """M[u, x] = C(u)/2 * cos((2x+1)u*pi/16); F = M f M^T, f = M^T F M."""
+    m = np.zeros((8, 8))
+    for u in range(8):
+        c = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * c * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _canonical_codes(counts: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 Annex C code assignment."""
+    if sum(counts) != len(symbols):
+        raise ImageDecodeError("Huffman table counts/symbols mismatch")
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """(length, code) -> symbol lookup built from DHT wire form."""
+
+    def __init__(self, counts: list[int], symbols: list[int]) -> None:
+        self.by_len: dict[int, dict[int, int]] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if counts[length - 1]:
+                d = self.by_len.setdefault(length, {})
+                for _ in range(counts[length - 1]):
+                    d[code] = symbols[k]
+                    code += 1
+                    k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with FF00 unstuffing.
+    Stops at any non-RST marker; RSTn is consumed on explicit resync."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.nbits = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        while self.nbits <= 24:
+            if self.marker is not None:
+                self.bits = (self.bits << 8) | 0  # pad past a marker
+                self.nbits += 8
+                continue
+            if self.pos >= len(self.data):
+                raise ImageDecodeError("JPEG entropy data truncated")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else None
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is None:
+                    raise ImageDecodeError("dangling FF at end of entropy data")
+                else:
+                    self.marker = nxt  # RSTn / EOI / next segment
+                    continue
+            else:
+                self.pos += 1
+            self.bits = (self.bits << 8) | b
+            self.nbits += 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.nbits < n:
+            self._fill()
+        v = (self.bits >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.bits &= (1 << self.nbits) - 1
+        return v
+
+    def decode_symbol(self, table: _HuffDecoder) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read(1)
+            d = table.by_len.get(length)
+            if d is not None and code in d:
+                return d[code]
+        raise ImageDecodeError("invalid Huffman code in entropy stream")
+
+    def resync_restart(self, expected: int) -> None:
+        """Consume the pending RSTn marker and reset bit state."""
+        self.bits = 0
+        self.nbits = 0
+        if self.marker is None:
+            # reader may not have hit the marker yet: scan forward
+            while self.pos + 1 < len(self.data):
+                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
+                    self.marker = self.data[self.pos + 1]
+                    break
+                self.pos += 1
+        if self.marker is None or not 0xD0 <= self.marker <= 0xD7:
+            raise ImageDecodeError("expected RST marker in entropy stream")
+        if self.marker != expected:
+            raise ImageDecodeError(
+                f"restart marker out of order: got {self.marker:#x}"
+            )
+        self.pos += 2
+        self.marker = None
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t received bits to a signed value."""
+    return v - ((1 << t) - 1) if t and v < (1 << (t - 1)) else v
+
+
+def decode_jpeg(blob: bytes) -> dict:
+    """Decode a baseline sequential JPEG. Returns the codecs.py
+    normalized dict; channels=1 for grayscale (pixels = luma plane),
+    3 for YCbCr color (pixels = interleaved RGB, BT.601)."""
+    if blob[:2] != b"\xff\xd8":
+        raise ImageDecodeError(f"not a JPEG: magic {blob[:2]!r}")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None
+    restart_interval = 0
+    scan = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ImageDecodeError(f"expected marker at {pos}, got {blob[pos]:#x}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seglen = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]
+        seg = blob[pos + 4 : pos + 2 + seglen]
+        if len(seg) != seglen - 2:
+            raise ImageDecodeError(f"segment {marker:#x} truncated")
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                if pq != 0:
+                    raise ImageDecodeError("16-bit quantization tables unsupported")
+                zz = np.frombuffer(seg[i + 1 : i + 65], dtype=np.uint8)
+                if zz.size != 64:
+                    raise ImageDecodeError("DQT truncated")
+                nat = np.zeros(64, dtype=np.int32)
+                nat[list(ZIGZAG)] = zz
+                qtables[tq] = nat
+                i += 65
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline-decodable
+            prec, h, w, ncomp = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
+            if prec != 8:
+                raise ImageDecodeError(f"unsupported precision {prec}")
+            if ncomp not in (1, 3):
+                raise ImageDecodeError(f"unsupported component count {ncomp}")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ImageDecodeError(
+                f"non-baseline JPEG (SOF marker {marker:#x}) unsupported"
+            )
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = list(seg[i + 17 : i + 17 + n])
+                if len(counts) != 16 or len(symbols) != n:
+                    raise ImageDecodeError("DHT truncated")
+                htables[(tc, th)] = _HuffDecoder(counts, symbols)
+                i += 17 + n
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scomps = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scomps.append({"id": cid, "td": tt >> 4, "ta": tt & 0x0F})
+            scan = {"comps": scomps, "data_pos": pos + 2 + seglen}
+            break  # entropy-coded data follows
+        # APPn/COM/anything else: skip
+        pos += 2 + seglen
+    if frame is None or scan is None:
+        raise ImageDecodeError("JPEG missing SOF0 or SOS")
+    if frame["w"] <= 0 or frame["h"] <= 0:
+        raise ImageDecodeError("bad JPEG dimensions")
+
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax not in (1, 2) or vmax not in (1, 2):
+        raise ImageDecodeError("sampling factors beyond 2 unsupported")
+    by_id = {c["id"]: c for c in comps}
+    for sc in scan["comps"]:
+        if sc["id"] not in by_id:
+            raise ImageDecodeError(f"scan references unknown component {sc['id']}")
+        by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
+    if len(scan["comps"]) != len(comps):
+        raise ImageDecodeError("non-interleaved scans unsupported")
+
+    w, h = frame["w"], frame["h"]
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # per-component coefficient block grids (MCU-padded)
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
+        if c["tq"] not in qtables:
+            raise ImageDecodeError(f"missing quantization table {c['tq']}")
+
+    reader = _BitReader(blob, scan["data_pos"])
+    preds = {c["id"]: 0 for c in comps}
+    rst = 0
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                reader.resync_restart(0xD0 + rst)
+                rst = (rst + 1) % 8
+                preds = {c["id"]: 0 for c in comps}
+            for c in comps:
+                dc_tab = htables.get((0, c["td"]))
+                ac_tab = htables.get((1, c["ta"]))
+                if dc_tab is None or ac_tab is None:
+                    raise ImageDecodeError("missing Huffman table for scan")
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        t = reader.decode_symbol(dc_tab)
+                        diff = _extend(reader.read(t), t)
+                        preds[c["id"]] += diff
+                        blk[0] = preds[c["id"]]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(ac_tab)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ImageDecodeError("AC run past block end")
+                            blk[ZIGZAG[k]] = _extend(reader.read(s), s)
+                            k += 1
+            n_mcu += 1
+
+    # dequantize + IDCT per component (vectorized over all blocks)
+    planes = []
+    for c in comps:
+        q = qtables[c["tq"]]
+        coef = (c["coef"] * q).astype(np.float64).reshape(-1, 8, 8)
+        spatial = np.einsum("ux,nuv,vy->nxy", _DCT_M, coef, _DCT_M)
+        spatial = np.rint(spatial + 128.0).clip(0, 255).astype(np.uint8)
+        grid = spatial.reshape(c["bh"], c["bw"], 8, 8)
+        plane = grid.transpose(0, 2, 1, 3).reshape(c["bh"] * 8, c["bw"] * 8)
+        # upsample to full resolution by sample replication, then crop
+        plane = plane.repeat(vmax // c["v"], axis=0).repeat(hmax // c["h"], axis=1)
+        planes.append(plane[:h, :w])
+
+    if len(comps) == 1:
+        return {"width": w, "height": h, "channels": 1, "pixels": planes[0].tobytes()}
+    y = planes[0].astype(np.float64)
+    cb = planes[1].astype(np.float64) - 128.0
+    cr = planes[2].astype(np.float64) - 128.0
+    r = np.rint(y + 1.402 * cr).clip(0, 255)
+    g = np.rint(y - 0.344136 * cb - 0.714136 * cr).clip(0, 255)
+    b = np.rint(y + 1.772 * cb).clip(0, 255)
+    rgb = np.stack([r, g, b], axis=-1).astype(np.uint8)
+    return {"width": w, "height": h, "channels": 3, "pixels": rgb.tobytes()}
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture generator).
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nacc = 0
+
+    def write(self, code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((code >> i) & 1)
+            self.nacc += 1
+            if self.nacc == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nacc = 0
+
+    def flush(self) -> None:
+        if self.nacc:
+            self.acc = (self.acc << (8 - self.nacc)) | ((1 << (8 - self.nacc)) - 1)
+            self.out.append(self.acc)
+            if self.acc == 0xFF:
+                self.out.append(0x00)
+            self.acc = 0
+            self.nacc = 0
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+def _dht_payload(tc: int, th: int, table: tuple[list[int], list[int]]) -> bytes:
+    counts, symbols = table
+    return bytes([tc << 4 | th]) + bytes(counts) + bytes(symbols)
+
+
+def _encode_block(
+    bw: _BitWriter,
+    blk_zz: np.ndarray,
+    pred: int,
+    dc_codes: dict[int, tuple[int, int]],
+    ac_codes: dict[int, tuple[int, int]],
+) -> int:
+    """Huffman-encode one quantized block given in ZIGZAG order;
+    returns the new DC predictor."""
+
+    def magnitude(v: int) -> tuple[int, int]:
+        t = int(v).bit_length() if v >= 0 else int(-v).bit_length()
+        bits = v if v >= 0 else v + (1 << t) - 1
+        return t, bits
+
+    dc = int(blk_zz[0])
+    t, bits = magnitude(dc - pred)
+    code, length = dc_codes[t]
+    bw.write(code, length)
+    bw.write(bits, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(blk_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_codes[0xF0]  # ZRL
+            bw.write(code, length)
+            run -= 16
+        t, bits = magnitude(v)
+        code, length = ac_codes[(run << 4) | t]
+        bw.write(code, length)
+        bw.write(bits, t)
+        run = 0
+    if run:
+        code, length = ac_codes[0x00]  # EOB
+        bw.write(code, length)
+    return dc
+
+
+def _plane_to_blocks(plane: np.ndarray, bw_blocks: int, bh_blocks: int) -> np.ndarray:
+    """Pad a plane to the block grid by edge replication and return
+    quantizable 8x8 blocks as (bh_blocks, bw_blocks, 8, 8) float64."""
+    h, w = plane.shape
+    padded = np.pad(
+        plane.astype(np.float64),
+        ((0, bh_blocks * 8 - h), (0, bw_blocks * 8 - w)),
+        mode="edge",
+    )
+    return padded.reshape(bh_blocks, 8, bw_blocks, 8).transpose(0, 2, 1, 3)
+
+
+def encode_jpeg_baseline(
+    planes: list[np.ndarray],
+    width: int,
+    height: int,
+    sampling: str = "444",
+) -> bytes:
+    """Encode a baseline JPEG from component planes.
+
+    `planes` is [luma] for grayscale or [Y, Cb, Cr] full-resolution
+    uint8 planes for color; `sampling` is '444' or '420' (chroma
+    planes are average-pooled for 420). Quantization uses QT_LUMA /
+    QT_CHROMA; Huffman tables are written into DHT segments.
+    """
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("planes must be [Y] or [Y, Cb, Cr]")
+    if sampling not in ("444", "420"):
+        raise ValueError("sampling must be '444' or '420'")
+    sub = 2 if (sampling == "420" and ncomp == 3) else 1
+    hmax = vmax = sub if ncomp == 3 else 1
+    comps = []
+    for idx, plane in enumerate(planes):
+        if plane.shape != (height, width) and idx == 0:
+            raise ValueError("luma plane shape mismatch")
+        if idx > 0 and sub == 2:
+            # average-pool 2x2 to half resolution (pad odd dims by edge)
+            p = np.pad(
+                plane.astype(np.float64),
+                ((0, height % 2), (0, width % 2)),
+                mode="edge",
+            )
+            plane = np.rint(
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+            ).astype(np.uint8)
+        comps.append(
+            {
+                "id": idx + 1,
+                "h": hmax if idx == 0 else 1,
+                "v": vmax if idx == 0 else 1,
+                "tq": 0 if idx == 0 else 1,
+                "plane": plane,
+            }
+        )
+    if ncomp == 1:
+        comps[0]["h"] = comps[0]["v"] = 1
+        hmax = vmax = 1
+
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    qts = {0: QT_LUMA, 1: QT_CHROMA}
+    for c in comps:
+        bwb, bhb = mcux * c["h"], mcuy * c["v"]
+        blocks = _plane_to_blocks(c["plane"], bwb, bhb) - 128.0
+        coef = np.einsum("ux,nmxy,vy->nmuv", _DCT_M, blocks, _DCT_M)
+        q = qts[c["tq"]].reshape(8, 8)
+        c["qblocks"] = np.rint(coef / q).astype(np.int32)
+
+    return _assemble_jpeg(comps, width, height, qts)
+
+
+def encode_jpeg_from_coeffs(
+    qblocks: np.ndarray, width: int, height: int
+) -> bytes:
+    """Grayscale JPEG straight from quantized coefficients
+    (natural-order 8x8 blocks, shape (bh, bw, 8, 8)) — the test hook
+    that pins Huffman/zigzag decode against an independent IDCT."""
+    comps = [
+        {"id": 1, "h": 1, "v": 1, "tq": 0, "qblocks": qblocks.astype(np.int32)}
+    ]
+    return _assemble_jpeg(comps, width, height, {0: QT_LUMA, 1: QT_CHROMA})
+
+
+def _assemble_jpeg(
+    comps: list[dict], width: int, height: int, qts: dict[int, np.ndarray]
+) -> bytes:
+    ncomp = len(comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, qt in sorted(qts.items()):
+        if ncomp == 1 and tq == 1:
+            continue
+        zz = bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+        out += _seg(0xDB, bytes([tq]) + zz)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, _dht_payload(0, 0, HUFF_DC_LUMA))
+    out += _seg(0xC4, _dht_payload(1, 0, HUFF_AC_LUMA))
+    if ncomp == 3:
+        out += _seg(0xC4, _dht_payload(0, 1, HUFF_DC_CHROMA))
+        out += _seg(0xC4, _dht_payload(1, 1, HUFF_AC_CHROMA))
+    sos = bytes([ncomp])
+    for c in comps:
+        td_ta = 0x00 if c["tq"] == 0 else 0x11
+        sos += bytes([c["id"], td_ta])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    dc_l = _canonical_codes(*HUFF_DC_LUMA)
+    ac_l = _canonical_codes(*HUFF_AC_LUMA)
+    dc_c = _canonical_codes(*HUFF_DC_CHROMA)
+    ac_c = _canonical_codes(*HUFF_AC_CHROMA)
+    bw = _BitWriter()
+    preds = {c["id"]: 0 for c in comps}
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for c in comps:
+                dc_codes, ac_codes = (dc_l, ac_l) if c["tq"] == 0 else (dc_c, ac_c)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["qblocks"][my * c["v"] + by, mx * c["h"] + bx]
+                        flat = blk.reshape(64)
+                        zz = flat[list(ZIGZAG)]
+                        preds[c["id"]] = _encode_block(
+                            bw, zz, preds[c["id"]], dc_codes, ac_codes
+                        )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -1144,3 +1144,68 @@ def cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Batch session_window (round 5) — the declarative API twin of
+# q_sessionize_gap: Spark's F.session_window() computes gap-bounded
+# sessions as a native aggregation (the same operator Structured
+# Streaming uses for session windows, here in batch mode). The manual
+# lag/sum-flag/window pipeline above shows the portable SQL form;
+# this one proves the engine-native form agrees with it — the oracle
+# IS the gap-split formulation, so the two formulations are
+# value-checked against each other through DuckDB.
+#
+# Semantics pinned: an event extends the session while its timestamp
+# is STRICTLY within gap of the previous event (Spark merges windows
+# that overlap; [t, t+g) does not overlap [t+g, ...)), and the
+# reported session end is last_ts + gap (the window bound, not the
+# last event). The oracle mirrors both choices.
+#
+# Scale: one shuffle keyed on user_id; the session merge is a sorted
+# in-partition pass (MergingSessionsExec), no second exchange.
+# ---------------------------------------------------------------------------
+
+_SW_GAP_MIN = 15
+
+_ORACLE_SESSION_WINDOW = f"""
+WITH fl AS (
+    SELECT user_id, ts,
+           CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                     < INTERVAL {_SW_GAP_MIN} MINUTE
+                THEN 0 ELSE 1 END AS is_new
+    FROM events
+),
+num AS (
+    SELECT user_id, ts,
+           SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sn
+    FROM fl
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {_SW_GAP_MIN} MINUTE AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM num
+GROUP BY user_id, sn
+ORDER BY user_id, session_start
+"""
+
+
+@query("q_session_window_batch", oracle=_ORACLE_SESSION_WINDOW)
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{_SW_GAP_MIN} minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

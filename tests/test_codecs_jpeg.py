@@ -1,0 +1,156 @@
+"""Pins for the pure-Python baseline JPEG codec (codecs_jpeg.py).
+
+The oracled query (q_multimodal_decode_jpeg) value-checks the
+quantization-exact DC path end-to-end through Spark; these tests pin
+the parts the oracle can't reach: the AC run-length/zigzag path
+(against an INDEPENDENT direct-formula IDCT, not the decoder's matrix
+form), lossy-roundtrip sanity, subsampling, restartless bitstream
+edge cases, and the error contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from sparkifydb_datawarehouse_spark.llm.codecs import ImageDecodeError
+from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+    QT_LUMA,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg_baseline,
+    encode_jpeg_from_coeffs,
+)
+
+
+def _direct_idct(coef: np.ndarray) -> np.ndarray:
+    """Textbook T.81 A.3.3 IDCT, written as the quadruple loop so it
+    shares no code with the decoder's separable matrix form."""
+    out = np.zeros((8, 8))
+    for x in range(8):
+        for y in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * coef[u, v]
+                        * np.cos((2 * x + 1) * u * np.pi / 16)
+                        * np.cos((2 * y + 1) * v * np.pi / 16)
+                    )
+            out[x, y] = s / 4
+    return np.rint(out + 128).clip(0, 255).astype(np.uint8)
+
+
+def _block_constant_plane(w: int, h: int, seed: int) -> np.ndarray:
+    plane = np.zeros((h, w), dtype=np.uint8)
+    for by in range((h + 7) // 8):
+        for bx in range((w + 7) // 8):
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = 2 * (
+                (7 * seed + 5 * bx + 3 * by) % 128
+            )
+    return plane
+
+
+def test_grayscale_dc_exact_roundtrip():
+    for w, h, seed in [(8, 8, 1), (23, 17, 3), (31, 23, 9), (9, 8, 4)]:
+        plane = _block_constant_plane(w, h, seed)
+        img = decode_jpeg(encode_jpeg_baseline([plane], w, h))
+        assert (img["width"], img["height"], img["channels"]) == (w, h, 1)
+        got = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w)
+        assert np.array_equal(got, plane)
+
+
+@pytest.mark.parametrize("sampling", ["444", "420"])
+def test_color_neutral_chroma_exact(sampling):
+    w, h = 21, 13  # partial blocks + odd dims (exercises 420 pooling pad)
+    y = _block_constant_plane(w, h, 5)
+    neutral = np.full((h, w), 128, dtype=np.uint8)
+    img = decode_jpeg(encode_jpeg_baseline([y, neutral, neutral], w, h, sampling))
+    assert img["channels"] == 3
+    rgb = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, 3)
+    for c in range(3):
+        assert np.array_equal(rgb[:, :, c], y), f"channel {c} ({sampling})"
+
+
+def test_ac_path_against_direct_idct():
+    """Single nonzero AC coefficients at assorted zigzag positions:
+    the decoded block must equal the direct-formula IDCT of the
+    dequantized coefficient array — pins Huffman AC run/size decode,
+    ZRL handling, and zigzag placement."""
+    for nat_idx, qval in [(1, 3), (8, -2), (63, 1), (28, 5), (17, -4)]:
+        qb = np.zeros((1, 1, 8, 8), dtype=np.int32)
+        qb[0, 0, nat_idx // 8, nat_idx % 8] = qval
+        img = decode_jpeg(encode_jpeg_from_coeffs(qb, 8, 8))
+        got = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(8, 8)
+        coef = np.zeros((8, 8))
+        coef[nat_idx // 8, nat_idx % 8] = qval * QT_LUMA[nat_idx]
+        assert np.array_equal(got, _direct_idct(coef)), f"AC at {nat_idx}"
+
+
+def test_dense_coefficients_roundtrip_vs_direct_idct():
+    """A block with many nonzero coefficients (forces multi-symbol AC
+    runs and DC+AC interplay across two blocks with DC prediction)."""
+    rng = np.random.default_rng(11)
+    qb = rng.integers(-5, 6, size=(1, 2, 8, 8)).astype(np.int32)
+    img = decode_jpeg(encode_jpeg_from_coeffs(qb, 16, 8))
+    got = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(8, 16)
+    for b in range(2):
+        coef = qb[0, b].astype(np.float64) * QT_LUMA.reshape(8, 8)
+        assert np.array_equal(got[:, b * 8 : (b + 1) * 8], _direct_idct(coef))
+
+
+def test_lossy_roundtrip_sanity():
+    """Natural-image-ish gradient: decode must land near the original
+    (baseline JPEG at these tables keeps smooth content within a few
+    levels) — catches gross scaling/normalization bugs."""
+    xs = np.linspace(0, 255, 32)
+    grad = np.tile(xs, (24, 1)).astype(np.uint8)
+    img = decode_jpeg(encode_jpeg_baseline([grad], 32, 24))
+    got = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(24, 32).astype(float)
+    assert np.abs(got - grad).max() <= 4
+
+
+def test_byte_stuffing_survives():
+    """Values chosen to make 0xFF bytes likely in the entropy stream
+    over many blocks; decode must still parse (FF00 unstuffing)."""
+    rng = np.random.default_rng(7)
+    plane = rng.integers(0, 256, size=(40, 48), dtype=np.uint8)
+    img = decode_jpeg(encode_jpeg_baseline([plane], 48, 40))
+    assert (img["width"], img["height"]) == (48, 40)
+
+
+def test_error_contract():
+    plane = np.full((8, 8), 100, dtype=np.uint8)
+    blob = encode_jpeg_baseline([plane], 8, 8)
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(b"\x00\x00" + blob[2:])  # bad magic
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(blob[:40])  # truncated mid-segment
+    # progressive SOF2 refused, not garbage
+    sof0 = blob.find(b"\xff\xc0")
+    assert sof0 > 0
+    prog = blob[:sof0] + b"\xff\xc2" + blob[sof0 + 2 :]
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(prog)
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG) == list(range(64))
+    # spec spot checks (T.81 Figure 5)
+    assert ZIGZAG[:10] == (0, 1, 8, 16, 9, 2, 3, 10, 17, 24)
+    assert ZIGZAG[-3:] == (55, 62, 63)
+
+
+def test_decode_image_dispatches_jpeg():
+    from sparkifydb_datawarehouse_spark.llm.multimodal import decode_image
+
+    plane = _block_constant_plane(16, 16, 2)
+    img = decode_image(encode_jpeg_baseline([plane], 16, 16))
+    assert img["channels"] == 1
+    assert np.array_equal(
+        np.frombuffer(img["pixels"], dtype=np.uint8).reshape(16, 16), plane
+    )

@@ -209,6 +209,8 @@ _EMPTY_GATE_QUERIES = [
     "q_sample_dsir",
     "q_scan_xml",
     "q_dedup_incremental",
+    "q_multimodal_decode_jpeg",
+    "q_session_window_batch",
 ]
 
 

@@ -187,6 +187,8 @@ EXCHANGE_BUDGETS = {
     "q_sample_dsir": 8,  # 2 gram-pipeline windows + B-row count/total aggs; ratio table broadcast
     "q_scan_xml": 1,  # typed XML roundtrip; sort only
     "q_dedup_incremental": 3,  # batch collapse + fingerprint anti-join; hashes shuffle, text doesn't
+    "q_multimodal_decode_jpeg": 2,  # scan spread + final sort; payloads never shuffle
+    "q_session_window_batch": 2,  # one user_id shuffle into MergingSessions + sort
 }
 
 
