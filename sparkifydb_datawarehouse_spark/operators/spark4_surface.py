@@ -357,3 +357,85 @@ def map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("return_flag")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.0 `|>` operators, public SQL-pipe proposal
+# adopted from GoogleSQL): the linear FROM -> WHERE -> AGGREGATE ->
+# ORDER BY form of the classic pricing-summary aggregation. Pure
+# syntax — the optimizer sees the identical logical plan, so the
+# oracle is the ANSI formulation and the value hash proves the two
+# parse to the same computation.
+# ---------------------------------------------------------------------------
+
+_ORACLE_SQL_PIPE = """
+SELECT l_returnflag AS return_flag,
+       l_linestatus AS line_status,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY return_flag, line_status
+"""
+
+
+@query("q_sql_pipe", oracle=_ORACLE_SQL_PIPE)
+def sql_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = f"_pipe_lineitem_{next(_VIEW_SEQ)}"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        FROM {view}
+        |> WHERE l_shipdate <= DATE '1998-09-01'
+        |> AGGREGATE COUNT(*) AS n_lines,
+                     ROUND(SUM(l_quantity), 2) AS sum_qty,
+                     ROUND(SUM(l_extendedprice), 2) AS sum_price
+           GROUP BY l_returnflag AS return_flag, l_linestatus AS line_status
+        |> ORDER BY return_flag, line_status
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# String collation (Spark 4.0): case-insensitive grouping via
+# COLLATE UTF8_LCASE instead of the LOWER()-wrapping idiom. The
+# fixture's lang codes are case-uniform, so even doc_ids are
+# upper-cased in-query to plant guaranteed case collisions; the
+# collated GROUP BY must merge them. Output labels go through LOWER()
+# — every member of an LCASE group lowercases to the same string, so
+# the emitted value is deterministic even though which member the
+# engine picks as group representative is not. Oracle: the LOWER()
+# formulation (UTF8_LCASE equality IS lowercase equality).
+# ---------------------------------------------------------------------------
+
+_ORACLE_COLLATION = """
+SELECT LOWER(CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END) AS lang_ci,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS first_doc
+FROM documents
+GROUP BY 1
+ORDER BY lang_ci
+"""
+
+
+@query("q_collation_groupby", oracle=_ORACLE_COLLATION)
+def collation_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    view = f"_collate_docs_{next(_VIEW_SEQ)}"
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(view)
+    return spark.sql(
+        f"""
+        SELECT LOWER(k) AS lang_ci,
+               COUNT(*) AS n_docs,
+               MIN(doc_id) AS first_doc
+        FROM (
+            SELECT CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END
+                       COLLATE UTF8_LCASE AS k,
+                   doc_id
+            FROM {view}
+        )
+        GROUP BY k
+        ORDER BY lang_ci
+        """
+    )

@@ -211,6 +211,8 @@ _EMPTY_GATE_QUERIES = [
     "q_dedup_incremental",
     "q_multimodal_decode_jpeg",
     "q_session_window_batch",
+    "q_sql_pipe",
+    "q_collation_groupby",
 ]
 
 

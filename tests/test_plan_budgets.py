@@ -189,6 +189,8 @@ EXCHANGE_BUDGETS = {
     "q_dedup_incremental": 3,  # batch collapse + fingerprint anti-join; hashes shuffle, text doesn't
     "q_multimodal_decode_jpeg": 2,  # scan spread + final sort; payloads never shuffle
     "q_session_window_batch": 2,  # one user_id shuffle into MergingSessions + sort
+    "q_sql_pipe": 2,  # pipe syntax parses to the same agg+sort plan as ANSI
+    "q_collation_groupby": 2,  # collated group key; agg + sort
 }
 
 
