@@ -938,3 +938,79 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "component int, eigenvalue double, explained_ratio double, top_dim int"
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (round 5) — the contrastive-training data prep
+# step (public: DPR / Karpukhin et al. 2020 use exactly this): for
+# each anchor vector, the most cosine-similar vectors with a DIFFERENT
+# label are the "hard negatives" an embedding model trains against.
+# Brute-force over the fixture (the exact form the ANN family's
+# recall is measured against); at corpus scale the candidate set
+# comes from the IVF/LSH tiers above and this ranking runs on
+# candidates only — same two-tier posture as the dedup family.
+#
+# Scale shape: anchors (a bounded per-batch slice) broadcast into the
+# corpus scan; the per-anchor top-k is a window rank over anchor_id —
+# the shuffle carries (anchor_id, vec_id, sim) triples, never vectors.
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = 10
+_HN_K = 3
+
+_ORACLE_HARD_NEG = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+a AS (SELECT * FROM e WHERE vec_id < {_HN_ANCHORS}),
+pairs AS (
+    SELECT a.vec_id AS anchor_id, a.label AS anchor_label,
+           c.vec_id AS neg_id, c.label AS neg_label,
+           ROUND(list_dot_product(a.emb, c.emb)
+                 / (SQRT(list_dot_product(a.emb, a.emb))
+                    * SQRT(list_dot_product(c.emb, c.emb))), 6) AS cos_sim
+    FROM a JOIN e c
+      ON c.vec_id <> a.vec_id AND c.label <> a.label
+),
+ranked AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY anchor_id ORDER BY cos_sim DESC, neg_id) AS INTEGER) AS rank
+    FROM pairs
+)
+SELECT anchor_id, anchor_label, neg_id, neg_label, cos_sim, rank
+FROM ranked WHERE rank <= {_HN_K}
+ORDER BY anchor_id, rank
+"""
+
+
+@query("q_hard_negatives", oracle=_ORACLE_HARD_NEG)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-similar different-label vectors per anchor — the
+    contrastive hard-negative mining step, exact form."""
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _HN_ANCHORS).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("a_emb"),
+    )
+    pairs = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & (F.col("label") != F.col("anchor_label"))
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.round(cosine(F.col("a_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "neg_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _HN_K)
+        .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos_sim", "rank")
+        .orderBy("anchor_id", "rank")
+    )

@@ -986,3 +986,85 @@ def text_emerging_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("log_odds").desc(), "term")
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability scores (round 5): Flesch reading ease + Flesch-Kincaid
+# grade level (public formulas, Kincaid et al. 1975) — the classic
+# additions to the quality-scoring family (q_text_quality /
+# q_text_gopher_rules) that downstream corpus filters bucket on.
+# Syllables use the standard vowel-group heuristic with a per-word
+# floor of 1; sentences split on [.!?]+ runs with a floor of 1 (the
+# fixture corpus has little punctuation — the floor makes the formula
+# total-length-sensitive there, which is the documented behavior of
+# these scores on fragment text).
+#
+# Scale: map-only per document (one HOF pass over the token array for
+# the per-word syllable floor — same single-HOF budget as the shingle
+# builders); the only shuffle is the final sort. try_divide keeps the
+# degenerate empty-text rows NULL instead of crashing (empty-slice
+# gate).
+# ---------------------------------------------------------------------------
+
+_ORACLE_READABILITY = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(LOWER(text), '\\s+'), w -> w <> '') AS toks,
+           GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+    FROM documents
+),
+s AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_words,
+           CAST(n_sent AS BIGINT) AS n_sent,
+           CAST(COALESCE(list_sum(list_transform(toks,
+                w -> GREATEST(len(regexp_extract_all(w, '[aeiouy]+')), 1))), 0)
+               AS BIGINT) AS n_syllables
+    FROM t
+)
+SELECT doc_id, n_words, n_sent, n_syllables,
+       ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sent)
+             - 84.6 * (CASE WHEN n_words = 0 THEN NULL
+                            ELSE CAST(n_syllables AS DOUBLE) / n_words END), 4)
+           AS flesch_ease,
+       ROUND(0.39 * (CAST(n_words AS DOUBLE) / n_sent)
+             + 11.8 * (CASE WHEN n_words = 0 THEN NULL
+                            ELSE CAST(n_syllables AS DOUBLE) / n_words END)
+             - 15.59, 4) AS fk_grade
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("q_text_readability", oracle=_ORACLE_READABILITY)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda w: w != "")
+    syll = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(F.regexp_count(w, F.lit("[aeiouy]+")), F.lit(1)).cast("long"),
+    )
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_words"),
+        F.greatest(F.regexp_count("text", F.lit(r"[.!?]+")), F.lit(1))
+        .cast("long")
+        .alias("n_sent"),
+        F.coalesce(syll, F.lit(0)).alias("n_syllables"),
+    )
+    wps = F.col("n_words").cast("double") / F.col("n_sent")
+    spw = F.try_divide(F.col("n_syllables").cast("double"), F.col("n_words"))
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sent",
+        "n_syllables",
+        F.round(F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 4).alias(
+            "flesch_ease"
+        ),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
+        ).alias("fk_grade"),
+    ).orderBy("doc_id")

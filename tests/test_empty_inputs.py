@@ -213,6 +213,8 @@ _EMPTY_GATE_QUERIES = [
     "q_session_window_batch",
     "q_sql_pipe",
     "q_collation_groupby",
+    "q_hard_negatives",
+    "q_text_readability",
 ]
 
 

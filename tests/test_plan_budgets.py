@@ -191,6 +191,8 @@ EXCHANGE_BUDGETS = {
     "q_session_window_batch": 2,  # one user_id shuffle into MergingSessions + sort
     "q_sql_pipe": 2,  # pipe syntax parses to the same agg+sort plan as ANSI
     "q_collation_groupby": 2,  # collated group key; agg + sort
+    "q_hard_negatives": 3,  # anchors broadcast; (anchor, vec, sim) triples shuffle for the rank
+    "q_text_readability": 1,  # map-only scores; final sort only
 }
 
 
