@@ -328,3 +328,163 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("score_micro").desc(), "doc_id")
         .limit(_DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document novelty (round 5): for each document, the share of
+# its DISTINCT 3-word shingles that appear in at least one OTHER
+# document — the memorization/duplication rate a generation-diversity
+# or dedup-effectiveness report tracks (self-BLEU's set-precision
+# core, inverted). Complements q_text_decontaminate (train-vs-eval
+# overlap) with train-vs-train overlap.
+#
+# Shingles reduce to 60-bit md5-conv keys BEFORE any shuffle (the
+# q_sample_hash cross-engine pairing), and the oracle groups on the
+# SAME key so a (negligible-probability) collision cannot split the
+# engines. Plan: one exchange keyed on the gram key for the
+# per-gram window count, one for the per-doc aggregation — gram text
+# never shuffles.
+# ---------------------------------------------------------------------------
+
+def _gram_key(col):
+    """Full 60-bit md5-conv key (NO bucket mod — join/count identity,
+    not a bucket): same cross-engine pairing as operators/sampling."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _duck_gram_key(sql: str) -> str:
+    return f"(('0x' || substr(md5({sql}), 1, 15))::BIGINT)"
+
+
+_ORACLE_NOVELTY = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(LOWER(text), '\\s+'), t -> t <> '') AS t
+    FROM documents
+),
+grams AS (
+    SELECT DISTINCT doc_id,
+           {_duck_gram_key("array_to_string(t[i:i+2], ' ')")} AS gk
+    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS u(i)
+),
+counted AS (
+    SELECT doc_id, gk,
+           COUNT(*) OVER (PARTITION BY gk) AS n_docs_with
+    FROM grams
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_shared,
+       ROUND(1.0 - CAST(SUM(CASE WHEN n_docs_with >= 2 THEN 1 ELSE 0 END)
+                        AS DOUBLE) / COUNT(*), 6) AS novelty_ratio
+FROM counted
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("q_text_novelty", oracle=_ORACLE_NOVELTY)
+def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    n = F.size(toks)
+    grams = (
+        docs.select(
+            "doc_id",
+            F.posexplode(
+                F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
+                    F.array().cast("array<int>")
+                )
+            ).alias("j", "i"),
+            toks.alias("t"),
+        )
+        .select(
+            "doc_id",
+            _gram_key(
+                F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), 3))
+            ).alias("gk"),
+        )
+        .distinct()
+    )
+    counted = grams.withColumn(
+        "n_docs_with", F.count(F.lit(1)).over(Window.partitionBy("gk"))
+    )
+    shared = F.sum((F.col("n_docs_with") >= 2).cast("long"))
+    return (
+        counted.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            shared.alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "n_shared",
+            F.round(
+                F.lit(1.0) - F.col("n_shared").cast("double") / F.col("n_grams"), 6
+            ).alias("novelty_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget allocation (round 5): given a total training-token
+# budget, allocate per-source quotas by temperature-flattened shares
+# (w_s ∝ n_s^0.5 — the standard alpha-sampling flattening) capped at
+# each source's available tokens. Single-pass capped semantics (no
+# leftover redistribution) — the report shows exactly which sources
+# saturate, which is the decision input for a second pass. All
+# arithmetic is SQRT + one product + FLOOR on identical doubles, so
+# the allocation is bit-deterministic cross-engine.
+# ---------------------------------------------------------------------------
+
+_BUDGET_TOKENS = 50_000
+
+
+def _tok_count_col():
+    return F.size(F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != ""))
+
+
+_ORACLE_BUDGET = f"""
+WITH n AS (
+    SELECT source,
+           CAST(SUM(len(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                     t -> t <> ''))) AS BIGINT) AS n_tokens
+    FROM documents
+    GROUP BY source
+),
+tot AS (SELECT SUM(SQRT(CAST(n_tokens AS DOUBLE))) AS z FROM n)
+SELECT source, n_tokens,
+       ROUND(SQRT(CAST(n_tokens AS DOUBLE)) / z, 6) AS weight,
+       LEAST(CAST(FLOOR({_BUDGET_TOKENS} * (SQRT(CAST(n_tokens AS DOUBLE)) / z))
+                  AS BIGINT), n_tokens) AS alloc_tokens,
+       CAST(CASE WHEN CAST(FLOOR({_BUDGET_TOKENS}
+                 * (SQRT(CAST(n_tokens AS DOUBLE)) / z)) AS BIGINT) >= n_tokens
+            THEN 1 ELSE 0 END AS INTEGER) AS at_capacity
+FROM n CROSS JOIN tot
+ORDER BY source
+"""
+
+
+@query("q_corpus_budget_alloc", oracle=_ORACLE_BUDGET)
+def corpus_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.sum(_tok_count_col().cast("long")).alias("n_tokens")
+    )
+    tot = n.agg(F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("z"))
+    w = F.sqrt(F.col("n_tokens").cast("double")) / F.col("z")
+    raw = F.floor(F.lit(float(_BUDGET_TOKENS)) * w).cast("long")
+    return (
+        n.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(w, 6).alias("weight"),
+            F.least(raw, F.col("n_tokens")).alias("alloc_tokens"),
+            (raw >= F.col("n_tokens")).cast("int").alias("at_capacity"),
+        )
+        .orderBy("source")
+    )

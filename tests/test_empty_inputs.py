@@ -215,6 +215,8 @@ _EMPTY_GATE_QUERIES = [
     "q_collation_groupby",
     "q_hard_negatives",
     "q_text_readability",
+    "q_text_novelty",
+    "q_corpus_budget_alloc",
 ]
 
 
