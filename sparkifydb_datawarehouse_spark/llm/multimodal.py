@@ -1,16 +1,17 @@
 """Multimodal columns: image/audio/video as opaque `binary` columns
 with typed metadata, processed by Arrow-batched Pandas functions.
 
-The container has no image/audio codecs (SURVEY/task brief), so the
-DECODE step is stubbed two ways:
+The container ships no image/audio libraries, so the DECODE step is
+implemented in pure Python instead (codecs.py / codecs_jpeg.py): PPM,
+BMP, PNG (stdlib zlib), and baseline JPEG all decode for real and are
+value-checked end-to-end against closed-form planted rasters
+(q_multimodal_decode_{ppm,png,jpeg}). Two stand-ins remain by design:
 - a deterministic fake media container ("FAKE" magic + width/height
-  header + payload bytes) generated Spark-side from `documents`, so
-  the whole pipeline — binary column construction, metadata struct,
-  mapInPandas schema/batching, feature extraction — is real and
-  tested end to end;
-- `decode_image` raises NotImplementedError with a clear message and
-  gates on an import-try of PIL, marking exactly where a real codec
-  plugs in.
+  header + payload bytes) generated Spark-side from `documents`
+  exercises the binary-column plumbing independent of any codec;
+- `decode_image` keeps a NotImplementedError gate (on an import-try
+  of PIL) only for formats that genuinely require an external codec
+  library — WebP, progressive/arithmetic JPEG.
 
 Scale notes:
 - Binary payloads ride in Arrow record batches

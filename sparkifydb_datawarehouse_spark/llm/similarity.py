@@ -984,32 +984,124 @@ ORDER BY anchor_id, rank
 @query("q_hard_negatives", oracle=_ORACLE_HARD_NEG)
 def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k most-similar different-label vectors per anchor — the
-    contrastive hard-negative mining step, exact form."""
+    contrastive hard-negative mining step, exact form.
+
+    Scale shape (rewritten after the 100× probe timed out the first
+    cut): the first version crossJoined anchors into the corpus and
+    evaluated the HOF-fold cosine per pair — interpreted per element,
+    the exact trap the cosine() docstring warns about, and it shipped
+    each anchor vector once PER PAIR. Now the ≤10 anchor vectors ride
+    in the mapInPandas CLOSURE (bounded driver state, the k-means
+    pattern): one pass over the corpus computes all anchor dots as
+    numpy column ops with SEQUENTIAL per-element accumulation
+    (bit-identical to DuckDB's list_dot_product — the _seq_dot_udf
+    contract), and each batch emits only its LOCAL top-k per anchor,
+    so the global rank sees ≤ k·anchors·batches rows. Vectors cross
+    the Arrow boundary exactly once; rounding stays Spark-side
+    (HALF_UP) so no numpy half-even drift."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
     from pyspark.sql.window import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    anchors = emb.filter(F.col("vec_id") < _HN_ANCHORS).select(
-        F.col("vec_id").alias("anchor_id"),
-        F.col("label").alias("anchor_label"),
-        F.col("embedding").alias("a_emb"),
+    a_rows = (
+        emb.filter(F.col("vec_id") < _HN_ANCHORS)
+        .select("vec_id", "label", "embedding")
+        .collect()
     )
-    pairs = (
-        emb.crossJoin(F.broadcast(anchors))
-        .filter(
-            (F.col("vec_id") != F.col("anchor_id"))
-            & (F.col("label") != F.col("anchor_label"))
-        )
-        .select(
-            "anchor_id",
-            "anchor_label",
-            F.col("vec_id").alias("neg_id"),
-            F.col("label").alias("neg_label"),
-            F.round(cosine(F.col("a_emb"), F.col("embedding")), 6).alias("cos_sim"),
-        )
+    a_ids = np.array([r["vec_id"] for r in a_rows], dtype=np.int64)
+    a_labels = np.array([r["label"] for r in a_rows], dtype=np.int64)
+
+    def _seq_self_dot(m: np.ndarray) -> np.ndarray:
+        acc = m[:, 0] * m[:, 0]
+        for i in range(1, m.shape[1]):
+            acc = acc + m[:, i] * m[:, i]
+        return acc
+
+    if a_rows:
+        A = np.array([list(r["embedding"]) for r in a_rows], dtype=np.float64)
+        a_norms = np.sqrt(_seq_self_dot(A))
+    else:
+        A = np.zeros((0, 1))
+        a_norms = np.zeros(0)
+
+    out_schema = StructType(
+        [
+            StructField("anchor_id", LongType()),
+            StructField("anchor_label", LongType()),
+            StructField("neg_id", LongType()),
+            StructField("neg_label", LongType()),
+            StructField("raw_sim", DoubleType()),
+        ]
     )
-    w = Window.partitionBy("anchor_id").orderBy(F.col("cos_sim").desc(), "neg_id")
+
+    def score_batches(batches):
+        for pdf in batches:
+            pdf = pdf[pdf["embedding"].notna()]
+            if not len(pdf) or not len(a_ids):
+                continue
+            X = np.array([list(e) for e in pdf["embedding"]], dtype=np.float64)
+            vec_ids = pdf["vec_id"].to_numpy()
+            labels = pdf["label"].to_numpy()
+            x_norms = np.sqrt(_seq_self_dot(X))
+            # sequential accumulation over dims (NOT X @ A.T — pairwise
+            # summation there differs in the last ulp from the oracle)
+            acc = np.outer(X[:, 0], A[:, 0])
+            for i in range(1, X.shape[1]):
+                acc = acc + np.outer(X[:, i], A[:, i])
+            sims = acc / (a_norms[None, :] * x_norms[:, None])
+            rows = []
+            for j in range(len(a_ids)):
+                mask = (vec_ids != a_ids[j]) & (labels != a_labels[j])
+                idx = np.nonzero(mask)[0]
+                if not len(idx):
+                    continue
+                # sound local prune: the global key is (ROUND(sim,6)
+                # DESC, neg_id), and rounding moves a value ≤ 5e-7, so
+                # any row with raw sim < kth_raw − 1e-6 rounds strictly
+                # below the kept k and can never contend; everything
+                # within the epsilon band is kept so ties survive
+                s = sims[idx, j]
+                kth = np.partition(s, -_HN_K)[-_HN_K] if len(s) >= _HN_K else s.min()
+                idx = idx[s >= kth - 1e-6]
+                order = idx[np.lexsort((vec_ids[idx], -sims[idx, j]))]
+                for i2 in order:
+                    rows.append(
+                        (
+                            int(a_ids[j]),
+                            int(a_labels[j]),
+                            int(vec_ids[i2]),
+                            int(labels[i2]),
+                            float(sims[i2, j]),
+                        )
+                    )
+            if rows:
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in out_schema.fields]
+                )
+
+    local_top = emb.select("vec_id", "label", "embedding").mapInPandas(
+        score_batches, out_schema
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos_sim").desc(), "neg_id"
+    )
     return (
-        pairs.withColumn("rank", F.row_number().over(w).cast("int"))
+        local_top.select(
+            "anchor_id",
+            F.col("anchor_label").cast("int").alias("anchor_label"),
+            "neg_id",
+            F.col("neg_label").cast("int").alias("neg_label"),
+            F.round("raw_sim", 6).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _HN_K)
         .select("anchor_id", "anchor_label", "neg_id", "neg_label", "cos_sim", "rank")
         .orderBy("anchor_id", "rank")

@@ -113,8 +113,11 @@ def test_decode_image_dispatches_by_magic():
     assert decode_image(encode_bmp_24(2, 2, PX_2X2))["pixels"] == PX_2X2
 
 
-def test_decode_image_gate_remains_for_jpeg():
-    jpeg_magic = b"\xff\xd8\xff\xe0" + b"\x00" * 16
+def test_decode_image_gate_remains_for_webp():
+    """JPEG now decodes natively (codecs_jpeg.py, round 5) — the
+    NotImplementedError gate covers only genuinely external-codec
+    formats. A malformed JPEG is a DECODE error, not a gate hit."""
+    webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
     try:
         import PIL  # noqa: F401
 
@@ -122,7 +125,9 @@ def test_decode_image_gate_remains_for_jpeg():
     except ImportError:
         pass
     with pytest.raises(NotImplementedError, match="codec"):
-        decode_image(jpeg_magic)
+        decode_image(webp_magic)
+    with pytest.raises(ImageDecodeError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # truncated JPEG
 
 
 # --- PNG (stdlib-zlib decoder) ---------------------------------------------

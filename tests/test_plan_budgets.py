@@ -191,7 +191,7 @@ EXCHANGE_BUDGETS = {
     "q_session_window_batch": 2,  # one user_id shuffle into MergingSessions + sort
     "q_sql_pipe": 2,  # pipe syntax parses to the same agg+sort plan as ANSI
     "q_collation_groupby": 2,  # collated group key; agg + sort
-    "q_hard_negatives": 3,  # anchors broadcast; (anchor, vec, sim) triples shuffle for the rank
+    "q_hard_negatives": 2,  # anchors in closure; only per-batch top-k rows shuffle for the rank
     "q_text_readability": 1,  # map-only scores; final sort only
     "q_text_novelty": 4,  # gram-key window count + per-doc agg; 60-bit keys shuffle, text doesn't
     "q_corpus_budget_alloc": 5,  # source agg + scalar total broadcast + sort (20-row frame)
