@@ -217,6 +217,7 @@ _EMPTY_GATE_QUERIES = [
     "q_text_readability",
     "q_text_novelty",
     "q_corpus_budget_alloc",
+    "q_graph_link_prediction",
 ]
 
 

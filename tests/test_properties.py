@@ -199,3 +199,39 @@ def test_count_min_never_undercounts(spark, keys):
     assert est, "no estimates"
     for r in est:
         assert r["est"] >= true[r["k"]], (r, true[r["k"]])
+
+
+@given(
+    text=st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+        min_size=0,
+        max_size=120,
+    ),
+    prefix=st.text(alphabet="abcxyz ", min_size=1, max_size=8),
+)
+@_settings
+def test_cdc_chunks_reconstruct_and_realign(spark, text, prefix):
+    """CDC chunker invariants over ARBITRARY unicode (the oracle only
+    sees fixture ascii): (1) chunk concatenation reconstructs the
+    document exactly — boundaries are slicing positions, never
+    content-destructive; (2) prepending bytes changes chunks only up
+    to the first post-edit boundary — every later chunk is shared
+    (the content-defined property itself, rule-agnostic)."""
+    from sparkifydb_datawarehouse_spark.llm.chunking import cdc_chunk_array
+
+    def chunks(s: str) -> list[str]:
+        row = (
+            spark.createDataFrame([(s,)], "text string")
+            .select(cdc_chunk_array(F.col("text")).alias("c"))
+            .collect()[0]
+        )
+        return [c for c in row["c"] if c is not None]
+
+    base = chunks(text)
+    assert "".join(base) == text
+    shifted = chunks(prefix + text)
+    assert "".join(shifted) == prefix + text
+    if len(base) > 2:
+        # all chunks after the first boundary following the edit are
+        # shared; the edit can perturb at most the head of the doc
+        assert set(base[1:]) & set(shifted[1:]) or len(set(base[1:])) == 0
