@@ -289,7 +289,13 @@ def sample_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     `src0` target domain (hashed unigram+bigram models, add-one
     smoothing, integer micro-unit log-ratios)."""
     docs = load_table(spark, sf_dir, "documents")
-    grams = _dsir_gram_buckets(docs)
+    # The gram pipeline (posexplode + bigram window + hashing) feeds
+    # BOTH the bucket-count models and the scoring scan; without
+    # truncation it executes twice. localCheckpoint materializes the
+    # (doc_id, source, is_tgt, bucket) rows once — measured at 100×:
+    # 14.05 → 8.08 s (1×/10× unchanged/−13%), and the materialized
+    # form is the narrow int projection, never gram text.
+    grams = _dsir_gram_buckets(docs).localCheckpoint()
     counts = grams.groupBy("b").agg(
         F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).cast("long").alias("ct"),
         F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).cast("long").alias("cs"),

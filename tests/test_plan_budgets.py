@@ -184,7 +184,7 @@ EXCHANGE_BUDGETS = {
     "q_text_cdc_chunks": 3,  # chunk groupBy + per-source agg; chunking is map-only
     "q_agg_kmv_overlap": 11,  # hash-only distincts/sort/agg; was 63 as a 4-way union
     "q_join_jaro_winkler": 3,  # blocked equi-join; +1 probe-side scan spread so the UDF parallelizes
-    "q_sample_dsir": 8,  # 2 gram-pipeline windows + B-row count/total aggs; ratio table broadcast
+    "q_sample_dsir": 6,  # grams localCheckpointed once (was 8 with a doubled pipeline); B-row aggs + broadcast
     "q_scan_xml": 1,  # typed XML roundtrip; sort only
     "q_dedup_incremental": 3,  # batch collapse + fingerprint anti-join; hashes shuffle, text doesn't
     "q_multimodal_decode_jpeg": 2,  # scan spread + final sort; payloads never shuffle
