@@ -331,3 +331,77 @@ def activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hour")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused pure-SQL ML inference (round 5) — scoring a trained linear /
+# logistic model IS a map-only scan when the weights are literals
+# (the operator-fusion observation of the ICDE'25 pure-SQL inference
+# line, PAPERS.md): feature engineering, the dot product, the sigmoid
+# link, and the decision bucket all fuse into one whole-stage-codegen
+# projection — no UDF, no shuffle until the tiny decile report. At
+# 100 TB this is THE shape batch inference should take: weights ride
+# the plan as constants (or a broadcast row for wide models), and the
+# scan's filter/pruning behavior is untouched.
+#
+# Weights below are fixture literals standing in for a trained model
+# (training itself is covered by q_grouped_regression / q_kmeans_*).
+# EXP parity across engines is the same contract q_text_bm25 pins for
+# LN; ROUND(6) before bucketing keeps the decile edges identical.
+# ---------------------------------------------------------------------------
+
+_ML_W = (-2.5, 0.9, 1.4, -0.7)  # intercept, price_z, urgency, month_pos
+
+_ORACLE_ML_INFER = f"""
+WITH feat AS (
+    SELECT o_orderkey,
+           (o_totalprice - 150000.0) / 100000.0 AS price_z,
+           CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1.0 ELSE 0.0 END AS urgency,
+           CAST(EXTRACT(DAY FROM o_orderdate) AS DOUBLE) / 31.0 AS month_pos
+    FROM orders
+),
+scored AS (
+    SELECT o_orderkey,
+           ROUND(1.0 / (1.0 + EXP(-({_ML_W[0]} + {_ML_W[1]} * price_z
+                 + {_ML_W[2]} * urgency + {_ML_W[3]} * month_pos))), 6)
+               AS score
+    FROM feat
+)
+SELECT CAST(FLOOR(score * 10) AS INTEGER) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(AVG(score), 6) AS mean_score,
+       ROUND(MIN(score), 6) AS min_score,
+       ROUND(MAX(score), 6) AS max_score
+FROM scored
+GROUP BY 1
+ORDER BY decile
+"""
+
+
+@query("q_ml_inference_sql", oracle=_ORACLE_ML_INFER)
+def ml_inference_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-weight logistic scoring fused into the scan, reduced to
+    a decile report (the full per-row frame is the same plan minus the
+    final aggregation)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w0, w1, w2, w3 = (F.lit(w) for w in _ML_W)
+    price_z = (F.col("o_totalprice") - F.lit(150000.0)) / F.lit(100000.0)
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1.0)
+        .otherwise(0.0)
+    )
+    month_pos = F.dayofmonth("o_orderdate").cast("double") / F.lit(31.0)
+    z = w0 + w1 * price_z + w2 * urgency + w3 * month_pos
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (
+        orders.select(score.alias("score"))
+        .groupBy(F.floor(F.col("score") * 10).cast("int").alias("decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.min("score"), 6).alias("min_score"),
+            F.round(F.max("score"), 6).alias("max_score"),
+        )
+        .orderBy("decile")
+    )

@@ -218,6 +218,7 @@ _EMPTY_GATE_QUERIES = [
     "q_text_novelty",
     "q_corpus_budget_alloc",
     "q_graph_link_prediction",
+    "q_ml_inference_sql",
 ]
 
 
