@@ -1010,7 +1010,11 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql.window import Window
 
-    emb = load_table(spark, sf_dir, "embeddings")
+    # null label/embedding rows can't participate in different-LABEL
+    # mining — drop them on both sides (null-slice audit find)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isNotNull() & F.col("embedding").isNotNull()
+    )
     a_rows = (
         emb.filter(F.col("vec_id") < _HN_ANCHORS)
         .select("vec_id", "label", "embedding")

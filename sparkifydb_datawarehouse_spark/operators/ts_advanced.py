@@ -476,7 +476,13 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # a NULL event_type has no channel to attribute — drop it up front
+    # (inert at oracle scale: the fixture has no null types; the
+    # registry-wide null-slice audit found the driver-side state sort
+    # mixing None with str otherwise)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # truncate each journey at its first purchase (inclusive)
     marked = ev.withColumn(

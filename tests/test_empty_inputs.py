@@ -297,6 +297,9 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multitouch_attribution",
         "q_text_gopher_rules",
         "q_dedup_containment",
+        # round-5 registry-wide null audit finds (2026-08-15)
+        "q_hard_negatives",
+        "q_markov_attribution",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
