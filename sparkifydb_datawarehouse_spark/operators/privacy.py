@@ -66,3 +66,135 @@ def k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(unsafe) / F.sum("class_size"), 6).alias("suppression_rate"),
         F.min("class_size").cast("long").alias("k_achieved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GDPR erasure (round 5) — the right-to-be-forgotten op: given a
+# deletion list (subjects with user_id % 97 == 0 stand in for the DSR
+# queue), produce the scrubbed events table and an erasure REPORT.
+# Production shape: the deletion list is tiny relative to the corpus,
+# so it BROADCASTS under a LEFT ANTI join — the corpus never shuffles
+# for the erasure itself, and the rewrite composes with partitioned
+# sinks so only partitions containing a subject rewrite. The report
+# (what the auditor signs) carries per-subject erased-row counts plus
+# a verified zero-residual flag computed from the SCRUBBED frame, so
+# the claim is checked against the output, not assumed.
+# ---------------------------------------------------------------------------
+
+_ORACLE_ERASURE = """
+WITH subjects AS (
+    SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+),
+erased AS (
+    SELECT e.user_id, CAST(COUNT(*) AS BIGINT) AS n_erased
+    FROM events e JOIN subjects s USING (user_id)
+    GROUP BY e.user_id
+),
+scrubbed AS (
+    SELECT e.* FROM events e LEFT JOIN subjects s USING (user_id)
+    WHERE s.user_id IS NULL
+)
+SELECT er.user_id, er.n_erased,
+       CAST((SELECT COUNT(*) FROM scrubbed sc WHERE sc.user_id = er.user_id)
+            AS BIGINT) AS n_residual
+FROM erased er
+ORDER BY er.user_id
+"""
+
+
+@query("q_gdpr_erasure", oracle=_ORACLE_ERASURE)
+def gdpr_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erase all events of the deletion-list subjects; report erased
+    counts per subject with a residual count verified on the scrubbed
+    output (must be 0 by construction — the anti join IS the proof,
+    and the report recomputes it rather than asserting it)."""
+    ev = load_table(spark, sf_dir, "events")
+    subjects = (
+        ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    )
+    erased = (
+        ev.join(F.broadcast(subjects), "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_erased"))
+    )
+    scrubbed = ev.join(F.broadcast(subjects), "user_id", "left_anti")
+    residual = (
+        scrubbed.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_resid"))
+    )
+    return (
+        erased.join(residual, "user_id", "left")
+        .select(
+            "user_id",
+            "n_erased",
+            F.coalesce(F.col("n_resid"), F.lit(0)).cast("long").alias("n_residual"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private noisy counts (round 5) — Laplace mechanism
+# (Dwork et al. 2006, public literature) over per-event-type counts,
+# sensitivity 1, epsilon 0.5 → scale b = 2. Noise is DETERMINISTIC
+# for the oracle: u ∈ (0,1) derives from the md5 of the group key
+# (the q_sample_hash pairing), and the Laplace inverse CDF
+# x = -b·sign(u-1/2)·ln(1-2|u-1/2|) is one LN + fixed-order
+# arithmetic — the LN-parity contract again. A production run swaps
+# the hash-u for a real RNG; everything else (the mechanism, the
+# post-processed non-negativity clamp, the epsilon ledger column) is
+# the shipping shape. Map-side-combined count + per-group scalar
+# noise: no extra shuffle beyond the aggregation.
+# ---------------------------------------------------------------------------
+
+_DP_EPS = 0.5
+_DP_B = 1.0 / _DP_EPS  # sensitivity 1 / epsilon
+
+_ORACLE_DP = f"""
+WITH counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_count
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+),
+noised AS (
+    SELECT event_type, true_count,
+           (('0x' || substr(md5(event_type), 1, 15))::BIGINT % 1000000)
+               / 1000000.0 + 0.0000005 AS u
+    FROM counts
+)
+SELECT event_type, true_count,
+       CAST(GREATEST(
+           true_count + CAST(FLOOR(
+               -{_DP_B} * (CASE WHEN u >= 0.5 THEN 1.0 ELSE -1.0 END)
+               * LN(1.0 - 2.0 * ABS(u - 0.5)) + 0.5) AS BIGINT),
+           0) AS BIGINT) AS dp_count,
+       {_DP_EPS} AS epsilon
+FROM noised
+ORDER BY event_type
+"""
+
+
+@query("q_dp_noisy_counts", oracle=_ORACLE_DP)
+def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
+    counts = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    u = (
+        F.conv(F.substring(F.md5("event_type"), 1, 15), 16, 10).cast("long")
+        % 1000000
+    ) / F.lit(1000000.0) + F.lit(0.0000005)
+    sign = F.when(u >= 0.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    noise = F.floor(
+        F.lit(-_DP_B) * sign * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(u - F.lit(0.5)))
+        + F.lit(0.5)
+    ).cast("long")
+    return counts.select(
+        "event_type",
+        "true_count",
+        F.greatest(F.col("true_count") + noise, F.lit(0).cast("long"))
+        .cast("long")
+        .alias("dp_count"),
+        F.lit(_DP_EPS).alias("epsilon"),
+    ).orderBy("event_type")

@@ -219,6 +219,8 @@ _EMPTY_GATE_QUERIES = [
     "q_corpus_budget_alloc",
     "q_graph_link_prediction",
     "q_ml_inference_sql",
+    "q_gdpr_erasure",
+    "q_dp_noisy_counts",
 ]
 
 

@@ -195,6 +195,8 @@ EXCHANGE_BUDGETS = {
     "q_text_readability": 1,  # map-only scores; final sort only
     "q_text_novelty": 4,  # gram-key window count + per-doc agg; 60-bit keys shuffle, text doesn't
     "q_corpus_budget_alloc": 5,  # source agg + scalar total broadcast + sort (20-row frame)
+    "q_gdpr_erasure": 8,  # subjects broadcast thrice (erase/scrub/residual); counts shuffle, facts don't
+    "q_dp_noisy_counts": 2,  # map-side-combined count + sort; noise is scalar per group
     "q_ml_inference_sql": 2,  # fused scoring is map-only; decile agg + sort
     "q_graph_link_prediction": 8,  # edges localCheckpointed once (was 61 re-embedded); cn join + anti + topk
 }
