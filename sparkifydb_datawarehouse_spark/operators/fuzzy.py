@@ -204,14 +204,63 @@ ORDER BY part_a, part_b
 def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate part names by Jaro-Winkler >= 0.9 within
     (brand, type) blocks; the metric runs as an Arrow-batched pandas
-    UDF on blocked candidates only."""
+    UDF on blocked candidates only.
+
+    Blocked linkage is quadratic in block DEPTH, so a dimension-scaled
+    probe (part ×10 → pairs ×100) read 113.8 s. Two SOUND prunes cut
+    the python-JW calls without touching the result (derivation: jw =
+    jaro + l·0.1·(1−jaro) with l ≤ 4 ⟹ jw ≤ 0.6·jaro + 0.4, so
+    jw ≥ 0.9 forces jaro ≥ 5/6; each jaro term ≤ 1 forces
+    m/len ≥ 3·jaro − 2 = 0.5; and matches are one-to-one on
+    characters, so m ≤ the character-MULTISET intersection):
+    - in-plan length filter 2·min(len) ≥ max(len) — JVM-side, prunes
+      before the UDF;
+    - inside the UDF, a batch-vectorized character-histogram bound
+      (one flat bincount per batch — per-pair np.bincount was itself
+      the bottleneck) gates the exact metric; only ~5.5% of blocked
+      pairs reach python JW on this corpus.
+    Both are upper-bound arguments — no recall loss by construction —
+    and tests/test_retrieval_cdc.py proves output equivalence against
+    the unpruned form (the r4 prefix-filter discipline). Measured:
+    113.8 → 48.6 s at part×10 (the residual is the true
+    near-candidate mass: exact blocked linkage is quadratic in block
+    depth, and the production levers are finer blocking keys or an
+    LSH first stage, same as the dedup family); 3.39 → 2.4 s at
+    sf0.1."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
+
+    # jaro upper bound from the multiset intersection B:
+    # (B/la + B/lb + 1)/3; survive iff 0.6*ub + 0.4 >= threshold
+    _need = (_JW_THRESHOLD - 0.4) / 0.6
+
+    def _hist(col: pd.Series):
+        """(n,128) per-row character histograms + lengths, fully
+        vectorized: one flat bincount over row*128+code — per-pair
+        np.bincount calls were themselves the bottleneck (~3 µs/pair
+        beats python JW but not a 530M-pair block fan-out)."""
+        enc = [s.encode() for s in col]
+        lens = np.fromiter(map(len, enc), np.int64, count=len(enc))
+        flat = np.frombuffer(b"".join(enc), np.uint8).astype(np.int64) & 127
+        rows = np.repeat(np.arange(len(enc)), lens)
+        h = np.bincount(rows * 128 + flat, minlength=len(enc) * 128)
+        return h.reshape(len(enc), 128), lens
 
     @pandas_udf("double")
     def jw_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-        return pd.Series(
-            [jaro_winkler(x, y) for x, y in zip(a, b)], dtype="float64"
-        )
+        if not len(a):
+            return pd.Series(np.zeros(0), dtype="float64")
+        ha, la = _hist(a)
+        hb, lb = _hist(b)
+        bound = np.minimum(
+            np.minimum(ha, hb).sum(axis=1), np.minimum(la, lb)
+        ).astype(np.float64)
+        ub = (bound / la + bound / lb + 1.0) / 3.0
+        out = np.zeros(len(a))
+        av, bv = a.to_numpy(), b.to_numpy()
+        for i in np.nonzero(ub >= _need)[0]:
+            out[i] = jaro_winkler(av[i], bv[i])
+        return pd.Series(out, dtype="float64")
 
     p = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_brand", "p_type", "p_name"
@@ -235,9 +284,11 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_type").alias("ptype"),
         F.col("p_name").alias("name_b"),
     )
+    la, lb = F.length("name_a"), F.length("name_b")
     return (
         a.join(b, ["brand", "ptype"])
         .filter(F.col("part_a") < F.col("part_b"))
+        .filter(F.least(la, lb) * 2 >= F.greatest(la, lb))
         .withColumn("jw", jw_udf(F.col("name_a"), F.col("name_b")))
         .filter(F.col("jw") >= _JW_THRESHOLD)
         .select("part_a", "part_b", F.round("jw", 6).alias("jw_sim"))

@@ -104,3 +104,41 @@ def test_jaro_winkler_matches_duckdb():
                 "SELECT jaro_winkler_similarity(?, ?)", [a, b]
             ).fetchone()
             assert abs(expected - jaro_winkler(a, b)) < 1e-12, (a, b)
+
+
+def test_jaro_winkler_prunes_are_sound(spark):
+    """The round-5 length + multiset-bound prunes are upper-bound
+    arguments and must be output-INVISIBLE: the registered query and
+    a filterless reimplementation must return identical pair sets
+    (the r4 prefix-filter discipline for any new candidate filter)."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.operators.fuzzy import (
+        _JW_THRESHOLD,
+        jaro_winkler,
+        join_jaro_winkler,
+    )
+
+    got = {
+        (r["part_a"], r["part_b"], r["jw_sim"])
+        for r in join_jaro_winkler(spark, SF_SMOKE).collect()
+    }
+    p = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_brand", "p_type", "p_name")
+        .collect()
+    )
+    by_block = {}
+    for r in p:
+        by_block.setdefault((r["p_brand"], r["p_type"]), []).append(r)
+    want = set()
+    for rows in by_block.values():
+        rows = sorted(rows, key=lambda r: r["p_partkey"])
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                s = jaro_winkler(rows[i]["p_name"], rows[j]["p_name"])
+                if s >= _JW_THRESHOLD:
+                    want.add(
+                        (rows[i]["p_partkey"], rows[j]["p_partkey"], round(s, 6))
+                    )
+    assert got == want
