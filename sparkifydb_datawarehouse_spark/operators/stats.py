@@ -76,17 +76,74 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_approx_percentiles")  # rows-only: t-digest estimates are engine-specific
+# Contract-oracle (VERDICT r5 #2): the t-digest estimate itself is
+# engine-specific, so the oracled VALUE is the accuracy CLAIM — exact
+# quantile_cont anchors plus a within-rel-err flag per percentile.
+# Spark's approx_percentile is deterministic for fixed data (GK/t-digest
+# merge is order-insensitive at fixed accuracy), so the flag is stable;
+# if the sketch ever drifts past the contract the driver's value-hash
+# catches it. Same pattern as q_agg_approx_distinct_calibration.
+# accuracy=10000 ⇒ rank error ≤ 1e-4; 0.5% relative VALUE tolerance is
+# a wide-margin envelope over that on these price distributions.
+_APPROX_PCT_TOL = 0.005
+
+_ORACLE_APPROX_PERCENTILES = """
+SELECT l_returnflag AS return_flag,
+       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.5), 4) AS exact_median_price,
+       ROUND(quantile_cont(CAST(l_extendedprice AS DOUBLE), 0.95), 4) AS exact_p95_price,
+       CAST(1 AS INTEGER) AS median_within_tol,
+       CAST(1 AS INTEGER) AS p95_within_tol
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_approx_percentiles", oracle=_ORACLE_APPROX_PERCENTILES)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The unbounded-cardinality scale path: approx_percentile streams
-    a t-digest instead of buffering group values."""
-    li = load_table(spark, sf_dir, "lineitem")
+    a sketch instead of buffering group values. Oracled via the
+    contract pattern — exact anchors + within-tolerance flags."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_d", F.col("l_extendedprice").cast("double")
+    )
+
+    def _flag(approx_col: str, exact_col: str) -> F.Column:
+        # try_divide: NULL (not a crash) on a degenerate slice where
+        # the exact anchor is 0 — inert at oracle scale
+        return (
+            (
+                F.try_divide(
+                    F.abs(F.col(approx_col) - F.col(exact_col)), F.abs(F.col(exact_col))
+                )
+                <= F.lit(_APPROX_PCT_TOL)
+            )
+            .cast("int")
+            .alias(approx_col.replace("approx_", "") + "_within_tol")
+        )
+
     return (
         li.groupBy(F.col("l_returnflag").alias("return_flag"))
         .agg(
-            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-                "approx_median_price"
-            )
+            F.percentile("price_d", F.lit(0.5)).alias("exact_median_raw"),
+            F.percentile("price_d", F.lit(0.95)).alias("exact_p95_raw"),
+            F.approx_percentile("price_d", F.lit(0.5), F.lit(10000)).alias(
+                "approx_median"
+            ),
+            F.approx_percentile("price_d", F.lit(0.95), F.lit(10000)).alias(
+                "approx_p95"
+            ),
+        )
+        .select(
+            "return_flag",
+            # round to 4, not 2: prices carry 2 decimals, so the
+            # interpolated quantile has <=4 — ROUND(x,2) sits exactly on
+            # the half-cent boundary (ORACLES.md half-way divergence);
+            # ROUND(x,4) only snaps fp noise, never a half-way digit
+            F.round("exact_median_raw", 4).alias("exact_median_price"),
+            F.round("exact_p95_raw", 4).alias("exact_p95_price"),
+            _flag("approx_median", "exact_median_raw"),
+            _flag("approx_p95", "exact_p95_raw"),
         )
         .orderBy("return_flag")
     )
