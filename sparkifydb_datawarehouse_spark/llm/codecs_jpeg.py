@@ -187,16 +187,30 @@ class _BitReader:
     """MSB-first reader over entropy-coded data with FF00 unstuffing.
     Stops at any non-RST marker; RSTn is consumed on explicit resync."""
 
+    # Zero-pad budget past a non-RST marker: a VALID scan needs at most
+    # a couple of pad fills to finish its final Huffman symbol/EOB, but
+    # a stream truncated after valid headers would otherwise decode
+    # every remaining MCU from fabricated zero bits and return garbage
+    # pixels — the module contract is a clear refusal, not garbage.
+    _PAD_SLACK_BYTES = 8
+
     def __init__(self, data: bytes, pos: int) -> None:
         self.data = data
         self.pos = pos
         self.bits = 0
         self.nbits = 0
         self.marker: int | None = None
+        self.pad_bytes = 0
 
     def _fill(self) -> None:
         while self.nbits <= 24:
             if self.marker is not None:
+                self.pad_bytes += 1
+                if self.pad_bytes > self._PAD_SLACK_BYTES:
+                    raise ImageDecodeError(
+                        "JPEG entropy data truncated: decoding continued "
+                        f"past marker 0x{self.marker:02X} beyond EOB slack"
+                    )
                 self.bits = (self.bits << 8) | 0  # pad past a marker
                 self.nbits += 8
                 continue
@@ -255,6 +269,7 @@ class _BitReader:
             )
         self.pos += 2
         self.marker = None
+        self.pad_bytes = 0  # pad slack is per restart interval
 
 
 def _extend(v: int, t: int) -> int:
@@ -543,8 +558,13 @@ def encode_jpeg_baseline(
     hmax = vmax = sub if ncomp == 3 else 1
     comps = []
     for idx, plane in enumerate(planes):
-        if plane.shape != (height, width) and idx == 0:
-            raise ValueError("luma plane shape mismatch")
+        # every plane arrives full-resolution (chroma is pooled below);
+        # a mis-shaped Cb/Cr would otherwise produce a corrupt fixture
+        # or a confusing reshape error instead of a clear refusal
+        if plane.shape != (height, width):
+            raise ValueError(
+                f"plane {idx} shape {plane.shape} != ({height}, {width})"
+            )
         if idx > 0 and sub == 2:
             # average-pool 2x2 to half resolution (pad odd dims by edge)
             p = np.pad(

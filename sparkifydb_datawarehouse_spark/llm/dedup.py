@@ -182,6 +182,31 @@ _MAX_BUCKET = 64
 # j ≥ 0.889; the stages query measures realized recall per corpus).
 _EST_MIN_AGREE = 8
 
+# Per-doc candidate-degree cap (VERDICT r5 #3 — the third production
+# lever for the two-tier join): after the length + estimate filters,
+# each document votes for its top-_MAX_DEGREE incident candidate
+# edges by (minhash agreement desc, partner doc_id asc), and an edge
+# survives if EITHER endpoint votes for it — the standard kNN-graph
+# rule. Every kept edge holds at least one of the ≤ cap·n votes, so
+# the verify tier's posting-join input is ≤ cap·corpus edges —
+# LINEAR in n no matter how pathological the
+# near-threshold pair mass is (the adversarial 100× replica corpus
+# generates K² moderately-similar pairs per duplicate cluster;
+# without the cap the exact-verify tier inherits all of them).
+# Ranking prefers HIGHER estimated similarity, so what the cap sheds
+# first is exactly the low-ĵ junk; a true j ≥ t pair is lost only
+# when BOTH its endpoints have ≥ cap neighbors with estimates above
+# the pair's own — i.e. both docs sit in duplicate clusters wider
+# than the cap, where either-endpoint voting still keeps every node's
+# best edges, so the cluster stays CONNECTED for the downstream
+# connected-components collapse (AND-voting would isolate high-id
+# nodes of a clique wider than the cap). Drops are counted through an
+# optional Observation, and the stages query reports realized recall
+# per corpus. At oracle/fixture scale the cap is INERT (max candidate
+# degree ≪ 64 — asserted by pytest), so q_dedup_lsh_verified keeps
+# its exact brute-force oracle.
+_MAX_DEGREE = 64
+
 
 def minhash_band_pairs(
     docs: DataFrame, max_bucket: int = _MAX_BUCKET, observation=None
@@ -1144,10 +1169,12 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lsh_verified_tiers(
     docs: DataFrame,
     max_bucket: int = _MAX_BUCKET,
+    max_degree: int | None = _MAX_DEGREE,
     observation=None,
+    degree_observation=None,
     checkpoint_candidates: bool = False,
-) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
-    """Returns (ex, cand_raw, cand, cand_est, verified):
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Returns (ex, cand_raw, cand, cand_est, cand_capped, verified):
 
     ex        — (doc_id, h): distinct 3-word shingles as 64-bit hashes,
                 localCheckpointed (three consumers: sketch, both verify
@@ -1175,6 +1202,14 @@ def _lsh_verified_tiers(
                 shuffles — lengths and byte-packed signatures ride the
                 bucket lists, so both filters evaluate inside the pair
                 explode and junk dies before any distinct;
+    cand_capped — cand_est after the per-doc degree cap (see
+                _MAX_DEGREE): each doc votes for its top-`max_degree`
+                incident edges by (agree desc, partner asc); an edge
+                survives on EITHER endpoint's vote (≥1 of ≤ cap·n
+                votes ⇒ ≤ max_degree·n edges globally; a popular doc's
+                own degree may exceed the cap — that keeps hubs
+                connected). ``max_degree=None`` disables (then
+                cand_capped is cand_est);
     verified  — exact-Jaccard output rows (doc_a, doc_b, jaccard ≥ t).
     """
     spark = docs.sparkSession
@@ -1284,18 +1319,60 @@ def _lsh_verified_tiers(
     cand_raw = pairs_dec.select("doc_a", "doc_b").distinct()
     cand = pairs_dec.filter(len_ok).select("doc_a", "doc_b").distinct()
     # the hot path: only pairs surviving BOTH filters reach a distinct
-    # shuffle; the verify tier ships (doc_a, doc_b, la, lb) only
+    # shuffle; the verify tier ships (doc_a, doc_b, la, lb) only.
+    # `agree` is pair-deterministic (computed from the two packed
+    # signatures), so carrying it through distinct changes nothing.
     cand_est = (
         pairs_dec.filter(len_ok & (F.col("agree") >= _EST_MIN_AGREE))
-        .select("doc_a", "doc_b", "la", "lb")
+        .select("doc_a", "doc_b", "la", "lb", "agree")
         .distinct()
     )
+
+    if max_degree is not None:
+        # Per-doc degree cap: direct each edge both ways, row_number
+        # per source over (agree desc, partner asc) — spill-safe
+        # window, no collect_list hub blowup — then fold the two
+        # directed rows back to the undirected edge with groupBy and
+        # keep it if its BEST endpoint rank is within the cap (either
+        # endpoint's vote suffices — kNN-graph rule, keeps clusters
+        # connected). Two exchanges over ≤ 2·|cand_est| rows of 5
+        # longs; verify input is then ≤ max_degree·n edges — linear
+        # in corpus size.
+        from pyspark.sql.window import Window
+
+        directed = cand_est.withColumn(
+            "src", F.col("doc_a")
+        ).withColumn("dst", F.col("doc_b"))
+        directed = directed.unionByName(
+            cand_est.withColumn("src", F.col("doc_b")).withColumn(
+                "dst", F.col("doc_a")
+            )
+        )
+        w = Window.partitionBy("src").orderBy(F.desc("agree"), F.asc("dst"))
+        capped = (
+            directed.withColumn("rn", F.row_number().over(w))
+            .groupBy("doc_a", "doc_b", "la", "lb")
+            .agg(F.min("rn").alias("best_rank"))
+        )
+        if degree_observation is not None:
+            capped = capped.observe(
+                degree_observation,
+                F.sum((F.col("best_rank") > max_degree).cast("long")).alias(
+                    "edges_degree_dropped"
+                ),
+                F.count(F.lit(1)).alias("edges_before_degree_cap"),
+            )
+        cand_capped = capped.filter(F.col("best_rank") <= max_degree).select(
+            "doc_a", "doc_b", "la", "lb"
+        )
+    else:
+        cand_capped = cand_est.select("doc_a", "doc_b", "la", "lb")
 
     # tier 2: exact |A∩B| via candidate-bounded posting joins — the
     # prefix-filter verify stage verbatim; zero-overlap candidates
     # produce no join rows and fall out before the threshold filter
     li = (
-        cand_est.join(ex.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
+        cand_capped.join(ex.alias("ta"), F.col("doc_a") == F.col("ta.doc_id"))
         .join(
             ex.alias("tb"),
             (F.col("doc_b") == F.col("tb.doc_id")) & (F.col("ta.h") == F.col("tb.h")),
@@ -1317,7 +1394,7 @@ def _lsh_verified_tiers(
         )
         .orderBy("doc_a", "doc_b")
     )
-    return ex, cand_raw, cand, cand_est, verified
+    return ex, cand_raw, cand, cand_est, cand_capped, verified
 
 
 @query("q_dedup_lsh_verified", oracle=_ORACLE_PREFIX_FILTER)
@@ -1326,8 +1403,13 @@ def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates from minhash LSH instead of the exact prefix-filter
     index. Same brute-force oracle as q_dedup_prefix_filter — the
     driver re-proves on every run that the LSH tier surfaced every
-    qualifying pair (see banding note above)."""
-    _, _, _, _, verified = _lsh_verified_tiers(load_table(spark, sf_dir, "documents"))
+    qualifying pair (see banding note above). The per-doc degree cap
+    (_MAX_DEGREE) is active and inert at oracle scale — the oracle
+    equality additionally proves, every run, that the cap dropped no
+    qualifying pair on this corpus."""
+    _, _, _, _, _, verified = _lsh_verified_tiers(
+        load_table(spark, sf_dir, "documents")
+    )
     return verified
 
 
@@ -1345,7 +1427,7 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpointed — without it the prefix-filter ground-truth job
     re-executes once per stage row (4× cost at 10×)."""
     docs = load_table(spark, sf_dir, "documents")
-    _, cand_raw, cand, cand_est, verified = _lsh_verified_tiers(
+    _, cand_raw, cand, cand_est, cand_capped, verified = _lsh_verified_tiers(
         docs, checkpoint_candidates=True
     )
     truth = (
@@ -1377,7 +1459,8 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         stage_row(1, "lsh_candidates", cand_raw)
         .unionByName(stage_row(2, "length_filtered", cand))
         .unionByName(stage_row(3, "sketch_estimate", cand_est))
-        .unionByName(stage_row(4, "verified", verified))
+        .unionByName(stage_row(4, "degree_capped", cand_capped))
+        .unionByName(stage_row(5, "verified", verified))
         .orderBy("stage_ord")
     )
 

@@ -235,13 +235,19 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
     _need = (_JW_THRESHOLD - 0.4) / 0.6
 
     def _hist(col: pd.Series):
-        """(n,128) per-row character histograms + lengths, fully
-        vectorized: one flat bincount over row*128+code — per-pair
-        np.bincount calls were themselves the bottleneck (~3 µs/pair
-        beats python JW but not a 530M-pair block fan-out)."""
-        enc = [s.encode() for s in col]
-        lens = np.fromiter(map(len, enc), np.int64, count=len(enc))
-        flat = np.frombuffer(b"".join(enc), np.uint8).astype(np.int64) & 127
+        """(n,128) per-row character histograms + CHARACTER lengths,
+        fully vectorized: one flat bincount over row*128+code —
+        per-pair np.bincount calls were themselves the bottleneck
+        (~3 µs/pair beats python JW but not a 530M-pair block
+        fan-out). UTF-32-LE gives one uint32 CODE POINT per char, so
+        lengths and bins match what jaro_winkler() sees — a UTF-8
+        byte histogram diluted the bound's denominators on multi-byte
+        text and could prune a true match. The &127 fold only MERGES
+        bins, which can only raise the multiset-intersection bound —
+        recall-safe by construction."""
+        enc = [s.encode("utf-32-le") for s in col]
+        lens = np.fromiter((len(e) >> 2 for e in enc), np.int64, count=len(enc))
+        flat = np.frombuffer(b"".join(enc), np.uint32).astype(np.int64) & 127
         rows = np.repeat(np.arange(len(enc)), lens)
         h = np.bincount(rows * 128 + flat, minlength=len(enc) * 128)
         return h.reshape(len(enc), 128), lens

@@ -138,6 +138,36 @@ def test_error_contract():
         decode_jpeg(prog)
 
 
+def test_truncated_entropy_refused_not_garbage():
+    """ADVICE r5: a stream truncated AFTER valid headers (EOI appended
+    where half the entropy bytes should be) must raise, not decode the
+    missing MCUs from fabricated zero-pad bits. A big multi-MCU image
+    guarantees many MCUs remain undecoded at the premature EOI, so the
+    8-byte pad slack trips."""
+    rng = np.random.default_rng(5)
+    plane = rng.integers(0, 256, (64, 64), dtype=np.uint8)
+    blob = encode_jpeg_baseline([plane], 64, 64)
+    sos = blob.find(b"\xff\xda")
+    assert sos > 0 and blob.endswith(b"\xff\xd9")
+    entropy_start = sos + 2 + int.from_bytes(blob[sos + 2 : sos + 4], "big")
+    cut = entropy_start + (len(blob) - 2 - entropy_start) // 2
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(blob[:cut] + b"\xff\xd9")
+    # the slack must NOT break valid streams: full blob still decodes
+    assert decode_jpeg(blob)["width"] == 64
+
+
+def test_encoder_validates_chroma_plane_shapes():
+    """ADVICE r5: a mis-shaped Cb/Cr plane must be a clear ValueError
+    at encode time, not a corrupt fixture."""
+    y = np.zeros((16, 16), dtype=np.uint8)
+    bad = np.zeros((8, 8), dtype=np.uint8)
+    with pytest.raises(ValueError, match="plane 1"):
+        encode_jpeg_baseline([y, bad, y], 16, 16, "444")
+    with pytest.raises(ValueError, match="plane 2"):
+        encode_jpeg_baseline([y, y, bad], 16, 16, "420")
+
+
 def test_zigzag_is_a_permutation():
     assert sorted(ZIGZAG) == list(range(64))
     # spec spot checks (T.81 Figure 5)

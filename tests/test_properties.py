@@ -289,20 +289,25 @@ def test_dsir_scores_invariant_to_row_order(spark, perm):
         ("part value key row", "src5"),
         ("scan merge batch a", "src5"),
     ]
-    rows = [(i, texts[j][0], texts[j][1]) for i, j in enumerate(perm)]
-    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
-    grams = _dsir_gram_buckets(docs)
-    counts = grams.groupBy("b").agg(
-        F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
-        F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("cs"),
-    )
-    rows_out = counts.orderBy("b").collect()
-    # the per-bucket counts (the model) must be identical for any
-    # permutation of (doc_id -> text) assignment? No — the MAPPING
-    # changes which doc carries which text, but the corpus-level
-    # bucket counts depend only on the multiset of (text, source)
-    # pairs, which is permutation-invariant.
-    key = tuple((r["b"], r["ct"], r["cs"]) for r in rows_out)
-    if not hasattr(test_dsir_scores_invariant_to_row_order, "_ref"):
-        test_dsir_scores_invariant_to_row_order._ref = key
-    assert key == test_dsir_scores_invariant_to_row_order._ref
+    def bucket_counts(order):
+        rows = [(i, texts[j][0], texts[j][1]) for i, j in enumerate(order)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, source string"
+        )
+        grams = _dsir_gram_buckets(docs)
+        counts = grams.groupBy("b").agg(
+            F.sum(F.when(F.col("is_tgt"), 1).otherwise(0)).alias("ct"),
+            F.sum(F.when(F.col("is_tgt"), 0).otherwise(1)).alias("cs"),
+        )
+        return tuple(
+            (r["b"], r["ct"], r["cs"]) for r in counts.orderBy("b").collect()
+        )
+
+    # the MAPPING changes which doc carries which text, but the
+    # corpus-level bucket counts depend only on the multiset of
+    # (text, source) pairs, which is permutation-invariant. The
+    # baseline is recomputed from the identity permutation INSIDE the
+    # example (ADVICE r5: a function-attribute snapshot taken from
+    # whichever example ran first persists across reruns and makes
+    # failures depend on hypothesis example ordering).
+    assert bucket_counts(perm) == bucket_counts(range(12))

@@ -142,3 +142,29 @@ def test_jaro_winkler_prunes_are_sound(spark):
                         (rows[i]["p_partkey"], rows[j]["p_partkey"], round(s, 6))
                     )
     assert got == want
+
+
+def test_jaro_winkler_histogram_prune_sound_on_multibyte(spark, tmp_path):
+    """ADVICE r5: the histogram prune must bound over CODE POINTS, not
+    UTF-8 bytes. 'abcdefghi€' vs 'abcdefghi한' has true jw = 0.96
+    (9 matched chars, 4-char prefix), but a byte histogram sees
+    12-byte strings sharing only 9 bytes (€ = E2 82 AC and 한 =
+    ED 95 9C are byte-disjoint) ⇒ ub = 2.5/3, a hair UNDER the
+    jaro ≥ 5/6 gate — the true match got pruned. The code-point
+    histogram must keep it."""
+    from sparkifydb_datawarehouse_spark.operators.fuzzy import (
+        jaro_winkler,
+        join_jaro_winkler,
+    )
+
+    assert jaro_winkler("abcdefghi€", "abcdefghi한") >= 0.95
+    spark.createDataFrame(
+        [
+            (1, "B1", "T1", "abcdefghi€"),
+            (2, "B1", "T1", "abcdefghi한"),
+        ],
+        "p_partkey long, p_brand string, p_type string, p_name string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    rows = join_jaro_winkler(spark, str(tmp_path)).collect()
+    assert [(r["part_a"], r["part_b"]) for r in rows] == [(1, 2)]
+    assert rows[0]["jw_sim"] == round(jaro_winkler("abcdefghi€", "abcdefghi한"), 6)

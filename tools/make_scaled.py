@@ -23,6 +23,23 @@ Replication strategy (keys offset so join relationships hold):
 - embeddings: vec_id += k*MAX_VEC (the banded candidate joins are
   id-local, so replicas contribute independent neighborhoods).
 
+Docs modes (4th arg, VERDICT r5 #4): the default ``adversarial``
+perturbation above still leaves every replica pair of the same base
+doc at moderate Jaccard (markers only ADD tokens; ~40% of base
+shingles survive between any two replicas ⇒ j ≈ 0.25), so
+near-threshold pair mass grows K² BY CONSTRUCTION — a worst case, not
+a natural corpus. ``natural`` bounds duplicate-cluster size the way
+real crawls look: replicas are grouped in clusters of ≤5; a
+group-level marker on every 2nd token makes every 3-word shingle
+cross a marked position, so CROSS-group pairs drop to j ≈ 0 (no LSH
+candidates), while a light replica marker (every 23rd even position)
+keeps WITHIN-group pairs at j ≈ 0.9 — bimodal similarity, pair count
+~K·(cluster²)/cluster = linear in K.
+
+5th arg: comma-separated table subset to write (e.g. ``documents``) —
+the natural variant only changes documents, so the probe fixtures
+need not duplicate the 1.5 GB fact tables.
+
 Run the bench against the result with:
     SPARK_GRAFT_SF_DIR=data/scaled_10x python bench.py
 """
@@ -51,6 +68,9 @@ def main() -> None:
     k = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     dst = sys.argv[3] if len(sys.argv) > 3 else "data/scaled_10x"
+    docs_mode = sys.argv[4] if len(sys.argv) > 4 else "adversarial"
+    only = set(sys.argv[5].split(",")) if len(sys.argv) > 5 else None
+    assert docs_mode in ("adversarial", "natural"), docs_mode
     os.makedirs(dst, exist_ok=True)
 
     spark = get_spark("make-scaled")
@@ -111,13 +131,41 @@ def main() -> None:
             "text", marked
         ).withColumn("n_chars", F.length(marked))
 
-    plans["documents"] = _replicate(t["documents"], k, perturb_docs)
+    def perturb_docs_natural(df: DataFrame, i: int) -> DataFrame:
+        # duplicate clusters of ≤5 replicas (group g): gg-marker on
+        # every odd token makes every 3-shingle of a cross-group pair
+        # differ (j ≈ 0); yy-marker on every 23rd even token keeps
+        # within-group pairs near-dup (j ≈ 0.9). Replica 0 stays the
+        # untouched base corpus so 1× near-dup structure is preserved.
+        if i == 0:
+            return df
+        g = i // 5
+        marked = F.concat_ws(
+            " ",
+            F.expr(
+                f"transform(split(text, ' '), (w, j) -> CASE "
+                f"WHEN j % 2 = 1 THEN concat(w, ' gg{g}gg') "
+                f"WHEN j % 23 = 8 THEN concat(w, ' yy{i}yy') "
+                f"ELSE w END)"
+            ),
+        )
+        return df.withColumn("doc_id", F.col("doc_id") + i * max_doc).withColumn(
+            "text", marked
+        ).withColumn("n_chars", F.length(marked))
+
+    plans["documents"] = _replicate(
+        t["documents"],
+        k,
+        perturb_docs_natural if docs_mode == "natural" else perturb_docs,
+    )
     plans["embeddings"] = _replicate(
         t["embeddings"], k,
         lambda df, i: df.withColumn("vec_id", F.col("vec_id") + i * max_vec),
     )
 
     for name, df in plans.items():
+        if only is not None and name not in only:
+            continue
         path = table_path(dst, name)
         df.coalesce(max(1, k // 2)).write.mode("overwrite").parquet(path)
         print(f"{name}: {spark.read.parquet(path).count()} rows -> {path}", flush=True)

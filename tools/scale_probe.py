@@ -28,11 +28,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from sparkifydb_datawarehouse_spark import registry
 from sparkifydb_datawarehouse_spark.session import get_spark
 
-SCALES = [
-    ("1x", "/root/testdata/sf0.1"),
-    ("10x", "data/scaled_10x"),
-    ("100x", "data/scaled_100x"),
-]
+# Override with SPARK_GRAFT_SCALE_DIRS="label=dir,label=dir,..." to
+# probe alternate fixtures (e.g. the natural-shaped dedup corpora from
+# `make_scaled.py ... natural documents`).
+_DIRS_ENV = os.environ.get("SPARK_GRAFT_SCALE_DIRS")
+SCALES = (
+    [tuple(item.split("=", 1)) for item in _DIRS_ENV.split(",")]
+    if _DIRS_ENV
+    else [
+        ("1x", "/root/testdata/sf0.1"),
+        ("10x", "data/scaled_10x"),
+        ("100x", "data/scaled_100x"),
+    ]
+)
 
 DEFAULT = [
     "q_dedup_exact",
@@ -71,18 +79,28 @@ def main() -> None:
     )
     print(f"control_sec={time.perf_counter() - t0:.2f}", flush=True)
 
-    print("| query | 1x s | 10x s | 100x s | 10x/1x | 100x/10x |")
-    print("|---|---|---|---|---|---|")
+    labels = [label for label, _ in SCALES]
+    ratio_heads = [
+        f"{labels[i]}/{labels[i - 1]}" for i in range(1, len(labels))
+    ]
+    print(
+        "| query | "
+        + " | ".join(f"{x} s" for x in labels)
+        + " | "
+        + " | ".join(ratio_heads)
+        + " |"
+    )
+    print("|---" * (1 + len(labels) + len(ratio_heads)) + "|")
     for name in names:
-        run(name, SCALES[0][1])  # warmup: codegen compile at 1x
+        run(name, SCALES[0][1])  # warmup: codegen compile at smallest scale
         t = {}
         for label, sf_dir in SCALES:
             t[label] = min(run(name, sf_dir), run(name, sf_dir))
-        print(
-            f"| {name} | {t['1x']:.2f} | {t['10x']:.2f} | {t['100x']:.2f} "
-            f"| {t['10x'] / t['1x']:.1f} | {t['100x'] / t['10x']:.1f} |",
-            flush=True,
+        vals = " | ".join(f"{t[x]:.2f}" for x in labels)
+        ratios = " | ".join(
+            f"{t[labels[i]] / t[labels[i - 1]]:.1f}" for i in range(1, len(labels))
         )
+        print(f"| {name} | {vals} | {ratios} |", flush=True)
 
 
 if __name__ == "__main__":
