@@ -282,13 +282,16 @@ def load_staging_songs(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def songplays(spark: SparkSession) -> DataFrame:
+def songplays(
+    spark: SparkSession, se: DataFrame | None = None, ss: DataFrame | None = None
+) -> DataFrame:
     """songplay_table_insert (sql_queries.py:118-131): 3-key join on
     (song=title, artist=artist_name, length=duration) + NextSong filter.
     Surrogate key deliberately excluded here (oracle-checked query);
-    run_pipeline adds it at write time."""
-    se = load_staging_events(spark)
-    ss = load_staging_songs(spark)
+    run_pipeline adds it at write time and passes cached staging frames
+    (the COPY-once analog — the reference loads staging exactly once)."""
+    se = load_staging_events(spark) if se is None else se
+    ss = load_staging_songs(spark) if ss is None else ss
     return (
         se.join(
             ss,
@@ -311,10 +314,10 @@ def songplays(spark: SparkSession) -> DataFrame:
     )
 
 
-def users(spark: SparkSession) -> DataFrame:
+def users(spark: SparkSession, se: DataFrame | None = None) -> DataFrame:
     """user_table_insert (sql_queries.py:133-136): straight projection,
     duplicates kept (PK unenforced in Redshift — faithful)."""
-    se = load_staging_events(spark)
+    se = load_staging_events(spark) if se is None else se
     return se.select(
         F.col("user_id"),
         F.col("first_name"),
@@ -324,9 +327,9 @@ def users(spark: SparkSession) -> DataFrame:
     )
 
 
-def songs_dim(spark: SparkSession) -> DataFrame:
+def songs_dim(spark: SparkSession, ss: DataFrame | None = None) -> DataFrame:
     """song_table_insert (sql_queries.py:138-143): year 0 → NULL."""
-    ss = load_staging_songs(spark)
+    ss = load_staging_songs(spark) if ss is None else ss
     return ss.select(
         "song_id",
         "title",
@@ -336,11 +339,13 @@ def songs_dim(spark: SparkSession) -> DataFrame:
     )
 
 
-def artists_dim(spark: SparkSession) -> DataFrame:
+def artists_dim(
+    spark: SparkSession, se: DataFrame | None = None, ss: DataFrame | None = None
+) -> DataFrame:
     """artist_table_insert (sql_queries.py:145-155): 2-key join
     (title + artist_name, no duration), duplicates kept."""
-    se = load_staging_events(spark)
-    ss = load_staging_songs(spark)
+    se = load_staging_events(spark) if se is None else se
+    ss = load_staging_songs(spark) if ss is None else ss
     return (
         se.join(ss, (se.song == ss.title) & (se.artist == ss.artist_name), "inner")
         .filter(F.col("page") == "NextSong")
@@ -354,10 +359,10 @@ def artists_dim(spark: SparkSession) -> DataFrame:
     )
 
 
-def time_dim(spark: SparkSession) -> DataFrame:
+def time_dim(spark: SparkSession, se: DataFrame | None = None) -> DataFrame:
     """time_table_insert (sql_queries.py:157-173): DISTINCT ts +
     6 dateparts with the dow shim."""
-    se = load_staging_events(spark)
+    se = load_staging_events(spark) if se is None else se
     ts = se.filter(F.col("page") == "NextSong").select("ts").distinct()
     return ts.select(
         F.col("ts").alias("start_time"),
@@ -370,26 +375,59 @@ def time_dim(spark: SparkSession) -> DataFrame:
     )
 
 
-def run_pipeline(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
+def run_pipeline(
+    spark: SparkSession,
+    warehouse_dir: str,
+    timings: dict[str, float] | None = None,
+) -> dict[str, int]:
     """A3/A5/A17 — full orchestration: staging loads, five transforms,
     star-schema parquet warehouse. Mirrors etl.py's per-statement
     commit (each table write is an independent action) but raises on
     failure instead of swallowing (SURVEY §3 improvement note).
-    Returns per-table row counts."""
+    Returns per-table row counts; pass `timings` to collect per-stage
+    wall seconds the way the reference's etl.py logs per-statement
+    (/root/reference/etl.py:22-47) — staging loads are timed as their
+    own stages (the COPY analog), each star-table stage covers
+    transform + write + count-back."""
+    import time as _time
+
+    def _staged(name: str, fn):
+        t0 = _time.perf_counter()
+        out = fn()
+        if timings is not None:
+            timings[name] = _time.perf_counter() - t0
+        return out
+
+    # COPY analog: load + materialize each staging frame exactly once
+    # (localCheckpoint = the staging TABLE the reference's COPY builds;
+    # without it every transform re-reads and re-parses the JSON)
+    se = _staged(
+        "copy_staging_events",
+        lambda: load_staging_events(spark).localCheckpoint(eager=True),
+    )
+    ss = _staged(
+        "copy_staging_songs",
+        lambda: load_staging_songs(spark).localCheckpoint(eager=True),
+    )
+
     tables: dict[str, DataFrame] = {
-        "songplays": songplays(spark).withColumn(
+        "songplays": songplays(spark, se, ss).withColumn(
             "songplay_id", F.monotonically_increasing_id()
         ),
-        "users": users(spark),
-        "songs": songs_dim(spark),
-        "artists": artists_dim(spark),
-        "time": time_dim(spark),
+        "users": users(spark, se),
+        "songs": songs_dim(spark, ss),
+        "artists": artists_dim(spark, se, ss),
+        "time": time_dim(spark, se),
     }
     counts = {}
     for name, df in tables.items():  # insert order: sql_queries.py:196-202
         path = os.path.join(warehouse_dir, name)
-        df.write.mode("overwrite").parquet(path)
-        counts[name] = spark.read.parquet(path).count()
+
+        def _stage(df=df, path=path, name=name):
+            df.write.mode("overwrite").parquet(path)
+            counts[name] = spark.read.parquet(path).count()
+
+        _staged(f"insert_{name}", _stage)
     return counts
 
 
