@@ -434,6 +434,10 @@ def test_lsh_verified_degree_cap_binds_and_keeps_clusters_connected(spark):
     # votes, so |edges| <= cap*n (per-NODE degree may exceed the cap
     # for popular docs — that asymmetry is what keeps hubs connected)
     assert pairs and len(pairs) <= 4 * 12, len(pairs)
+    # CI floor on pair-level recall under a BINDING cap: either-endpoint
+    # voting keeps >= cap*n/2 of a clique's edges (measured 38/66);
+    # a regression to AND-voting would read 14/66 and trip this
+    assert len(pairs) / 66 >= 0.5, len(pairs)
     # connectivity: union-find over surviving verified pairs
     parent = {i: i for i in range(12)}
 
