@@ -141,6 +141,7 @@ HEADLINE = [
     "q_session_window_batch",        # engine-native session aggregation
     "q_dedup_incremental",           # batch-vs-index fingerprint anti-join
     "q_text_readability",            # map-only Flesch / FK grade
+    "q_text_substring_dedup",        # cross-doc exact-span coverage (Lee et al.)
 ]
 
 

@@ -494,3 +494,113 @@ def corpus_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document exact-substring dedup (round 6) — the span-level
+# dedup from the public "Deduplicating Training Data Makes Language
+# Models Better" recipe (Lee et al. 2021): whole-doc dedup misses the
+# boilerplate/license/quote spans that repeat ACROSS otherwise-unique
+# documents, and those repeated spans are what a trained model
+# memorizes. Per document: how many of its tokens are covered by any
+# _SPAN_N-token window that also occurs verbatim in a DIFFERENT
+# document.
+#
+# Spark shape (100 TB posture): windows are built with posexplode +
+# N-1 window leads (codegen, the decontamination pattern — no
+# interpreted HOF slices); each window becomes ONE 8-byte xxhash64
+# key, so the cross-doc self-semi-join shuffles (hash, doc_id, start)
+# triples — text never shuffles. Coverage is an explode of the ≤ N
+# positions of surviving windows + a distinct — bounded at N× the
+# repeated-window count, never N× the corpus. The oracle replays the
+# same windows as exact strings (DuckDB has no xxhash64; a 64-bit
+# collision would need ~2^32 distinct spans in one fixture to matter).
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # tokens per span (Lee et al. use 50 BPE tokens; the
+# fixture docs are ~10-60 WORDS, so 8 words keeps the same "long
+# verbatim span" semantics at fixture scale)
+
+_ORACLE_SUBSTRING_DEDUP = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
+    FROM documents
+),
+w AS (
+    SELECT doc_id, i AS start,
+           array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
+    FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
+),
+rep AS (
+    SELECT a.doc_id, a.start
+    FROM w a
+    WHERE EXISTS (SELECT 1 FROM w b
+                  WHERE b.gram = a.gram AND b.doc_id <> a.doc_id)
+),
+cov AS (
+    SELECT DISTINCT doc_id, start + o AS pos
+    FROM rep, UNNEST(generate_series(0, {_SPAN_N - 1})) AS v(o)
+),
+n AS (SELECT doc_id, len(t) AS n_tokens FROM toks)
+SELECT n.doc_id,
+       CAST(n.n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+       ROUND(COUNT(*) * 1.0 / n.n_tokens, 6) AS dup_fraction
+FROM cov JOIN n ON n.doc_id = cov.doc_id
+GROUP BY n.doc_id, n.n_tokens
+ORDER BY n.doc_id
+"""
+
+
+@query("q_text_substring_dedup", oracle=_ORACLE_SUBSTRING_DEDUP)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), _TOKEN_SPLIT).alias("t")
+    )
+    n_tokens = toks.select("doc_id", F.size("t").alias("n_tokens"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    exploded = toks.select("doc_id", F.posexplode("t").alias("pos", "w0"))
+    for i in range(1, _SPAN_N):
+        exploded = exploded.withColumn(f"w{i}", F.lead("w0", i).over(w))
+    grams = exploded.filter(F.col(f"w{_SPAN_N - 1}").isNotNull()).select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        F.xxhash64(F.concat_ws(" ", *[f"w{i}" for i in range(_SPAN_N)])).alias(
+            "h"
+        ),
+    )
+    # windows that occur verbatim in a DIFFERENT document: semi join
+    # against the distinct (hash, doc) set with a doc-inequality
+    # residual — (doc_id, start) rows survive, so coverage stays exact
+    other = grams.select(
+        F.col("h").alias("oh"), F.col("doc_id").alias("odoc")
+    ).distinct()
+    rep = grams.join(
+        other,
+        (F.col("h") == F.col("oh")) & (F.col("doc_id") != F.col("odoc")),
+        "left_semi",
+    )
+    cov = (
+        rep.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (_SPAN_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("dup_tokens"))
+    )
+    return (
+        cov.join(n_tokens, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "dup_tokens",
+            F.round(F.col("dup_tokens") / F.col("n_tokens"), 6).alias(
+                "dup_fraction"
+            ),
+        )
+        .orderBy("doc_id")
+    )

@@ -221,6 +221,8 @@ _EMPTY_GATE_QUERIES = [
     "q_ml_inference_sql",
     "q_gdpr_erasure",
     "q_dp_noisy_counts",
+    # round-6 additions (audited empty+one-row at registration)
+    "q_text_substring_dedup",
 ]
 
 
@@ -374,6 +376,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_dedup_lsh_verified_stages",
         "q_text_bpe_train_distributed",
         "q_join_skew_aqe",
+        # round-6 additions
+        "q_text_substring_dedup",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

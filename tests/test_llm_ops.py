@@ -474,3 +474,28 @@ def test_lsh_verified_degree_cap_inert_at_fixture_scale(spark, sf_dir):
     got = obs.get
     assert got["edges_degree_dropped"] == 0, got
     assert _MAX_DEGREE == 64
+
+
+def test_substring_dedup_flags_planted_spans(spark, tmp_path):
+    """Two docs share a verbatim 10-token span (>= the 8-token window);
+    a third is unique. Expected coverage is exact: the shared span
+    yields 3 windows per doc covering 10 positions each; the unique
+    doc must not appear."""
+    from sparkifydb_datawarehouse_spark.llm.corpus import text_substring_dedup
+
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "alpha beta " + span + " gamma delta"),
+        (2, "one two three " + span),
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in text_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1] == (14, 10, round(10 / 14, 6))
+    assert got[2] == (13, 10, round(10 / 13, 6))
