@@ -250,8 +250,11 @@ def kmeans_fit_assign(
     dim: int,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
+    keep_embedding: bool = False,
 ) -> DataFrame:
-    """Lloyd's algorithm; returns (vec_id, cluster) after `iters` rounds."""
+    """Lloyd's algorithm; returns (vec_id, cluster) after `iters`
+    rounds — plus the embedding column when `keep_embedding` (avoids a
+    join for consumers that aggregate over the assigned vectors)."""
     init = (
         points.orderBy("vec_id")
         .limit(k)
@@ -265,8 +268,11 @@ def kmeans_fit_assign(
         # empty input slice: no centroids to fit — return the empty
         # assignment with the contract schema instead of letting the
         # numpy kernel see a 0-d model
+        cols = (
+            ["vec_id", "embedding"] if keep_embedding else ["vec_id"]
+        )
         return points.select(
-            "vec_id", F.lit(None).cast("int").alias("cluster")
+            *cols, F.lit(None).cast("int").alias("cluster")
         ).limit(0)
     assigned = _assign(points, cents, dim)
     for _ in range(iters):
@@ -285,6 +291,8 @@ def kmeans_fit_assign(
             for c in range(k)
         ]
         assigned = _assign(points, cents, dim)
+    if keep_embedding:
+        return assigned.select("vec_id", "embedding", "cluster")
     return assigned.select("vec_id", "cluster")
 
 
@@ -321,50 +329,49 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import EMBED_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned = kmeans_fit_assign(emb, dim=EMBED_DIM)
-    joined = emb.select("vec_id", "embedding").join(assigned, "vec_id")
-    # within-cluster SS via per-(cluster, dim) moments; total SS is the
-    # k=1 degenerate of the same formula — one codegen agg pass each,
-    # shuffles carry (cluster, dim) partials only
-    per_dim = joined.select(
-        "cluster", F.posexplode("embedding").alias("pos", "v")
+    assigned = kmeans_fit_assign(emb, dim=EMBED_DIM, keep_embedding=True)
+    # ONE explode + (cluster, dim) moments pass feeds everything:
+    # within-cluster SS per cell = s2 − s1²/n; the per-dim TOTAL SS
+    # folds the same k×d partials (S2 − S1²/N over clusters) — no
+    # second pass over the exploded data, no join back to embeddings
+    per = (
+        assigned.select("cluster", F.posexplode("embedding").alias("pos", "v"))
+        .groupBy("cluster", "pos")
+        .agg(
+            F.count("v").cast("double").alias("n"),
+            F.sum("v").alias("s1"),
+            F.sum(F.col("v") * F.col("v")).alias("s2"),
+        )
+        .localCheckpoint(eager=True)  # k×d rows; 2 consumers below
     )
-    within = (
-        per_dim.groupBy("cluster", "pos")
-        .agg(
-            (
-                F.sum(F.col("v") * F.col("v"))
-                - F.count("v") * F.pow(F.avg("v"), 2)
-            ).alias("ss")
-        )
-        .agg(
-            F.sum("ss").alias("within_ss"),
-            F.countDistinct("cluster").alias("n_clusters"),
-        )
+    within = per.agg(
+        F.sum(F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")).alias(
+            "within_ss"
+        ),
+        F.countDistinct("cluster").alias("n_clusters"),
     )
     total = (
-        per_dim.groupBy("pos")
+        per.groupBy("pos")
         .agg(
             (
-                F.sum(F.col("v") * F.col("v"))
-                - F.count("v") * F.pow(F.avg("v"), 2)
-            ).alias("ss")
+                F.sum("s2")
+                - F.pow(F.sum("s1"), 2) / F.sum("n")
+            ).alias("ss"),
+            F.sum("n").alias("n_pts"),
         )
-        .agg(F.sum("ss").alias("total_ss_raw"), F.sum(F.lit(0)).alias("_z"))
+        .agg(
+            F.sum("ss").alias("total_ss_raw"),
+            F.max("n_pts").cast("long").alias("n_points"),
+        )
     )
-    n_points = joined.agg(F.count(F.lit(1)).alias("n_points"))
-    return (
-        n_points.crossJoin(within)
-        .crossJoin(total)
-        .select(
-            F.col("n_points").cast("long").alias("n_points"),
-            F.lit(KMEANS_K).cast("int").alias("k"),
-            F.round("total_ss_raw", 2).alias("total_ss"),
-            (F.col("n_clusters") > 1).cast("int").alias("multiple_clusters_used"),
-            (F.col("within_ss") < F.col("total_ss_raw"))
-            .cast("int")
-            .alias("within_ss_below_total"),
-        )
+    return within.crossJoin(total).select(
+        "n_points",
+        F.lit(KMEANS_K).cast("int").alias("k"),
+        F.round("total_ss_raw", 2).alias("total_ss"),
+        (F.col("n_clusters") > 1).cast("int").alias("multiple_clusters_used"),
+        (F.col("within_ss") < F.col("total_ss_raw"))
+        .cast("int")
+        .alias("within_ss_below_total"),
     )
 
 

@@ -88,7 +88,12 @@ EXCHANGE_BUDGETS = {
     "q_join_left": 1,  # -1 r4: dropped cosmetic trailing sort
     "q_join_range": 2,
     "q_keyset_pagination": 0,
-    "q_kmeans_embeddings": 1,
+    # 1 -> 5 in round 6: the query's OUTPUT changed from the raw
+    # (vec_id, cluster) assignment (1 exchange: the sort) to the
+    # contract-oracle row (VERDICT r5 #6) — a (cluster, dim) moments
+    # agg feeding within-SS and total-SS folds + a scalar cross join.
+    # The fit itself executes at build time and is not in this plan.
+    "q_kmeans_embeddings": 5,
     "q_masked_view": 1,
     "q_merge_upsert": 3,
     "q_pattern_sequence": 2,
