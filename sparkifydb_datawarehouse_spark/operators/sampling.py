@@ -518,3 +518,56 @@ def sample_domain_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Group-aware leakage-safe split (round 6): q_train_test_split hashes
+# ROW ids, so near-duplicate documents from the same source can (and
+# do) straddle the train/eval boundary — the classic leakage bug the
+# public dedup literature warns about (Lee et al. 2021 §6: train/test
+# overlap inflates eval). The group split assigns each SOURCE wholly
+# to one side by hashing the GROUP key; any within-source duplication
+# then can't leak. Scale shape: pure map-side expression on a scan —
+# no shuffle for the assignment itself (the summary agg is the only
+# exchange), and adding corpus does not move existing groups
+# (hash-deterministic, the q_train_test_split discipline).
+# ---------------------------------------------------------------------------
+
+_GROUP_TEST_BUCKETS = 200  # 20% of sources to the eval side
+
+_ORACLE_GROUP_SPLIT = f"""
+WITH assigned AS (
+    SELECT source,
+           CASE WHEN {_duck_bucket("source")} < {_GROUP_TEST_BUCKETS}
+                THEN 'test' ELSE 'train' END AS split,
+           doc_id
+    FROM documents
+)
+SELECT split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_groups,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("q_sample_group_split", oracle=_ORACLE_GROUP_SPLIT)
+def sample_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        hash_bucket(F.col("source")) < _GROUP_TEST_BUCKETS, F.lit("test")
+    ).otherwise(F.lit("train"))
+    return (
+        docs.select("doc_id", "source", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("source").cast("long").alias("n_groups"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+        .orderBy("split")
+    )

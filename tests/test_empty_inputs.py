@@ -223,6 +223,7 @@ _EMPTY_GATE_QUERIES = [
     "q_dp_noisy_counts",
     # round-6 additions (audited empty+one-row at registration)
     "q_text_substring_dedup",
+    "q_sample_group_split",
 ]
 
 
@@ -378,6 +379,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_join_skew_aqe",
         # round-6 additions
         "q_text_substring_dedup",
+        "q_sample_group_split",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -20,6 +20,13 @@ registry.load_all_modules()
 
 EXCHANGE_BUDGETS = {
     "q_activity_heatmap": 3,
+    # r6: two-tier LSH dedup gains the per-doc degree cap (VERDICT r5
+    # #3) — a directed-edge window + undirected fold, +2 exchanges by
+    # design; bounds the verify tier at cap*n edges
+    "q_dedup_lsh_verified": 9,
+    # r6: cross-doc exact-span coverage — doc-id window (leads), the
+    # cross-doc hash semi-join, coverage distinct + per-doc agg
+    "q_text_substring_dedup": 5,
     "q_agg_groupby": 2,
     "q_fulfillment_latency": 5,  # +1 r4: histogram agg replaces fact-scale per-priority sort
     "q_agg_robust_stats_approx": 4,

@@ -125,3 +125,42 @@ def test_shuffle_is_stable_and_decorrelated(spark, sf_dir):
     b = [r["doc_id"] for r in registry.QUERIES["q_shuffle_deterministic"](spark, sf_dir).collect()]
     assert a == b, "same order on every run"
     assert a != sorted(a), "order decorrelated from doc_id"
+
+
+def test_group_split_never_leaks_a_source(spark):
+    """q_sample_group_split: every source lands WHOLLY on one side
+    (the leakage guard), and adding new docs to a source never moves
+    the group (hash-deterministic assignment)."""
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.operators.sampling import (
+        _GROUP_TEST_BUCKETS,
+        hash_bucket,
+    )
+
+    from tests.conftest import SF_ORACLE
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    split = F.when(
+        hash_bucket(F.col("source")) < _GROUP_TEST_BUCKETS, F.lit("test")
+    ).otherwise(F.lit("train"))
+    per_source = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").alias("worst"))
+        .collect()
+    )
+    assert per_source[0]["worst"] == 1, "a source straddles train/test"
+    # growth-invariance: the split of a source is a pure function of
+    # its name — recompute on a doubled frame, assignment identical
+    a = {
+        r["source"]: r["split"]
+        for r in docs.select("source", split.alias("split")).distinct().collect()
+    }
+    doubled = docs.unionByName(docs)
+    b = {
+        r["source"]: r["split"]
+        for r in doubled.select("source", split.alias("split")).distinct().collect()
+    }
+    assert a == b
