@@ -604,3 +604,116 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring SCRUB (round 6) — the transform half of the Lee et
+# al. recipe: q_text_substring_dedup MEASURES cross-doc span
+# duplication; this one REMOVES it, first-occurrence-wins (a span is
+# dropped from every doc except the lowest doc_id containing it — a
+# deterministic rule both engines can replay). Same window plumbing;
+# the reconstruction is a per-doc ordered reassembly of the kept
+# tokens (collect_list of (pos, token) structs + array_sort —
+# deterministic, no string shuffle beyond the per-doc group).
+# ---------------------------------------------------------------------------
+
+_ORACLE_SUBSTRING_SCRUB = f"""
+WITH toks AS (
+    SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
+    FROM documents
+),
+w AS (
+    SELECT doc_id, i AS start,
+           array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
+    FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
+),
+rep AS (
+    SELECT a.doc_id, a.start
+    FROM w a
+    WHERE EXISTS (SELECT 1 FROM w b
+                  WHERE b.gram = a.gram AND b.doc_id < a.doc_id)
+),
+cov AS (
+    SELECT DISTINCT doc_id, start + o AS pos
+    FROM rep, UNNEST(generate_series(0, {_SPAN_N - 1})) AS v(o)
+),
+pos_tok AS (
+    SELECT doc_id, i AS pos, t[i] AS tok
+    FROM toks, UNNEST(generate_series(1, len(t))) AS u(i)
+),
+kept AS (
+    SELECT p.doc_id, p.pos, p.tok
+    FROM pos_tok p
+    ANTI JOIN cov c ON c.doc_id = p.doc_id AND c.pos = p.pos
+)
+SELECT cov_docs.doc_id,
+       CAST(cov_docs.n_removed AS BIGINT) AS n_removed,
+       COALESCE(k.text_clean, '') AS text_clean
+FROM (SELECT doc_id, COUNT(*) AS n_removed FROM cov GROUP BY doc_id)
+     AS cov_docs
+LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+           FROM kept GROUP BY doc_id) AS k
+  ON k.doc_id = cov_docs.doc_id
+ORDER BY cov_docs.doc_id
+"""
+
+
+@query("q_text_substring_scrub", oracle=_ORACLE_SUBSTRING_SCRUB)
+def text_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), _TOKEN_SPLIT).alias("t")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    exploded = toks.select("doc_id", F.posexplode("t").alias("pos", "w0"))
+    leads = exploded
+    for i in range(1, _SPAN_N):
+        leads = leads.withColumn(f"w{i}", F.lead("w0", i).over(w))
+    grams = leads.filter(F.col(f"w{_SPAN_N - 1}").isNotNull()).select(
+        "doc_id",
+        F.col("pos").alias("start"),
+        F.xxhash64(F.concat_ws(" ", *[f"w{i}" for i in range(_SPAN_N)])).alias(
+            "h"
+        ),
+    )
+    # first-occurrence-wins: a window dies iff the same gram exists in
+    # a LOWER doc_id (min-doc per hash, broadcastable fingerprints)
+    first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    rep = grams.join(first, "h").filter(F.col("doc_id") > F.col("first_doc"))
+    cov = (
+        rep.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("start"), F.col("start") + (_SPAN_N - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)  # consumed by count AND anti join
+    )
+    n_removed = cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_removed")
+    )
+    kept = exploded.withColumnRenamed("w0", "tok").join(
+        cov, ["doc_id", "pos"], "left_anti"
+    )
+    rebuilt = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("text_clean")
+        )
+    )
+    return (
+        n_removed.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_removed",
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+        )
+        .orderBy("doc_id")
+    )

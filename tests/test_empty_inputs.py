@@ -224,6 +224,7 @@ _EMPTY_GATE_QUERIES = [
     # round-6 additions (audited empty+one-row at registration)
     "q_text_substring_dedup",
     "q_sample_group_split",
+    "q_text_substring_scrub",
 ]
 
 
@@ -380,6 +381,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         # round-6 additions
         "q_text_substring_dedup",
         "q_sample_group_split",
+        "q_text_substring_scrub",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -499,3 +499,26 @@ def test_substring_dedup_flags_planted_spans(spark, tmp_path):
     assert set(got) == {1, 2}
     assert got[1] == (14, 10, round(10 / 14, 6))
     assert got[2] == (13, 10, round(10 / 13, 6))
+
+
+def test_substring_scrub_first_occurrence_wins(spark, tmp_path):
+    """The lowest doc_id containing a shared span keeps it; every
+    later doc loses exactly the covered tokens, and the rebuilt text
+    preserves the order of surviving tokens."""
+    from sparkifydb_datawarehouse_spark.llm.corpus import text_substring_scrub
+
+    span = " ".join(f"s{i}" for i in range(10))
+    rows = [
+        (1, "alpha beta " + span + " gamma"),
+        (2, "one two three " + span),
+        (3, " ".join(f"u{i}" for i in range(20))),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["doc_id"]: (r["n_removed"], r["text_clean"])
+        for r in text_substring_scrub(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {2}, got  # doc 1 keeps the span; doc 3 untouched
+    assert got[2] == (10, "one two three")

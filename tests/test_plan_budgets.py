@@ -27,6 +27,11 @@ EXCHANGE_BUDGETS = {
     # r6: cross-doc exact-span coverage — doc-id window (leads), the
     # cross-doc hash semi-join, coverage distinct + per-doc agg
     "q_text_substring_dedup": 5,
+    # r6: the scrub transform — min-doc-per-gram agg + join, coverage
+    # anti join, per-doc ordered reassembly
+    "q_text_substring_scrub": 5,
+    # r6: map-side group assignment; summary agg + sort only
+    "q_sample_group_split": 3,
     "q_agg_groupby": 2,
     "q_fulfillment_latency": 5,  # +1 r4: histogram agg replaces fact-scale per-priority sort
     "q_agg_robust_stats_approx": 4,
