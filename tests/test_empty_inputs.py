@@ -306,6 +306,10 @@ def null_sf_dir(spark, tmp_path_factory):
         # round-5 registry-wide null audit finds (2026-08-15)
         "q_hard_negatives",
         "q_markov_attribution",
+        # round-6 additions
+        "q_text_substring_dedup",
+        "q_text_substring_scrub",
+        "q_sample_group_split",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
