@@ -487,3 +487,39 @@ def test_partitioned_copy_rebuilds_when_fixture_regenerated(spark, sf_dir, tmp_p
     half.toPandas().to_parquet(dst)  # plain file, new mtime/size
     n_after = spark.table(_ensure_partitioned_customer(spark, d)).count()
     assert n_after == n_half != n_full
+
+
+def test_substring_dedup_prunes_to_id_and_text(spark, sf_dir):
+    """The span-dedup scans must read only (doc_id, text) of the
+    documents table — a scan dragging lang/source/n_chars along for a
+    2-column operator is wrong at 100 TB."""
+    for qid in ("q_text_substring_dedup", "q_text_substring_scrub"):
+        for schema in read_schemas(registry.QUERIES[qid](spark, sf_dir)):
+            assert schema.count(":") == 2, (qid, schema)
+            assert "doc_id" in schema and "text" in schema, (qid, schema)
+
+
+def test_substring_dedup_shuffles_hashes_not_text(spark, sf_dir):
+    """The cross-doc window join must move 8-byte hashes, never the
+    window strings: no Exchange output row may carry a gram/text
+    string column."""
+    plan = (
+        registry.QUERIES["q_text_substring_dedup"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line and "gram" not in line, line
+
+
+def test_group_split_assignment_is_map_side(spark, sf_dir):
+    """q_sample_group_split: the only exchanges are the summary agg
+    and the final sort — the split assignment itself must not shuffle
+    (at 100 TB it runs inside the scan stage)."""
+    df = registry.QUERIES["q_sample_group_split"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 3, plan[:800]
+    schemas = read_schemas(df)
+    assert all(s.count(":") == 2 for s in schemas), schemas
