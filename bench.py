@@ -142,6 +142,8 @@ HEADLINE = [
     "q_dedup_incremental",           # batch-vs-index fingerprint anti-join
     "q_text_readability",            # map-only Flesch / FK grade
     "q_text_substring_dedup",        # cross-doc exact-span coverage (Lee et al.)
+    "q_text_substring_scrub",        # first-occurrence-wins span removal
+    "q_sample_group_split",          # leakage-safe group-hash split
 ]
 
 
