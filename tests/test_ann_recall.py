@@ -199,3 +199,17 @@ def test_markov_attribution_invariants(spark):
     assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-4
     again = registry.QUERIES["q_markov_attribution"](spark, SF_ORACLE).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+
+
+def test_semantic_dedup_recall_and_determinism(spark):
+    """q_dedup_semantic: the realized multi-probe recall flag must be
+    1 on the fixture (measured 0.961 at sf0.01 vs the 0.85 floor),
+    anchors positive, and the whole row reproducible."""
+    rows = registry.QUERIES["q_dedup_semantic"](spark, SF_ORACLE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_anchor_true"] > 0
+    assert r["nprobe"] == 3
+    assert r["recall_ge_floor"] == 1
+    again = registry.QUERIES["q_dedup_semantic"](spark, SF_ORACLE).collect()
+    assert [tuple(x) for x in again] == [tuple(x) for x in rows]

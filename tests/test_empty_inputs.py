@@ -225,6 +225,7 @@ _EMPTY_GATE_QUERIES = [
     "q_text_substring_dedup",
     "q_sample_group_split",
     "q_text_substring_scrub",
+    "q_dedup_semantic",
 ]
 
 
@@ -386,6 +387,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_text_substring_dedup",
         "q_sample_group_split",
         "q_text_substring_scrub",
+        "q_dedup_semantic",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

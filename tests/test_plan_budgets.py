@@ -32,6 +32,9 @@ EXCHANGE_BUDGETS = {
     "q_text_substring_scrub": 5,
     # r6: map-side group assignment; summary agg + sort only
     "q_sample_group_split": 3,
+    # r6: SemDeDup recall contract — anchor self-join (broadcast) +
+    # final scalar agg; the kmeans fit runs at build time
+    "q_dedup_semantic": 2,
     "q_agg_groupby": 2,
     "q_fulfillment_latency": 5,  # +1 r4: histogram agg replaces fact-scale per-priority sort
     "q_agg_robust_stats_approx": 4,
