@@ -564,7 +564,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "n_anchor_true long, nprobe int, recall_ge_floor int"
     cents = kmeans_fit(emb, EMBED_DIM)
     if not cents:
-        return spark.createDataFrame([(0, _SEM_NPROBE, None)], schema)
+        # empty corpus: zero true pairs means zero recall to lose —
+        # trivially within contract, matching the oracle's (0, 3, 1)
+        return spark.createDataFrame([(0, _SEM_NPROBE, 1)], schema)
     anch = kmeans_multiprobe_cells(
         emb.filter(F.col("vec_id") < _SEM_ANCHORS), cents, _SEM_NPROBE
     ).select(
@@ -580,6 +582,13 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.size(F.array_intersect(F.col("a.cells"), F.col("b.cells")))
                 > 0
             ).alias("co_cell"),
+            # MEASURED choice (round-6 review follow-up): HOF fold
+            # 4.8 s vs unrolled dim=64 form 13.9 s for this query —
+            # at a bounded 125k-pair fan-out the unrolled tree's
+            # driver-side analysis + codegen dominates (the r2 kmeans
+            # finding), while the fold's ~µs/row interpretation is
+            # amortized. The unrolled form wins only on multi-million
+            # pair join conditions (see cosine() docstring).
             cosine(F.col("a.emb"), F.col("b.emb")).alias("cos"),
         )
         .filter(F.col("cos") >= _SEM_T)
@@ -587,12 +596,16 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return true_pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n_anchor_true"),
         F.lit(_SEM_NPROBE).cast("int").alias("nprobe"),
-        (
-            F.try_divide(
-                F.sum(F.col("co_cell").cast("long")), F.count(F.lit(1))
-            )
-            >= F.lit(_SEM_RECALL_FLOOR)
-        )
-        .cast("int")
-        .alias("recall_ge_floor"),
+        # coalesce: with ZERO true pairs the sum is NULL and the flag
+        # would read NULL while the oracle asserts 1 — no pairs means
+        # no recall to lose, so the contract is trivially met
+        F.coalesce(
+            (
+                F.try_divide(
+                    F.sum(F.col("co_cell").cast("long")), F.count(F.lit(1))
+                )
+                >= F.lit(_SEM_RECALL_FLOOR)
+            ).cast("int"),
+            F.lit(1),
+        ).alias("recall_ge_floor"),
     )

@@ -521,8 +521,10 @@ _SPAN_N = 8  # tokens per span (Lee et al. use 50 BPE tokens; the
 # fixture docs are ~10-60 WORDS, so 8 words keeps the same "long
 # verbatim span" semantics at fixture scale)
 
-_ORACLE_SUBSTRING_DEDUP = f"""
-WITH toks AS (
+# Shared CTE prefix for both span queries — ONE definition of the
+# tokenization + window construction, so the measure and scrub oracles
+# cannot drift apart.
+_SPAN_SQL_PREFIX = f"""toks AS (
     SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
     FROM documents
 ),
@@ -530,7 +532,10 @@ w AS (
     SELECT doc_id, i AS start,
            array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
     FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
-),
+)"""
+
+_ORACLE_SUBSTRING_DEDUP = f"""
+WITH {_SPAN_SQL_PREFIX},
 rep AS (
     SELECT a.doc_id, a.start
     FROM w a
@@ -552,24 +557,44 @@ ORDER BY n.doc_id
 """
 
 
-@query("q_text_substring_dedup", oracle=_ORACLE_SUBSTRING_DEDUP)
-def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+def _span_windows(docs: DataFrame):
+    """Shared Spark-side window plumbing for the two span queries:
+    returns (toks, exploded, grams) where toks = (doc_id, t array),
+    exploded = (doc_id, pos, tok) and grams = (doc_id, start, h) — one
+    64-bit xxhash per _SPAN_N-token window, built with posexplode +
+    N-1 window leads (codegen, no interpreted HOF slices). grams is
+    localCheckpointed: both queries feed it to TWO consumers (the
+    cross-doc join side and the per-doc side), and without the cut the
+    heaviest stage — the token window job — executes twice."""
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), _TOKEN_SPLIT).alias("t")
     )
-    n_tokens = toks.select("doc_id", F.size("t").alias("n_tokens"))
     w = Window.partitionBy("doc_id").orderBy("pos")
-    exploded = toks.select("doc_id", F.posexplode("t").alias("pos", "w0"))
+    exploded = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
+    leads = exploded
     for i in range(1, _SPAN_N):
-        exploded = exploded.withColumn(f"w{i}", F.lead("w0", i).over(w))
-    grams = exploded.filter(F.col(f"w{_SPAN_N - 1}").isNotNull()).select(
-        "doc_id",
-        F.col("pos").alias("start"),
-        F.xxhash64(F.concat_ws(" ", *[f"w{i}" for i in range(_SPAN_N)])).alias(
-            "h"
-        ),
+        leads = leads.withColumn(f"w{i}", F.lead("tok", i).over(w))
+    grams = (
+        leads.filter(F.col(f"w{_SPAN_N - 1}").isNotNull())
+        .select(
+            "doc_id",
+            F.col("pos").alias("start"),
+            F.xxhash64(
+                F.concat_ws(
+                    " ", "tok", *[f"w{i}" for i in range(1, _SPAN_N)]
+                )
+            ).alias("h"),
+        )
+        .localCheckpoint(eager=True)
     )
+    return toks, exploded, grams
+
+
+@query("q_text_substring_dedup", oracle=_ORACLE_SUBSTRING_DEDUP)
+def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks, _, grams = _span_windows(docs)
+    n_tokens = toks.select("doc_id", F.size("t").alias("n_tokens"))
     # windows that occur verbatim in a DIFFERENT document: semi join
     # against the distinct (hash, doc) set with a doc-inequality
     # residual — (doc_id, start) rows survive, so coverage stays exact
@@ -618,15 +643,7 @@ def text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _ORACLE_SUBSTRING_SCRUB = f"""
-WITH toks AS (
-    SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
-    FROM documents
-),
-w AS (
-    SELECT doc_id, i AS start,
-           array_to_string(t[i:i+{_SPAN_N - 1}], ' ') AS gram
-    FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_N - 1})) AS u(i)
-),
+WITH {_SPAN_SQL_PREFIX},
 rep AS (
     SELECT a.doc_id, a.start
     FROM w a
@@ -661,21 +678,7 @@ ORDER BY cov_docs.doc_id
 @query("q_text_substring_scrub", oracle=_ORACLE_SUBSTRING_SCRUB)
 def text_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.split(F.lower("text"), _TOKEN_SPLIT).alias("t")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    exploded = toks.select("doc_id", F.posexplode("t").alias("pos", "w0"))
-    leads = exploded
-    for i in range(1, _SPAN_N):
-        leads = leads.withColumn(f"w{i}", F.lead("w0", i).over(w))
-    grams = leads.filter(F.col(f"w{_SPAN_N - 1}").isNotNull()).select(
-        "doc_id",
-        F.col("pos").alias("start"),
-        F.xxhash64(F.concat_ws(" ", *[f"w{i}" for i in range(_SPAN_N)])).alias(
-            "h"
-        ),
-    )
+    _, exploded, grams = _span_windows(docs)
     # first-occurrence-wins: a window dies iff the same gram exists in
     # a LOWER doc_id (min-doc per hash, broadcastable fingerprints)
     first = grams.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
@@ -693,9 +696,7 @@ def text_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_removed = cov.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_removed")
     )
-    kept = exploded.withColumnRenamed("w0", "tok").join(
-        cov, ["doc_id", "pos"], "left_anti"
-    )
+    kept = exploded.join(cov, ["doc_id", "pos"], "left_anti")
     rebuilt = (
         kept.groupBy("doc_id")
         .agg(

@@ -101,9 +101,13 @@ ORDER BY return_flag
 
 @query("q_agg_approx_percentiles", oracle=_ORACLE_APPROX_PERCENTILES)
 def agg_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The unbounded-cardinality scale path: approx_percentile streams
-    a sketch instead of buffering group values. Oracled via the
-    contract pattern — exact anchors + within-tolerance flags."""
+    """The unbounded-cardinality scale path for the ESTIMATE:
+    approx_percentile streams a sketch instead of buffering group
+    values. Since the r6 contract-oracle conversion this query ALSO
+    computes exact F.percentile anchors (which do buffer each group) —
+    that is the price of oracling the accuracy claim and is fine at
+    fixture scale; at 100 TB the production call is approx_percentile
+    alone, with this query serving as its accuracy audit on samples."""
     li = load_table(spark, sf_dir, "lineitem").withColumn(
         "price_d", F.col("l_extendedprice").cast("double")
     )

@@ -400,7 +400,10 @@ def run_pipeline(
 
     # COPY analog: load + materialize each staging frame exactly once
     # (localCheckpoint = the staging TABLE the reference's COPY builds;
-    # without it every transform re-reads and re-parses the JSON)
+    # without it every transform re-reads and re-parses the JSON).
+    # The checkpointed blocks stay pinned for the session — bounded at
+    # two <=300-row frames here, and the CLI/etl_baseline entry points
+    # exit right after; registry queries never call run_pipeline.
     se = _staged(
         "copy_staging_events",
         lambda: load_staging_events(spark).localCheckpoint(eager=True),

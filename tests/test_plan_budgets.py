@@ -25,8 +25,12 @@ EXCHANGE_BUDGETS = {
     # design; bounds the verify tier at cap*n edges
     "q_dedup_lsh_verified": 9,
     # r6: cross-doc exact-span coverage — doc-id window (leads), the
-    # cross-doc hash semi-join, coverage distinct + per-doc agg
-    "q_text_substring_dedup": 5,
+    # cross-doc hash semi-join, coverage distinct + per-doc agg.
+    # 5 -> 6 when grams gained its localCheckpoint: the cut stops the
+    # token-window job from EXECUTING twice (one per consumer) at the
+    # cost of one more exchange over 8-byte hash rows — strictly less
+    # total work
+    "q_text_substring_dedup": 6,
     # r6: the scrub transform — min-doc-per-gram agg + join, coverage
     # anti join, per-doc ordered reassembly
     "q_text_substring_scrub": 5,
