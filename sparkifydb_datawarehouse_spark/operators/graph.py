@@ -358,7 +358,44 @@ _KCORE_K = 4
 _KCORE_MAX_ROUNDS = 50  # degree <= 2*KNN_K bounds core depth; 50 >> observed
 
 
-@query("q_graph_kcore")  # rows-only: iterative fixpoint, no SQL oracle
+# Oracled since round 6 (the pagerank recursive-fixpoint pattern):
+# k-core peeling is a SYNCHRONOUS integer fixpoint — each round keeps
+# exactly the edges whose both endpoints have within-set degree ≥ k —
+# so DuckDB can replay it with a recursive CTE whose working table is
+# the round's edge set. One reference to the working table suffices:
+# each edge expands to its two endpoints via lateral UNNEST, a window
+# COUNT per (it, endpoint) yields degrees, and GROUP BY edge HAVING
+# MIN(deg) ≥ k keeps survivors. Past convergence the set reproduces
+# itself each round, so the it = MAX_ROUNDS slice equals Spark's
+# break-at-convergence state (and equals the 50-round state if never
+# converged — both sides peel in lockstep, integers only, no float
+# risk). Verified row-identical at sf0.001 and sf0.01.
+_ORACLE_KCORE = f"""
+WITH RECURSIVE {_EDGE_SQL_CTE},
+peel(it, src, dst) AS (
+    SELECT 0, src, dst FROM edges
+    UNION ALL
+    SELECT it + 1, src, dst FROM (
+        SELECT it, src, dst, MIN(endpoint_deg) AS min_deg
+        FROM (
+            SELECT it, src, dst, e.v AS endpoint,
+                   COUNT(*) OVER (PARTITION BY it, e.v) AS endpoint_deg
+            FROM peel, UNNEST([src, dst]) AS e(v)
+            WHERE it < {_KCORE_MAX_ROUNDS}
+        )
+        GROUP BY it, src, dst
+    )
+    WHERE min_deg >= {_KCORE_K}
+)
+SELECT v AS supp_key, CAST(COUNT(*) AS BIGINT) AS core_degree
+FROM (SELECT src, dst FROM peel WHERE it = {_KCORE_MAX_ROUNDS}),
+     UNNEST([src, dst]) AS e(v)
+GROUP BY v
+ORDER BY supp_key
+"""
+
+
+@query("q_graph_kcore", oracle=_ORACLE_KCORE)
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Members of the 4-core of the supplier co-shipment graph with
     their within-core degree.
