@@ -335,6 +335,7 @@ SELECT (SELECT COUNT(*) FROM e) AS n_points,
            AS total_ss,
        CAST(1 AS INTEGER) AS multiple_clusters_used,
        CAST(1 AS INTEGER) AS within_ss_below_total
+WHERE EXISTS (SELECT 1 FROM e)
 """
 
 
@@ -344,6 +345,16 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import EMBED_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        # Empty-in → empty-out (ADVICE r6): without this gate the two
+        # groupless aggs cross-joined below always yield one all-NULL
+        # row, diverging from both the repo policy and the oracle's
+        # WHERE EXISTS guard.
+        return spark.createDataFrame(
+            [],
+            "n_points long, k int, total_ss double, "
+            "multiple_clusters_used int, within_ss_below_total int",
+        )
     assigned = kmeans_fit_assign(emb, dim=EMBED_DIM, keep_embedding=True)
     # ONE explode + (cluster, dim) moments pass feeds everything:
     # within-cluster SS per cell = s2 − s1²/n; the per-dim TOTAL SS

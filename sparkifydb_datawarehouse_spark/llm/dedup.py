@@ -1365,6 +1365,13 @@ def _lsh_verified_tiers(
         cand_capped = capped.filter(F.col("best_rank") <= max_degree).select(
             "doc_a", "doc_b", "la", "lb"
         )
+        if checkpoint_candidates:
+            # cand_capped feeds two consumers (stage row 4 and the
+            # verify-tier posting join); without a lineage cut the
+            # degree-cap window + undirected fold would execute twice
+            # per run — the same double-execution the pairs_dec
+            # checkpoint prevents (ADVICE r6)
+            cand_capped = cand_capped.localCheckpoint(eager=True)
     else:
         cand_capped = cand_est.select("doc_a", "doc_b", "la", "lb")
 

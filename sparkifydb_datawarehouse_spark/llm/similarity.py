@@ -961,6 +961,7 @@ SELECT c.component,
        CAST(1 AS INTEGER) AS orthogonal_ok
 FROM tv, (SELECT UNNEST([{", ".join(str(i + 1) for i in range(_PCA_K))}])
           AS component) c
+WHERE EXISTS (SELECT 1 FROM e)
 ORDER BY component
 """
 
@@ -996,7 +997,10 @@ def embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i + 1,
                 int(n),
                 round(total_var, 4),
-                int(0.0 < ratios[i] <= 1.0),
+                # zero-variance corpus: no variance to apportion, the
+                # ratio contract is vacuously true (matches the
+                # oracle's hardcoded 1 on degenerate slices; ADVICE r6)
+                int(total_var <= 0.0 or 0.0 < ratios[i] <= 1.0),
                 int(sum(ratios) <= 1.0 + 1e-9),
                 int(i == 0 or lams[i] <= lams[i - 1] + 1e-9),
                 int(abs(float(np.linalg.norm(v)) - 1.0) < 1e-9),

@@ -247,7 +247,11 @@ def join_jaro_winkler(spark: SparkSession, sf_dir: str) -> DataFrame:
         recall-safe by construction."""
         enc = [s.encode("utf-32-le") for s in col]
         lens = np.fromiter((len(e) >> 2 for e in enc), np.int64, count=len(enc))
-        flat = np.frombuffer(b"".join(enc), np.uint32).astype(np.int64) & 127
+        # explicit little-endian dtype to match the utf-32-le encode —
+        # native-endian np.uint32 would byteswap code points on a
+        # big-endian host (recall-safe either way, but the documented
+        # code-point/bin correspondence would silently break; ADVICE r6)
+        flat = np.frombuffer(b"".join(enc), np.dtype("<u4")).astype(np.int64) & 127
         rows = np.repeat(np.arange(len(enc)), lens)
         h = np.bincount(rows * 128 + flat, minlength=len(enc) * 128)
         return h.reshape(len(enc), 128), lens

@@ -84,6 +84,25 @@ def test_kmeans_empty_returns_empty(spark):
     assert out.columns == ["vec_id", "cluster"]
 
 
+def test_kmeans_query_empty_returns_zero_rows(spark, empty_sf_dir):
+    """ADVICE r6: the registered q_kmeans_embeddings contract query on
+    an empty slice must be empty-out (0 rows), not one all-NULL row
+    from the groupless-agg cross join — its oracle now carries the
+    matching WHERE EXISTS guard."""
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    out = registry.QUERIES["q_kmeans_embeddings"](spark, empty_sf_dir)
+    assert out.count() == 0
+    assert out.columns == [
+        "n_points",
+        "k",
+        "total_ss",
+        "multiple_clusters_used",
+        "within_ss_below_total",
+    ]
+
+
 def test_round3_helpers_empty(spark):
     """Round-3 composable helpers on empty inputs: empty out, right
     schema, no crash."""
