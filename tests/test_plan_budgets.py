@@ -102,7 +102,12 @@ EXCHANGE_BUDGETS = {
     "q_graph_pagerank": 1,
     "q_graph_triangles": 22,
     "q_islands_consecutive": 3,
-    "q_join_fuzzy_levenshtein": 2,
+    # 2 -> 10 in round 7: deliberate rework (VERDICT r6 #2) — the single
+    # blocked join that was quadratic in block depth became distinct-name
+    # groupBy + deletion-neighborhood self-join + distinct + expansion;
+    # every new exchange carries the distinct-NAME domain or the output,
+    # never the raw pair cross-product (73.6 s -> sub-quadratic at part×10)
+    "q_join_fuzzy_levenshtein": 10,
     "q_join_interval_overlap": 2,
     "q_join_left": 1,  # -1 r4: dropped cosmetic trailing sort
     "q_join_range": 2,
@@ -207,7 +212,11 @@ EXCHANGE_BUDGETS = {
     "q_search_rrf_fusion": 3,  # two TakeOrdered candidate lists + 2W-row fuse
     "q_text_cdc_chunks": 3,  # chunk groupBy + per-source agg; chunking is map-only
     "q_agg_kmv_overlap": 11,  # hash-only distincts/sort/agg; was 63 as a 4-way union
-    "q_join_jaro_winkler": 3,  # blocked equi-join; +1 probe-side scan spread so the UDF parallelizes
+    # 3 -> 12 in round 7: deliberate rework (VERDICT r6 #2) — blocked
+    # all-pairs UDF scan became distinct-name prefix-filter self-join +
+    # UDF verify + expansion; exchanges carry name-domain tokens and the
+    # output, never block cross-products (53.7 s -> sub-quadratic at part×10)
+    "q_join_jaro_winkler": 12,
     "q_sample_dsir": 6,  # grams localCheckpointed once (was 8 with a doubled pipeline); B-row aggs + broadcast
     "q_scan_xml": 1,  # typed XML roundtrip; sort only
     "q_dedup_incremental": 3,  # batch collapse + fingerprint anti-join; hashes shuffle, text doesn't

@@ -168,3 +168,81 @@ def test_jaro_winkler_histogram_prune_sound_on_multibyte(spark, tmp_path):
     rows = join_jaro_winkler(spark, str(tmp_path)).collect()
     assert [(r["part_a"], r["part_b"]) for r in rows] == [(1, 2)]
     assert rows[0]["jw_sim"] == round(jaro_winkler("abcdefghi€", "abcdefghi한"), 6)
+
+
+def test_levenshtein_deletion_neighborhood_is_sound(spark):
+    """Round-7 rework: the deletion-neighborhood candidate stage must
+    be output-INVISIBLE — the registered query and a filterless
+    per-block brute force must return identical (part_a, part_b,
+    edit_dist) sets (the r4 prefix-filter discipline for any new
+    candidate filter)."""
+    from sparkifydb_datawarehouse_spark.operators.fuzzy import (
+        _MAX_DIST,
+        join_fuzzy_levenshtein,
+    )
+
+    got = {
+        (r["part_a"], r["part_b"], r["edit_dist"])
+        for r in join_fuzzy_levenshtein(spark, SF_SMOKE).collect()
+    }
+    p = (
+        spark.read.parquet(f"{SF_SMOKE}/part.parquet")
+        .select("p_partkey", "p_brand", "p_type", "p_name")
+        .collect()
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    by_block = {}
+    for r in p:
+        by_block.setdefault((r["p_brand"], r["p_type"]), []).append(r)
+    want = set()
+    for rows in by_block.values():
+        for i in range(len(rows)):
+            for j in range(len(rows)):
+                x, y = rows[i], rows[j]
+                if x["p_partkey"] >= y["p_partkey"]:
+                    continue
+                d = lev(x["p_name"], y["p_name"])
+                if d <= _MAX_DIST:
+                    want.add((x["p_partkey"], y["p_partkey"], d))
+    assert got == want
+
+
+def test_deletion_neighborhood_covers_edit_kinds(spark):
+    """ed ≤ 2 pairs of every kind (sub+sub, ins+del at distant
+    positions, ins+ins, del+del, transposition-as-2-subs) must meet in
+    a deletion-neighborhood bucket — the FastSS intersection claim."""
+    from sparkifydb_datawarehouse_spark.operators import fuzzy as FZ
+
+    base = "abcdefghij"
+    variants = [
+        (2, "aXcdefghiY"),   # two substitutions, far apart
+        (3, "bcdefghijk"),   # delete front, insert back
+        (4, "XabcdefghijY"), # two insertions
+        (5, "cdefghij"),     # two deletions
+        (6, "bacdefghij"),   # transposition (= 2 subs)
+    ]
+    rows = [(1, "B", "T", base)] + [
+        (k, "B", "T", v) for k, v in variants
+    ]
+    df = spark.createDataFrame(
+        rows, "p_partkey long, p_brand string, p_type string, p_name string"
+    )
+    names = FZ._distinct_names(df)
+    got = {
+        (r["name_a"], r["name_b"])
+        for r in FZ._lev_name_pairs(names).collect()
+    }
+    for _, v in variants:
+        pair = (min(base, v), max(base, v))
+        assert pair in got, pair
