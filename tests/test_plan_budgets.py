@@ -55,7 +55,12 @@ EXCHANGE_BUDGETS = {
     "q_open_orders_daily": 6,
     "q_benford_digits": 5,
     "q_cusum_changepoint": 5,
-    "q_geo_nearest": 3,
+    # 3 -> 4 in round 7: deliberate rework (VERDICT r6 #3) — +1 tiny
+    # exchange for the per-cell τ window over (cell, supplier) bounds
+    # rows (supplier-linear), which buys the branch-and-bound prune
+    # that cut dim10× from 17.5 s to ~2.5 s; the argmin window-sort
+    # over the full pair stream became a map-side-combined min(struct)
+    "q_geo_nearest": 4,
     "q_greedy_allocation": 3,
     "q_overdue_customers": 4,
     "q_percentile_bands": 2,
