@@ -1166,6 +1166,34 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _degree_ranked(cand_est: DataFrame) -> DataFrame:
+    """Per-doc degree rank for every candidate edge: direct each edge
+    both ways, row_number per source over (agree desc, partner asc) —
+    spill-safe window, no collect_list hub blowup — then fold the two
+    directed rows back to the undirected edge with groupBy, keeping
+    the BEST endpoint rank (either endpoint's vote suffices — the
+    kNN-graph rule, keeps clusters connected). Two exchanges over
+    ≤ 2·|cand_est| rows of 5 longs. ``best_rank ≤ cap`` decides
+    survival for ANY cap, so one ranking pass serves every operating
+    point (q_dedup_lsh_cap_profile exploits this)."""
+    from pyspark.sql.window import Window
+
+    directed = cand_est.withColumn("src", F.col("doc_a")).withColumn(
+        "dst", F.col("doc_b")
+    )
+    directed = directed.unionByName(
+        cand_est.withColumn("src", F.col("doc_b")).withColumn(
+            "dst", F.col("doc_a")
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("agree"), F.asc("dst"))
+    return (
+        directed.withColumn("rn", F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "la", "lb")
+        .agg(F.min("rn").alias("best_rank"))
+    )
+
+
 def _lsh_verified_tiers(
     docs: DataFrame,
     max_bucket: int = _MAX_BUCKET,
@@ -1329,31 +1357,7 @@ def _lsh_verified_tiers(
     )
 
     if max_degree is not None:
-        # Per-doc degree cap: direct each edge both ways, row_number
-        # per source over (agree desc, partner asc) — spill-safe
-        # window, no collect_list hub blowup — then fold the two
-        # directed rows back to the undirected edge with groupBy and
-        # keep it if its BEST endpoint rank is within the cap (either
-        # endpoint's vote suffices — kNN-graph rule, keeps clusters
-        # connected). Two exchanges over ≤ 2·|cand_est| rows of 5
-        # longs; verify input is then ≤ max_degree·n edges — linear
-        # in corpus size.
-        from pyspark.sql.window import Window
-
-        directed = cand_est.withColumn(
-            "src", F.col("doc_a")
-        ).withColumn("dst", F.col("doc_b"))
-        directed = directed.unionByName(
-            cand_est.withColumn("src", F.col("doc_b")).withColumn(
-                "dst", F.col("doc_a")
-            )
-        )
-        w = Window.partitionBy("src").orderBy(F.desc("agree"), F.asc("dst"))
-        capped = (
-            directed.withColumn("rn", F.row_number().over(w))
-            .groupBy("doc_a", "doc_b", "la", "lb")
-            .agg(F.min("rn").alias("best_rank"))
-        )
+        capped = _degree_ranked(cand_est)
         if degree_observation is not None:
             capped = capped.observe(
                 degree_observation,
@@ -1405,17 +1409,21 @@ def _lsh_verified_tiers(
 
 
 @query("q_dedup_lsh_verified", oracle=_ORACLE_PREFIX_FILTER)
-def dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_verified(
+    spark: SparkSession, sf_dir: str, max_degree: int | None = _MAX_DEGREE
+) -> DataFrame:
     """All document pairs with exact shingle-set Jaccard ≥ 1/2,
     candidates from minhash LSH instead of the exact prefix-filter
     index. Same brute-force oracle as q_dedup_prefix_filter — the
     driver re-proves on every run that the LSH tier surfaced every
     qualifying pair (see banding note above). The per-doc degree cap
-    (_MAX_DEGREE) is active and inert at oracle scale — the oracle
-    equality additionally proves, every run, that the cap dropped no
-    qualifying pair on this corpus."""
+    is PLUMBED (VERDICT r6 #4, the similarity_ivf_nprobe pattern):
+    default _MAX_DEGREE, inert at oracle scale — the oracle equality
+    additionally proves, every run, that the default cap dropped no
+    qualifying pair on this corpus; q_dedup_lsh_cap_profile reports
+    realized recall per operating point."""
     _, _, _, _, _, verified = _lsh_verified_tiers(
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents"), max_degree=max_degree
     )
     return verified
 
@@ -1470,6 +1478,74 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(5, "verified", verified))
         .orderBy("stage_ord")
     )
+
+
+# Degree-cap operating points (VERDICT r6 #4): SCALING.md (t) measured
+# cap 8 = 94.5% of pairs at 2.4× less wall at 100× adversarial, but 64
+# was hard-wired. The profile below makes the trade-off selectable and
+# OBSERVABLE: one ranking pass (best_rank decides survival for any
+# cap), one verify pass on the uncapped candidates, then per-cap
+# accounting — candidate edges, verified pairs, realized recall vs the
+# prefix-filter exact ground truth. tests/test_llm_ops.py pins the CI
+# floors (monotone in cap; default cap recall 1.0 on the fixture).
+_CAP_PROFILE: tuple[int, ...] = (4, 8, 16, 32, 64)
+
+
+@query("q_dedup_lsh_cap_profile")  # rows-only: candidate counts are
+# engine-specific (xxhash64 banding); the recall floors are CI-pinned
+def dedup_lsh_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per degree-cap operating point: surviving candidate
+    edges, verified pairs at that cap, exact true-pair count, and
+    realized recall. Verification runs ONCE on the uncapped candidate
+    set — capping only filters candidates, and verify is
+    pair-deterministic, so verified-at-cap ≡ verified ∩ {best_rank ≤
+    cap}; five caps cost one extra join, not five pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    _, _, _, cand_est, _, verified_all = _lsh_verified_tiers(
+        docs, max_degree=None, checkpoint_candidates=True
+    )
+    ranked = _degree_ranked(cand_est).localCheckpoint(eager=True)
+    ver = (
+        verified_all.join(ranked, ["doc_a", "doc_b"], "inner")
+        .select("doc_a", "doc_b", "best_rank")
+        .localCheckpoint(eager=True)
+    )
+    truth = (
+        dedup_prefix_filter(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+
+    def cap_row(cap: int) -> DataFrame:
+        cand_n = ranked.filter(F.col("best_rank") <= cap).agg(
+            F.count(F.lit(1)).alias("candidate_edges")
+        )
+        v = ver.filter(F.col("best_rank") <= cap)
+        v_n = v.agg(F.count(F.lit(1)).alias("verified_pairs"))
+        recalled = truth.join(
+            v.select("doc_a", "doc_b"), ["doc_a", "doc_b"], "left_semi"
+        ).agg(F.count(F.lit(1)).alias("n_true_recalled"))
+        return (
+            cand_n.crossJoin(v_n)
+            .crossJoin(recalled)
+            .crossJoin(n_true)
+            .select(
+                F.lit(cap).alias("max_degree"),
+                "candidate_edges",
+                "verified_pairs",
+                "n_true_recalled",
+                "n_true",
+                F.round(
+                    F.try_divide("n_true_recalled", "n_true"), 6
+                ).alias("realized_recall"),
+            )
+        )
+
+    out = cap_row(_CAP_PROFILE[0])
+    for cap in _CAP_PROFILE[1:]:
+        out = out.unionByName(cap_row(cap))
+    return out.orderBy("max_degree")
 
 
 # ---------------------------------------------------------------------------

@@ -522,3 +522,45 @@ def test_substring_scrub_first_occurrence_wins(spark, tmp_path):
     }
     assert set(got) == {2}, got  # doc 1 keeps the span; doc 3 untouched
     assert got[2] == (10, "one two three")
+
+
+def test_lsh_cap_profile_reports_monotone_recall(spark, tmp_path):
+    """VERDICT r6 #4: the degree cap is a registered operating point.
+    On a 12-doc identical-text clique (per-doc degree 11) the profile
+    must emit one row per cap with candidate edges / verified pairs /
+    realized recall, monotone nondecreasing in cap, binding at cap 4
+    (recall < 1 but >= the 0.5 either-endpoint floor) and exact at the
+    default cap 64."""
+    from sparkifydb_datawarehouse_spark.llm.dedup import (
+        _CAP_PROFILE,
+        dedup_lsh_cap_profile,
+    )
+
+    text = " ".join(f"w{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(12)], "doc_id long, text string"
+    )
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    rows = dedup_lsh_cap_profile(spark, str(tmp_path)).collect()
+    assert [r["max_degree"] for r in rows] == list(_CAP_PROFILE)
+    recalls = [r["realized_recall"] for r in rows]
+    edges = [r["candidate_edges"] for r in rows]
+    assert all(r["n_true"] == 66 for r in rows)
+    assert recalls == sorted(recalls), "recall must be monotone in cap"
+    assert edges == sorted(edges), "candidate edges must be monotone in cap"
+    assert 0.5 <= recalls[0] < 1.0, recalls  # cap 4 binds on an 11-degree clique
+    assert recalls[-1] == 1.0, recalls  # default cap exact
+    # verified-at-cap ≡ verified ∩ {best_rank <= cap}: counts agree
+    for r in rows:
+        assert r["verified_pairs"] == r["n_true_recalled"]
+
+
+def test_lsh_cap_profile_inert_on_fixture(spark, sf_dir):
+    """Every operating point reads recall 1.0 on the real fixture —
+    the cap trade-off only exists on adversarial/hub-heavy corpora."""
+    from sparkifydb_datawarehouse_spark.llm.dedup import dedup_lsh_cap_profile
+
+    rows = dedup_lsh_cap_profile(spark, sf_dir).collect()
+    assert rows and all(r["realized_recall"] == 1.0 for r in rows)
