@@ -101,17 +101,55 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# B4b — approximate distinct (HLL++). Estimate is engine-specific →
-# rows-only check; the 100 TB path for cardinality dashboards.
+# B4b — approximate distinct (HLL++), contract-oracled as of round 7
+# (VERDICT r6 #5): the estimate is engine-specific, so the oracled
+# VALUES are the exact per-group counts plus a within-3·rsd flag —
+# Spark's HLL++ is deterministic for fixed data, so the flag is stable
+# (same discipline as q_agg_approx_distinct_calibration, which pins
+# the corpus-level claim across rsd settings). The 100 TB path for
+# cardinality dashboards remains the approx aggregate alone.
 # ---------------------------------------------------------------------------
 
+_APPROX_DISTINCT_RSD = 0.02
 
-@query("q_agg_approx_distinct")  # rows-only: HLL estimates differ per engine
+_ORACLE_APPROX_DISTINCT = """
+SELECT o_orderstatus AS order_status,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(1 AS INTEGER) AS within_3rsd
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY order_status
+"""
+
+
+@query("q_agg_approx_distinct", oracle=_ORACLE_APPROX_DISTINCT)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.groupBy(F.col("o_orderstatus").alias("order_status"))
-        .agg(F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"))
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
+            F.approx_count_distinct(
+                "o_custkey", rsd=_APPROX_DISTINCT_RSD
+            ).alias("approx_raw"),
+        )
+        .select(
+            "order_status",
+            "exact_customers",
+            # exact == 0 (all-null slice): vacuously true, matching the
+            # oracle's constant — try_divide alone yields NULL there
+            F.when(F.col("exact_customers") == 0, F.lit(1))
+            .otherwise(
+                (
+                    F.try_divide(
+                        F.abs(F.col("approx_raw") - F.col("exact_customers")),
+                        F.col("exact_customers"),
+                    )
+                    <= F.lit(3 * _APPROX_DISTINCT_RSD)
+                ).cast("int")
+            )
+            .alias("within_3rsd"),
+        )
         .orderBy("order_status")
     )
 

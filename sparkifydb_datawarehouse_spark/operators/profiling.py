@@ -114,13 +114,40 @@ def profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rows.orderBy("column_name")
 
 
-@query("q_agg_hll_sketch")  # rows-only: DataSketches HLL internals are Spark-specific
+# Contract-oracle (round 7, VERDICT r6 #5): DataSketches HLL internals
+# are Spark-specific, so the oracled VALUES are the exact per-month
+# distinct counts (plus the exact overall total on the ALL row) and a
+# within-tolerance flag per row. lgConfigK=14 → ~0.8% relative
+# standard error; the 2.5% flag is a ~3σ envelope. The union row is
+# the real contract: it proves sketch MERGE (rollup-without-rescan,
+# the 100 TB property) stays accurate, not just the leaf sketches.
+_HLL_SKETCH_TOL = 0.025
+
+_ORACLE_HLL_SKETCH = """
+WITH m AS (
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers
+    FROM orders GROUP BY 1
+)
+SELECT order_month, exact_customers, CAST(1 AS INTEGER) AS within_tol FROM m
+UNION ALL
+SELECT 'ALL' AS order_month,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_customers,
+       CAST(1 AS INTEGER) AS within_tol
+FROM orders
+ORDER BY order_month
+"""
+
+
+@query("q_agg_hll_sketch", oracle=_ORACLE_HLL_SKETCH)
 def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct customers per order-month as mergeable HLL sketches,
     plus the sketch-union total. The per-month estimate and the
     union-of-sketches estimate come from ONE pass: the union proves
-    rollup-without-rescan (the 100 TB property). lgConfigK=14 →
-    ~0.8% relative standard error at any cardinality."""
+    rollup-without-rescan (the 100 TB property). Since the r7
+    contract-oracle conversion the query also computes exact
+    countDistinct anchors (fixture-affordable accuracy audit; the
+    production call at 100 TB is the sketch pass alone)."""
     orders = load_table(spark, sf_dir, "orders")
     monthly = (
         orders.select(
@@ -128,15 +155,44 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
         )
         .groupBy("order_month")
-        .agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+        .agg(
+            F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"),
+            F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
+        )
+    )
+    # exact == 0 (empty/all-null slice): vacuously true, matching the
+    # oracle's constant — try_divide alone would yield NULL ≤ tol =
+    # NULL and diverge on degenerate slices (the ADVICE r6 kmeans/PCA
+    # lesson applied up front)
+    flag = (
+        F.when(F.col("exact_customers") == 0, F.lit(1))
+        .otherwise(
+            (
+                F.try_divide(
+                    F.abs(F.col("approx_raw") - F.col("exact_customers")),
+                    F.col("exact_customers"),
+                )
+                <= F.lit(_HLL_SKETCH_TOL)
+            ).cast("int")
+        )
+        .alias("within_tol")
     )
     per_month = monthly.select(
         "order_month",
-        F.hll_sketch_estimate("sk").alias("approx_customers"),
-    )
-    total = monthly.agg(
-        F.lit("ALL").alias("order_month"),
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_customers"),
+        "exact_customers",
+        F.hll_sketch_estimate("sk").alias("approx_raw"),
+    ).select("order_month", "exact_customers", flag)
+    total = (
+        orders.agg(
+            F.lit("ALL").alias("order_month"),
+            F.countDistinct("o_custkey").cast("long").alias("exact_customers"),
+        )
+        .crossJoin(
+            monthly.agg(
+                F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_raw")
+            )
+        )
+        .select("order_month", "exact_customers", flag)
     )
     return per_month.unionByName(total).orderBy("order_month")
 

@@ -463,7 +463,38 @@ def agg_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q_agg_robust_stats_approx")  # rows-only: t-digest estimates are engine-specific
+# Contract-oracle (VERDICT r6 #5, the q_agg_approx_percentiles
+# pattern): the t-digest estimates are engine-specific, so the oracled
+# VALUES are the exact anchors (weighted mean, exact median, exact MAD
+# — all DuckDB-replayable) plus within-rel-err flags for the approx
+# median and approx MAD. The MAD tolerance is wider than the median's
+# because the approx MAD is centered on the APPROX median — the center
+# shift adds up to the median's own error on top of the sketch error
+# (measured at sf0.01: 2e-4 / 4.6e-4 vs tolerances 5e-3 / 1e-2).
+_ROBUST_MED_TOL = 0.005
+_ROBUST_MAD_TOL = 0.01
+
+_ORACLE_ROBUST_APPROX = """
+WITH med AS (
+    SELECT l_returnflag AS return_flag,
+           median(CAST(l_extendedprice AS DOUBLE)) AS med_price
+    FROM lineitem GROUP BY l_returnflag
+)
+SELECT li.l_returnflag AS return_flag,
+       ROUND(SUM(li.l_extendedprice * li.l_quantity) / SUM(li.l_quantity), 4)
+           AS weighted_mean_price,
+       ROUND(ANY_VALUE(m.med_price), 4) AS exact_median_price,
+       ROUND(median(ABS(CAST(li.l_extendedprice AS DOUBLE) - m.med_price)), 4)
+           AS exact_mad_price,
+       CAST(1 AS INTEGER) AS median_within_tol,
+       CAST(1 AS INTEGER) AS mad_within_tol
+FROM lineitem li JOIN med m ON li.l_returnflag = m.return_flag
+GROUP BY li.l_returnflag
+ORDER BY return_flag
+"""
+
+
+@query("q_agg_robust_stats_approx", oracle=_ORACLE_ROBUST_APPROX)
 def agg_robust_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB robust-stats path: same weighted-mean + MAD semantics
     as q_agg_robust_stats, with BOTH percentile passes replaced by
@@ -480,17 +511,39 @@ def agg_robust_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast, the fact table is never shuffled on anything but its
     group key.
 
-    Registered rows-only (t-digest internals differ per engine);
-    accuracy vs the exact form is pinned by tests/test_new_ops_r3.py
-    (relative error bound at sf0.001) and the 10x scale behavior is
-    recorded in SCALING.md.
-    """
-    li = load_table(spark, sf_dir, "lineitem")
-    med = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
-        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
-            "med_price"
-        )
+    Since the r7 contract-oracle conversion the query ALSO computes the
+    exact anchors (the price of oracling the accuracy claim — fine at
+    fixture scale; at 100 TB the production call is the approx pair
+    alone, this query serving as their accuracy audit on samples)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "price_d", F.col("l_extendedprice").cast("double")
     )
+    med = li.groupBy(F.col("l_returnflag").alias("return_flag")).agg(
+        F.percentile("price_d", F.lit(0.5)).alias("exact_med"),
+        F.approx_percentile("price_d", F.lit(0.5), F.lit(10000)).alias(
+            "approx_med"
+        ),
+    )
+
+    def _flag(approx_col: str, exact_col: str, tol: float, name: str) -> F.Column:
+        # NULL/zero exact anchor (degenerate slice): vacuously true,
+        # matching the oracle's constant flag
+        return (
+            F.when(
+                F.col(exact_col).isNull() | (F.col(exact_col) == 0), F.lit(1)
+            )
+            .otherwise(
+                (
+                    F.try_divide(
+                        F.abs(F.col(approx_col) - F.col(exact_col)),
+                        F.abs(F.col(exact_col)),
+                    )
+                    <= F.lit(tol)
+                ).cast("int")
+            )
+            .alias(name)
+        )
+
     return (
         li.join(F.broadcast(med), li["l_returnflag"] == med["return_flag"])
         .groupBy("return_flag")
@@ -500,15 +553,30 @@ def agg_robust_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("l_quantity"),
                 4,
             ).alias("weighted_mean_price"),
-            F.round(F.any_value("med_price"), 4).alias("median_price"),
-            F.round(
-                F.approx_percentile(
-                    F.abs(F.col("l_extendedprice") - F.col("med_price")),
-                    F.lit(0.5),
-                    F.lit(10000),
-                ),
-                4,
-            ).alias("mad_price"),
+            F.any_value("exact_med").alias("exact_med_raw"),
+            F.any_value("approx_med").alias("approx_med_raw"),
+            F.percentile(
+                F.abs(F.col("price_d") - F.col("exact_med")), F.lit(0.5)
+            ).alias("exact_mad_raw"),
+            F.approx_percentile(
+                F.abs(F.col("price_d") - F.col("approx_med")),
+                F.lit(0.5),
+                F.lit(10000),
+            ).alias("approx_mad_raw"),
+        )
+        .select(
+            "return_flag",
+            "weighted_mean_price",
+            F.round("exact_med_raw", 4).alias("exact_median_price"),
+            F.round("exact_mad_raw", 4).alias("exact_mad_price"),
+            _flag(
+                "approx_med_raw", "exact_med_raw", _ROBUST_MED_TOL,
+                "median_within_tol",
+            ),
+            _flag(
+                "approx_mad_raw", "exact_mad_raw", _ROBUST_MAD_TOL,
+                "mad_within_tol",
+            ),
         )
         .orderBy("return_flag")
     )

@@ -245,6 +245,16 @@ _EMPTY_GATE_QUERIES = [
     "q_sample_group_split",
     "q_text_substring_scrub",
     "q_dedup_semantic",
+    # round-7 additions / contract-oracle conversions (vacuous-truth
+    # flag guards audited at registration)
+    "q_join_linkage_stages",
+    "q_join_fuzzy_levenshtein",
+    "q_geo_nearest",
+    "q_dedup_lsh_cap_profile",
+    "q_agg_robust_stats_approx",
+    "q_agg_approx_distinct",
+    "q_agg_hll_sketch",
+    "q_dedup_minhash_calibration",
 ]
 
 

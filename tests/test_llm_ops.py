@@ -272,11 +272,19 @@ def test_minhash_estimator_calibration(spark, sf_dir):
     """The 32-permutation signature agreement must track exact Jaccard:
     mean |err| well under the single-pair stderr bound (~0.09 at J=0.5)
     and max |err| bounded by a few sigma."""
-    rows = dedup.dedup_minhash_calibration(spark, sf_dir).collect()
+    rows = dedup.minhash_calibration_detail(spark, sf_dir).collect()
     assert rows, "calibration needs candidate pairs"
     errs = [r["abs_err"] for r in rows]
     assert sum(errs) / len(errs) <= 0.08, sum(errs) / len(errs)
     assert max(errs) <= 0.35, max(errs)
+    # the registered (now contract-oracled) form must carry the same
+    # claims as flags on every row
+    flagged = dedup.dedup_minhash_calibration(spark, sf_dir).collect()
+    assert len(flagged) == len(rows)
+    assert all(
+        r["mae_within_bound"] == 1 and r["max_err_within_bound"] == 1
+        for r in flagged
+    )
 
 
 def test_prefix_filter_equals_unfiltered_exact_join(spark):

@@ -34,8 +34,14 @@ def test_robust_stats_approx_tracks_exact(spark):
         assert a["weighted_mean_price"] == pytest.approx(
             e["weighted_mean_price"], rel=1e-9
         )
-        assert a["median_price"] == pytest.approx(e["median_price"], rel=0.01)
-        assert a["mad_price"] == pytest.approx(e["mad_price"], rel=0.01)
+        # since the r7 contract-oracle conversion the approx query
+        # carries the exact anchors itself plus within-tol flags
+        assert a["exact_median_price"] == pytest.approx(
+            e["median_price"], rel=1e-9
+        )
+        assert a["exact_mad_price"] == pytest.approx(e["mad_price"], rel=1e-9)
+        assert a["median_within_tol"] == 1
+        assert a["mad_within_tol"] == 1
 
 
 def test_histogram_equiwidth_constant_column(spark, tmp_path):
