@@ -59,9 +59,9 @@ JSONPATHS_FILE = os.path.join(FIXTURE_DIR, "log_json_path.json")
 _BASE_TS = 1541290555796  # from the reference's sample record, README.md:64
 
 
-def _gen_songs(rng: random.Random) -> list[dict]:
+def _gen_songs(rng: random.Random, n: int = 12) -> list[dict]:
     songs = []
-    for i in range(12):
+    for i in range(n):
         songs.append(
             {
                 "num_songs": 1,
@@ -79,16 +79,21 @@ def _gen_songs(rng: random.Random) -> list[dict]:
     return songs
 
 
-def _gen_events(rng: random.Random, songs: list[dict]) -> list[dict]:
+def _gen_events(
+    rng: random.Random,
+    songs: list[dict],
+    n: int = 300,
+    n_users: int = 8,
+) -> list[dict]:
     first_names = ["Lily", "Jacob", "Sylvie", "Kate", "Aleena", "Jacqueline"]
     last_names = ["Koch", "Klein", "Cruz", "Harrell", "Kirby", "Lynch"]
     pages = ["NextSong"] * 6 + ["Home", "Login", "Logout", "Downgrade"]
     events = []
     ts = _BASE_TS
-    for i in range(300):
+    for i in range(n):
         ts += rng.randint(1000, 600_000)
         page = pages[rng.randrange(len(pages))]
-        user_idx = rng.randrange(8)  # few users → duplicate userIds (A10)
+        user_idx = rng.randrange(n_users)  # few users → duplicate userIds (A10)
         logged_in = rng.random() > 0.05
         ev = {
             "artist": None,
@@ -155,6 +160,35 @@ def ensure_fixtures() -> None:
     with open(os.path.join(LOG_DIR, "events.json"), "w") as f:
         for e in events:
             f.write(json.dumps(e) + "\n")
+
+
+def generate_scaled_corpus(dst_dir: str, k: int) -> tuple[str, str]:
+    """K×-scaled reference-shaped JSON corpus (VERDICT r6 #6): 12·K
+    songs, 300·K events over 8·K users, events split across min(K, 32)
+    newline-delimited files so the staging scan parallelizes the way a
+    many-object S3 prefix would. Deterministic (seed 42); idempotent.
+    Returns (log_dir, song_dir)."""
+    log_dir = os.path.join(dst_dir, "log_data")
+    song_dir = os.path.join(dst_dir, "song_data")
+    if os.path.exists(os.path.join(song_dir, "songs.json")) and os.path.exists(
+        os.path.join(log_dir, "events-000.json")
+    ):
+        return log_dir, song_dir
+    rng = random.Random(42)
+    songs = _gen_songs(rng, n=12 * k)
+    events = _gen_events(rng, songs, n=300 * k, n_users=8 * k)
+    os.makedirs(log_dir, exist_ok=True)
+    os.makedirs(song_dir, exist_ok=True)
+    with open(os.path.join(song_dir, "songs.json"), "w") as f:
+        for s in songs:
+            f.write(json.dumps(s) + "\n")
+    n_files = min(k, 32)
+    per = (len(events) + n_files - 1) // n_files
+    for fi in range(n_files):
+        with open(os.path.join(log_dir, f"events-{fi:03d}.json"), "w") as f:
+            for e in events[fi * per : (fi + 1) * per]:
+                f.write(json.dumps(e) + "\n")
+    return log_dir, song_dir
 
 
 # ---------------------------------------------------------------------------
@@ -251,7 +285,11 @@ EVENTS_VARCHAR_CAPS = {
 }
 
 
-def load_staging_events(spark: SparkSession, clamp_varchar: bool = False) -> DataFrame:
+def load_staging_events(
+    spark: SparkSession,
+    clamp_varchar: bool = False,
+    log_dir: str | None = None,
+) -> DataFrame:
     """A1 — JSONPaths-mapped staging load (sql_queries.py:102-107).
 
     The column mapping is parsed from an actual JSONPaths document
@@ -263,7 +301,7 @@ def load_staging_events(spark: SparkSession, clamp_varchar: bool = False) -> Dat
     ensure_fixtures()
     return read_json_mapped(
         spark,
-        LOG_DIR,
+        log_dir or LOG_DIR,
         EVENTS_JSON_SCHEMA,
         mapping=mapping_from_jsonpaths(JSONPATHS_FILE, EVENTS_STAGING_COLUMNS),
         millis_columns=("ts", "registration"),
@@ -271,10 +309,12 @@ def load_staging_events(spark: SparkSession, clamp_varchar: bool = False) -> Dat
     )
 
 
-def load_staging_songs(spark: SparkSession) -> DataFrame:
+def load_staging_songs(
+    spark: SparkSession, song_dir: str | None = None
+) -> DataFrame:
     """A2 — JSON 'auto' staging load (sql_queries.py:109-114)."""
     ensure_fixtures()
-    return read_json_mapped(spark, SONG_DIR, SONGS_JSON_SCHEMA)
+    return read_json_mapped(spark, song_dir or SONG_DIR, SONGS_JSON_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -379,6 +419,8 @@ def run_pipeline(
     spark: SparkSession,
     warehouse_dir: str,
     timings: dict[str, float] | None = None,
+    log_dir: str | None = None,
+    song_dir: str | None = None,
 ) -> dict[str, int]:
     """A3/A5/A17 — full orchestration: staging loads, five transforms,
     star-schema parquet warehouse. Mirrors etl.py's per-statement
@@ -406,11 +448,15 @@ def run_pipeline(
     # exit right after; registry queries never call run_pipeline.
     se = _staged(
         "copy_staging_events",
-        lambda: load_staging_events(spark).localCheckpoint(eager=True),
+        lambda: load_staging_events(spark, log_dir=log_dir).localCheckpoint(
+            eager=True
+        ),
     )
     ss = _staged(
         "copy_staging_songs",
-        lambda: load_staging_songs(spark).localCheckpoint(eager=True),
+        lambda: load_staging_songs(spark, song_dir=song_dir).localCheckpoint(
+            eager=True
+        ),
     )
 
     tables: dict[str, DataFrame] = {

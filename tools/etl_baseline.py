@@ -29,7 +29,25 @@ from sparkifydb_datawarehouse_spark.session import get_spark
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--warehouse", default="data/etl_baseline_wh")
+    ap.add_argument(
+        "--scale",
+        type=int,
+        default=1,
+        help="K-times reference-shaped corpus (VERDICT r6 #6): 12K songs, "
+        "300K events over 8K users, events split across min(K,32) files; "
+        "1 = the committed fixture",
+    )
     args = ap.parse_args()
+
+    log_dir = song_dir = None
+    if args.scale > 1:
+        from sparkifydb_datawarehouse_spark.pipelines.sparkify import (
+            generate_scaled_corpus,
+        )
+
+        log_dir, song_dir = generate_scaled_corpus(
+            f"data/sparkify_scaled_{args.scale}x", args.scale
+        )
 
     t_session = time.perf_counter()
     spark = get_spark("etl-baseline")
@@ -42,8 +60,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     t0 = time.perf_counter()
-    counts = run_pipeline(spark, args.warehouse, timings=timings)
+    counts = run_pipeline(
+        spark, args.warehouse, timings=timings, log_dir=log_dir, song_dir=song_dir
+    )
     process_sec = time.perf_counter() - t0
+    print(f"scale={args.scale}x")
 
     print("| stage | wall s | rows out |")
     print("|---|---|---|")
