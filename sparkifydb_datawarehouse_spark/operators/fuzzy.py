@@ -170,8 +170,15 @@ def _lev_candidates(names: DataFrame) -> DataFrame:
         "name",
         F.explode(_deletion_neighborhood()).alias("v"),
     ).select("brand", "ptype", "name", F.xxhash64("v").alias("sig"))
+    # merge (sort-merge) hint: the ×~79 post-scan explode fools the
+    # size estimator — Catalyst auto-broadcast the exploded frame and
+    # OOMed the driver at names×100 (caught by the natural-shape
+    # probe); shuffle-hash builds per-partition maps and OOMs on
+    # low-memory sessions. SMJ on (block, sig) sorts and SPILLS —
+    # the plan that survives any scale and any executor size.
     return (
         sig.alias("a")
+        .hint("merge")
         .join(
             sig.alias("b"),
             (F.col("a.brand") == F.col("b.brand"))
@@ -418,39 +425,79 @@ def _jw_candidates(names: DataFrame) -> DataFrame:
             for x in (F.lit(r["ch"]), F.lit(i + 1))
         ]
     )
-    # B ≥ ceil(len/2) for every admissible partner ⟹ prefix length
-    # len − ceil(len/2) + 1 = floor(len/2) + 1; occurrence index =
-    # count of equal chars at positions ≤ i (O(len²) array ops per
-    # name, len ≤ ~12, all JVM-side)
+    # Pair-length-dependent prefixes (round-7 tightening): the
+    # worst-case per-side bound B ≥ ceil(len/2) made prefixes cover
+    # most of a short name and pruned almost nothing (932k of ~1M
+    # block pairs survived on the natural-shape ×10 corpus). The PAIR
+    # bound is much stronger — m/la + m/lb ≥ 3·jaro − 1 ≥ 1.5 ⟹
+    # B ≥ T(la, lb) = ceil(1.5·la·lb / (la + lb)) (= 0.75·L at equal
+    # lengths) — so each name emits a SEPARATE prefix per admissible
+    # partner length lb (distinct lens collected once, bounded like
+    # the alphabet), of length la − T + 1 (≈ 0.25·L + 1 at equal
+    # lengths), and the join matches a's lb-prefix against b's
+    # la-prefix. Classic prefix theorem with the pair's own T on both
+    # sides — sound; T is computed in pure integer arithmetic
+    # ((3·la·lb + 2(la+lb) − 1) div 2(la+lb)) so no fp-ceil boundary
+    # can shrink a prefix. Occurrence index = count of equal chars at
+    # positions ≤ i (O(len²) array ops per name, len ≤ ~12, JVM-side).
+    lens = sorted(
+        r["len"] for r in names.select("len").distinct().collect()
+    )
+    if not lens:
+        return names.select(
+            "brand",
+            "ptype",
+            F.col("name").alias("name_a"),
+            F.col("name").alias("name_b"),
+        ).limit(0)
+    lens_arr = f"array({', '.join(str(v) for v in lens)})"
+    keys_expr = (
+        "array_sort(transform(sequence(1, length(name)), "
+        "i -> element_at(rank_map, substring(name, i, 1)) * 64 "
+        "+ size(filter(sequence(1, i), "
+        "j -> substring(name, j, 1) = substring(name, i, 1)))))"
+    )
+    tok_expr = f"""
+    flatten(transform(
+        filter({lens_arr}, lb -> least(lb, len) * 2 >= greatest(lb, len)),
+        lb -> transform(
+            slice(keys, 1, greatest(0, cast(len
+                - (3 * len * lb + 2 * (len + lb) - 1) div (2 * (len + lb))
+                + 1 as int))),
+            k -> struct(lb AS partner_len, k AS order_key))))
+    """
     prefix = (
         names.withColumn("rank_map", rank_map)
+        .withColumn("keys", F.expr(keys_expr))
         .select(
             "brand",
             "ptype",
             "name",
             "len",
-            F.explode(
-                F.expr(
-                    "slice(array_sort(transform(sequence(1, length(name)), "
-                    "i -> element_at(rank_map, substring(name, i, 1)) * 64 "
-                    "+ size(filter(sequence(1, i), "
-                    "j -> substring(name, j, 1) = substring(name, i, 1))))), "
-                    "1, cast(floor(length(name) / 2) + 1 as int))"
-                )
-            ).alias("order_key"),
+            F.explode(F.expr(tok_expr)).alias("tk"),
+        )
+        .select(
+            "brand",
+            "ptype",
+            "name",
+            "len",
+            F.col("tk.partner_len").alias("partner_len"),
+            F.col("tk.order_key").alias("order_key"),
         )
     )
-    la, lb = F.col("a.len"), F.col("b.len")
+    # merge (sort-merge) for the same estimator-vs-explode reason as
+    # the deletion-neighborhood join (see _lev_candidates)
     return (
         prefix.alias("a")
+        .hint("merge")
         .join(
             prefix.alias("b"),
             (F.col("a.brand") == F.col("b.brand"))
             & (F.col("a.ptype") == F.col("b.ptype"))
             & (F.col("a.order_key") == F.col("b.order_key"))
-            & (F.col("a.name") < F.col("b.name"))
-            # sound length gate: m ≥ 0.5·max and m ≤ min ⟹ 2·min ≥ max
-            & (F.least(la, lb) * 2 >= F.greatest(la, lb)),
+            & (F.col("a.partner_len") == F.col("b.len"))
+            & (F.col("b.partner_len") == F.col("a.len"))
+            & (F.col("a.name") < F.col("b.name")),
         )
         .select(
             F.col("a.brand").alias("brand"),

@@ -111,8 +111,10 @@ EXCHANGE_BUDGETS = {
     # blocked join that was quadratic in block depth became distinct-name
     # groupBy + deletion-neighborhood self-join + distinct + expansion;
     # every new exchange carries the distinct-NAME domain or the output,
-    # never the raw pair cross-product (73.6 s -> sub-quadratic at part×10)
-    "q_join_fuzzy_levenshtein": 10,
+    # never the raw pair cross-product (73.6 s -> sub-quadratic at part×10);
+    # 10 -> 14 with the merge hints that stop the estimator-fooled
+    # auto-broadcast of the ×79-exploded side (OOMed at names×100)
+    "q_join_fuzzy_levenshtein": 14,
     "q_join_interval_overlap": 2,
     "q_join_left": 1,  # -1 r4: dropped cosmetic trailing sort
     "q_join_range": 2,
@@ -220,8 +222,10 @@ EXCHANGE_BUDGETS = {
     # 3 -> 12 in round 7: deliberate rework (VERDICT r6 #2) — blocked
     # all-pairs UDF scan became distinct-name prefix-filter self-join +
     # UDF verify + expansion; exchanges carry name-domain tokens and the
-    # output, never block cross-products (53.7 s -> sub-quadratic at part×10)
-    "q_join_jaro_winkler": 12,
+    # output, never block cross-products (53.7 s -> sub-quadratic at part×10);
+    # 12 -> 14 with pair-length-dependent prefixes + the merge hints
+    # (see fuzzy.py _jw_candidates / _lev_candidates banners)
+    "q_join_jaro_winkler": 14,
     "q_sample_dsir": 6,  # grams localCheckpointed once (was 8 with a doubled pipeline); B-row aggs + broadcast
     "q_scan_xml": 1,  # typed XML roundtrip; sort only
     "q_dedup_incremental": 3,  # batch collapse + fingerprint anti-join; hashes shuffle, text doesn't

@@ -60,6 +60,7 @@ def main() -> None:
         link = os.path.join(dst, f"{t}.parquet")
         if not os.path.exists(link):
             os.symlink(os.path.abspath(os.path.join(src, f"{t}.parquet")), link)
+    perturb = os.environ.get("DIM_PERTURB_NAMES") == "1"
     for t in dims:
         key = PRIMARY_KEY[t]
         df = spark.read.parquet(os.path.join(src, f"{t}.parquet"))
@@ -67,12 +68,44 @@ def main() -> None:
         out = None
         for i in range(k):
             rep = df.withColumn(key, F.col(key) + F.lit(i * mx))
+            if perturb and t == "part" and i > 0:
+                # Natural-shape variant for the round-7 linkage probe:
+                # every replica's p_name gets 3 deterministic interior
+                # substitutions (positions i, i+3, i+6 mod len —
+                # distinct for len ≥ 7; chars x/y/z, w when equal), so
+                # DISTINCT names scale ×K while cross-replica pairs
+                # stay OUT of both metrics (lev = 3 > 2; JW: m ≤
+                # len−3 ⟹ jaro ≤ 0.8 < 5/6 ⟹ jw < 0.9) — the probe
+                # stresses the signature candidate stages, not the
+                # distinct-name dedup.
+                rep = rep.withColumn("p_name", _perturb_name(i))
             out = rep if out is None else out.unionByName(rep)
         out.coalesce(4).write.mode("overwrite").parquet(
             os.path.join(dst, f"{t}.parquet")
         )
-        print(f"{t}: x{k} with {key} offset -> {dst}", flush=True)
+        tag = " (perturbed names)" if perturb and t == "part" else ""
+        print(f"{t}: x{k} with {key} offset{tag} -> {dst}", flush=True)
     print(f"wrote {dst}; other tables symlinked to {src}")
+
+
+def _perturb_name(i: int):
+    """3 deterministic single-char substitutions at 1-indexed positions
+    (i, i+3, i+6) mod len; the replacement char is REPLICA-dependent
+    (cycles the alphabet with i) so every replica's variant is a
+    distinct string — positions alone would collide mod len and
+    saturate the distinct-name domain at ~len variants per base. One
+    nested JVM expression, composed as SQL text."""
+    expr = "p_name"
+    for j in range(3):
+        ch = chr(97 + (i + 5 * j) % 26)
+        alt = chr(97 + (i + 5 * j + 13) % 26)
+        pos = f"((({i} + {3 * j}) % length(p_name)) + 1)"
+        expr = (
+            f"concat(substring({expr}, 1, {pos} - 1), "
+            f"if(substring(p_name, {pos}, 1) = '{ch}', '{alt}', '{ch}'), "
+            f"substring({expr}, {pos} + 1, length(p_name)))"
+        )
+    return F.expr(expr)
 
 
 if __name__ == "__main__":
