@@ -340,6 +340,16 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_text_substring_dedup",
         "q_text_substring_scrub",
         "q_sample_group_split",
+        # round-7 additions / conversions
+        "q_join_linkage_stages",
+        "q_join_fuzzy_levenshtein",
+        "q_join_jaro_winkler",
+        "q_geo_nearest",
+        "q_dedup_lsh_cap_profile",
+        "q_agg_robust_stats_approx",
+        "q_agg_approx_distinct",
+        "q_agg_hll_sketch",
+        "q_dedup_minhash_calibration",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -417,6 +427,16 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_sample_group_split",
         "q_text_substring_scrub",
         "q_dedup_semantic",
+        # round-7 additions / conversions
+        "q_join_linkage_stages",
+        "q_join_fuzzy_levenshtein",
+        "q_join_jaro_winkler",
+        "q_geo_nearest",
+        "q_dedup_lsh_cap_profile",
+        "q_agg_robust_stats_approx",
+        "q_agg_approx_distinct",
+        "q_agg_hll_sketch",
+        "q_dedup_minhash_calibration",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
