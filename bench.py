@@ -74,7 +74,8 @@ HEADLINE = [
     "q_asof_join",                   # join + window as-of composition
     "q_merge_upsert",                # full-outer-join upsert
     "q_cdc_apply",                   # change-log fold via max_by agg
-    "q_join_fuzzy_levenshtein",      # banded-blocking edit-distance join
+    "q_join_fuzzy_levenshtein",      # deletion-neighborhood linkage join (r7)
+    "q_join_jaro_winkler",           # prefix-filtered JW linkage join (r7)
     "q_join_interval_overlap",       # per-key interval overlap join
     "q_graph_triangles",             # edge-gen self-join + two-hop close
     "q_graph_pagerank",              # iterative rank propagation
@@ -108,7 +109,7 @@ HEADLINE = [
     "q_basket_pairs",                # in-expression pair-gen + lift
     "q_rfm_segments",                # triple-ntile segmentation on aggregates
     "q_greedy_allocation",           # per-key cumulative allocation window
-    "q_geo_nearest",                 # 3x3 grid-cell haversine join
+    "q_geo_nearest",                 # fine-grid branch-and-bound NN join (r7)
     "q_event_trigrams",              # in-buffer journey sort + array grams
     "q_regression_slope",            # grouped OLS sufficient statistics
     "q_cohort_ltv",                  # integer-cents cohort curves
