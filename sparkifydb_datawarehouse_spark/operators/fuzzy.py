@@ -457,14 +457,29 @@ def _jw_candidates(names: DataFrame) -> DataFrame:
         "+ size(filter(sequence(1, i), "
         "j -> substring(name, j, 1) = substring(name, i, 1)))))"
     )
+    # k=2 prefix keys (squared selectivity): the j-th smallest element
+    # of A∩B sits within the first |A|−T+j tokens of A's sorted order
+    # (≤ j−1 intersection tokens precede it and ≥ T−j follow it), so
+    # for T ≥ 2 the TWO smallest intersection tokens lie inside both
+    # sides' length-(len−T+2) prefixes — every true pair shares an
+    # unordered token PAIR, and the join keys on packed pairs
+    # (k_i·10^6 + k_j, i < j). Single-char collisions that passed the
+    # k=1 filter half the time now need TWO shared rare tokens. T < 2
+    # (degenerate tiny names) falls back to k=1 singletons packed as
+    # (k, k) — same key space, no separate join.
+    t_expr = "((3 * len * lb + 2 * (len + lb) - 1) div (2 * (len + lb)))"
+    p2 = f"slice(keys, 1, greatest(0, cast(len - {t_expr} + 2 as int)))"
+    p1 = f"slice(keys, 1, greatest(0, cast(len - {t_expr} + 1 as int)))"
     tok_expr = f"""
     flatten(transform(
         filter({lens_arr}, lb -> least(lb, len) * 2 >= greatest(lb, len)),
-        lb -> transform(
-            slice(keys, 1, greatest(0, cast(len
-                - (3 * len * lb + 2 * (len + lb) - 1) div (2 * (len + lb))
-                + 1 as int))),
-            k -> struct(lb AS partner_len, k AS order_key))))
+        lb -> if({t_expr} >= 2,
+            flatten(transform({p2}, (x, i) ->
+                transform(slice({p2}, i + 2, size({p2})),
+                    y -> struct(lb AS partner_len,
+                                cast(x as bigint) * 1000000 + y AS order_key)))),
+            transform({p1}, k -> struct(lb AS partner_len,
+                cast(k as bigint) * 1000000 + k AS order_key)))))
     """
     prefix = (
         names.withColumn("rank_map", rank_map)
