@@ -3,15 +3,17 @@ with typed metadata, processed by Arrow-batched Pandas functions.
 
 The container ships no image/audio libraries, so the DECODE step is
 implemented in pure Python instead (codecs.py / codecs_jpeg.py): PPM,
-BMP, PNG (stdlib zlib), and baseline JPEG all decode for real and are
-value-checked end-to-end against closed-form planted rasters
-(q_multimodal_decode_{ppm,png,jpeg}). Two stand-ins remain by design:
+BMP, PNG (stdlib zlib), and JPEG — baseline sequential AND progressive
+(SOF2) since round 7 — all decode for real and are value-checked
+end-to-end against closed-form planted rasters
+(q_multimodal_decode_{ppm,png,jpeg,jpeg_progressive}). Two stand-ins
+remain by design:
 - a deterministic fake media container ("FAKE" magic + width/height
   header + payload bytes) generated Spark-side from `documents`
   exercises the binary-column plumbing independent of any codec;
 - `decode_image` keeps a NotImplementedError gate (on an import-try
   of PIL) only for formats that genuinely require an external codec
-  library — WebP, progressive/arithmetic JPEG.
+  library — WebP, arithmetic-coded JPEG.
 
 Scale notes:
 - Binary payloads ride in Arrow record batches
@@ -137,12 +139,13 @@ def decode_image(blob: bytes) -> dict:
     {"width", "height", "channels", "pixels" (RGB row-major bytes)}.
 
     PPM (netpbm P6/P3), 24-bit BI_RGB BMP, 8-bit RGB/RGBA PNG
-    (stdlib-zlib inflate + unfilter), and baseline sequential JPEG
-    (grayscale returns channels=1 with the luma plane; YCbCr returns
-    BT.601 RGB) decode here in pure Python with no external dependency
-    (codecs.py / codecs_jpeg.py). Formats that genuinely need a codec
-    library (WebP, progressive/arithmetic JPEG, ...) keep the
-    NotImplementedError gate on an import-try of Pillow."""
+    (stdlib-zlib inflate + unfilter), and JPEG — baseline sequential
+    AND progressive (SOF2) as of round 7 — (grayscale returns
+    channels=1 with the luma plane; YCbCr returns BT.601 RGB) decode
+    here in pure Python with no external dependency (codecs.py /
+    codecs_jpeg.py). Formats that genuinely need a codec library
+    (WebP, arithmetic-coded JPEG, ...) keep the NotImplementedError
+    gate on an import-try of Pillow."""
     from .codecs import _PNG_MAGIC, decode_bmp, decode_png, decode_ppm
     from .codecs_jpeg import decode_jpeg
 
@@ -160,8 +163,8 @@ def decode_image(blob: bytes) -> dict:
         raise NotImplementedError(
             "WebP (and other exotic-format) decode requires a codec "
             "library (e.g. Pillow), which is not available in this "
-            "environment; PPM, BMP, 8-bit RGB/RGBA PNG, and baseline "
-            "JPEG decode natively (codecs.py / codecs_jpeg.py), and "
+            "environment; PPM, BMP, 8-bit RGB/RGBA PNG, and baseline + "
+            "progressive JPEG decode natively (codecs.py / codecs_jpeg.py), and "
             "the deterministic fake-media path (attach_fake_media + "
             "multimodal_features) covers pipeline testing"
         ) from exc
@@ -709,6 +712,59 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     media = spread.mapInPandas(
         _attach_jpeg,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
+
+
+def _attach_jpeg_progressive(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """doc_id → real PROGRESSIVE (SOF2) JPEG bytes — the same planted
+    block-constant raster as the baseline fixture, emitted through the
+    full default scan script (DC first at Al=1 + DC refinement,
+    per-component AC spectral bands at Al=2, two AC refinement passes).
+    On a DC-only raster the AC scans are pure EOB-run streams — the
+    decoder still walks every progressive code path (successive
+    approximation, EOB runs, correction-bit reads)."""
+    import numpy as np
+
+    from .codecs_jpeg import encode_jpeg_progressive
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, plane = _jpeg_plane(d)
+            if d % 2 == 0:
+                blobs.append(encode_jpeg_progressive([plane], w, h))
+            else:
+                neutral = np.full((h, w), 128, dtype=np.uint8)
+                blobs.append(
+                    encode_jpeg_progressive([plane, neutral, neutral], w, h, "420")
+                )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+@query("q_multimodal_decode_jpeg_progressive", oracle=_ORACLE_DECODE_JPEG)
+def multimodal_decode_jpeg_progressive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents → REAL progressive (SOF2) JPEG binary column
+    (grayscale / YCbCr 4:2:0 by doc parity, full successive-
+    approximation scan script) → pure-Python T.81 progressive decode →
+    integer channel sums, value-checked against the SAME closed form as
+    the baseline JPEG query — the quantization-exact raster must
+    reconstruct identically through either coding process. The lossy
+    AC/refinement paths are pinned separately by
+    tests/test_codecs_jpeg.py's progressive==baseline pixel-equality
+    fuzz over random coefficient grids."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_jpeg_progressive,
         StructType(
             [StructField("doc_id", LongType()), StructField("media", BinaryType())]
         ),

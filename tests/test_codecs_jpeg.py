@@ -184,3 +184,156 @@ def test_decode_image_dispatches_jpeg():
     assert np.array_equal(
         np.frombuffer(img["pixels"], dtype=np.uint8).reshape(16, 16), plane
     )
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — round 7. The decisive property: for ANY
+# coefficient grid, progressive decode must reconstruct pixels
+# IDENTICAL to the baseline decode of the same coefficients (the two
+# coding processes carry the same data). Fuzzed over densities,
+# magnitudes, grid shapes, scan scripts, color/subsampling, and
+# restart intervals.
+# ---------------------------------------------------------------------------
+
+
+def _rand_coeffs(rng, bh, bw, dens, mag):
+    q = np.zeros((bh, bw, 8, 8), dtype=np.int32)
+    mask = rng.random((bh, bw, 8, 8)) < dens
+    q[mask] = rng.integers(-mag, mag + 1, size=int(mask.sum()))
+    return q
+
+
+def test_progressive_equals_baseline_on_random_grids():
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg_from_coeffs,
+        encode_jpeg_progressive_from_coeffs,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(25):
+        bh, bw = int(rng.integers(1, 5)), int(rng.integers(1, 6))
+        q = _rand_coeffs(
+            rng, bh, bw, float(rng.uniform(0.02, 0.9)), int(rng.integers(2, 200))
+        )
+        w = max(bw * 8 - int(rng.integers(0, 8)), 1)
+        h = max(bh * 8 - int(rng.integers(0, 8)), 1)
+        base = decode_jpeg(encode_jpeg_from_coeffs(q, w, h))
+        prog = decode_jpeg(encode_jpeg_progressive_from_coeffs(q, w, h))
+        assert base["pixels"] == prog["pixels"], (bh, bw, w, h)
+
+
+def test_progressive_scan_scripts():
+    """Spectral-selection-only, deep successive approximation, and
+    63 single-coefficient bands all reconstruct identically."""
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg_from_coeffs,
+        encode_jpeg_progressive_from_coeffs,
+    )
+
+    rng = np.random.default_rng(7)
+    q = _rand_coeffs(rng, 3, 4, 0.3, 60)
+    w, h = 29, 21
+    base = decode_jpeg(encode_jpeg_from_coeffs(q, w, h))
+    scripts = [
+        [
+            {"ids": [1], "ss": 0, "se": 0, "ah": 0, "al": 0},
+            {"ids": [1], "ss": 1, "se": 9, "ah": 0, "al": 0},
+            {"ids": [1], "ss": 10, "se": 63, "ah": 0, "al": 0},
+        ],
+        [
+            {"ids": [1], "ss": 0, "se": 0, "ah": 0, "al": 3},
+            {"ids": [1], "ss": 0, "se": 0, "ah": 3, "al": 2},
+            {"ids": [1], "ss": 0, "se": 0, "ah": 2, "al": 1},
+            {"ids": [1], "ss": 0, "se": 0, "ah": 1, "al": 0},
+            {"ids": [1], "ss": 1, "se": 63, "ah": 0, "al": 1},
+            {"ids": [1], "ss": 1, "se": 63, "ah": 1, "al": 0},
+        ],
+        [{"ids": [1], "ss": 0, "se": 0, "ah": 0, "al": 0}]
+        + [
+            {"ids": [1], "ss": k, "se": k, "ah": 0, "al": 0}
+            for k in range(1, 64)
+        ],
+    ]
+    for sc in scripts:
+        prog = decode_jpeg(encode_jpeg_progressive_from_coeffs(q, w, h, scans=sc))
+        assert base["pixels"] == prog["pixels"], sc[:2]
+
+
+def test_progressive_color_and_subsampling():
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(11)
+    for sampling in ("444", "420"):
+        w, h = 37, 26
+        planes = [
+            rng.integers(0, 256, size=(h, w)).astype(np.uint8) for _ in range(3)
+        ]
+        b = decode_jpeg(
+            encode_jpeg_baseline([p.copy() for p in planes], w, h, sampling)
+        )
+        p = decode_jpeg(
+            encode_jpeg_progressive([p.copy() for p in planes], w, h, sampling)
+        )
+        assert b["pixels"] == p["pixels"], sampling
+
+
+def test_progressive_restart_intervals():
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg_from_coeffs,
+        encode_jpeg_progressive_from_coeffs,
+    )
+
+    rng = np.random.default_rng(13)
+    q = _rand_coeffs(rng, 4, 5, 0.3, 50)
+    w, h = 40, 32
+    base = decode_jpeg(encode_jpeg_from_coeffs(q, w, h))
+    for ri in (1, 3, 7):
+        prog = decode_jpeg(
+            encode_jpeg_progressive_from_coeffs(q, w, h, restart_interval=ri)
+        )
+        assert base["pixels"] == prog["pixels"], ri
+
+
+def test_progressive_truncation_refused_not_garbage():
+    from sparkifydb_datawarehouse_spark.llm.codecs import ImageDecodeError
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive_from_coeffs,
+    )
+
+    rng = np.random.default_rng(17)
+    q = _rand_coeffs(rng, 4, 5, 0.3, 50)
+    blob = encode_jpeg_progressive_from_coeffs(q, 40, 32)
+    with pytest.raises(ImageDecodeError):
+        decode_jpeg(blob[: len(blob) * 2 // 3])
+
+
+def test_progressive_rejects_invalid_scan_params():
+    """Mixed DC/AC bands, multi-component AC scans, and skipping a
+    successive-approximation bit must all refuse cleanly."""
+    from sparkifydb_datawarehouse_spark.llm.codecs import ImageDecodeError
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg_progressive_from_coeffs,
+    )
+
+    rng = np.random.default_rng(19)
+    q = _rand_coeffs(rng, 2, 2, 0.3, 40)
+    bad_scripts = [
+        [{"ids": [1], "ss": 0, "se": 5, "ah": 0, "al": 0}],  # DC+AC mixed
+        [
+            {"ids": [1], "ss": 0, "se": 0, "ah": 0, "al": 2},
+            {"ids": [1], "ss": 0, "se": 0, "ah": 3, "al": 1},  # skips a bit
+        ],
+    ]
+    for sc in bad_scripts:
+        blob = encode_jpeg_progressive_from_coeffs(q, 16, 16, scans=sc)
+        with pytest.raises(ImageDecodeError):
+            decode_jpeg(blob)

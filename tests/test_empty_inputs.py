@@ -255,6 +255,7 @@ _EMPTY_GATE_QUERIES = [
     "q_agg_approx_distinct",
     "q_agg_hll_sketch",
     "q_dedup_minhash_calibration",
+    "q_multimodal_decode_jpeg_progressive",
 ]
 
 
@@ -350,6 +351,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_agg_approx_distinct",
         "q_agg_hll_sketch",
         "q_dedup_minhash_calibration",
+        "q_multimodal_decode_jpeg_progressive",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -437,6 +439,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_agg_approx_distinct",
         "q_agg_hll_sketch",
         "q_dedup_minhash_calibration",
+        "q_multimodal_decode_jpeg_progressive",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
