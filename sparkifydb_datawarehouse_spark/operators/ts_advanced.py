@@ -460,13 +460,20 @@ def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a transition-pair aggregation (states² ≤ dozens of rows at any
 # corpus size); the chain solve is numpy on the driver over that
 # constant-size matrix — the k-means/PCA bounded-driver-state rule.
-# Registered rows-only (absorbing-chain linear solve is not
-# SQL-expressible); invariants pinned in pytest.
+#
+# Contract-oracle as of round 7 (the kmeans/PCA pattern): the
+# absorbing-chain SOLVE stays engine-specific (float64 linalg; a
+# DuckDB fixpoint would differ in the last ulp at ROUND boundaries),
+# so the registered query emits the DuckDB-verifiable anchors — exact
+# per-channel TOUCH counts from the truncated journeys — plus the
+# solve's invariant CLAIMS as flags (every removal effect in [0,1];
+# raw attribution shares summing to 1, vacuously true when there are
+# no conversions). The full effect/share detail stays available via
+# markov_attribution_detail(); pytest pins its values and determinism.
 # ---------------------------------------------------------------------------
 
 
-@query("q_markov_attribution")  # rows-only: absorbing-chain linear solve
-def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def markov_attribution_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Removal-effect attribution over user journeys: journeys run
     through each user's events in time order up to the FIRST purchase
     (→ CONV) or their end (→ NULL); channels are the non-purchase
@@ -575,4 +582,50 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "channel string, n_touches long, removal_effect double, attribution double"
+    )
+
+
+_ORACLE_MARKOV = """
+WITH ev AS (
+    SELECT user_id, ts, event_id, event_type
+    FROM events WHERE event_type IS NOT NULL
+),
+marked AS (
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS purchases_before
+    FROM ev
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(1 AS INTEGER) AS effects_in_unit_range,
+       CAST(1 AS INTEGER) AS attribution_normalized
+FROM marked
+WHERE purchases_before = 0 AND event_type <> 'purchase'
+GROUP BY event_type
+ORDER BY channel
+"""
+
+
+@query("q_markov_attribution", oracle=_ORACLE_MARKOV)
+def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract form (see module banner): exact per-channel touch
+    anchors + the solve's invariant flags. Flags are computed from the
+    UNROUNDED effects/shares on the driver; an attribution total of 0
+    (no conversions anywhere) makes the normalization claim vacuously
+    true, matching the oracle's constant."""
+    detail = markov_attribution_detail(spark, sf_dir)
+    rows = detail.collect()  # channels-sized, bounded by event-type cardinality
+    in_range = int(all(0.0 <= r["removal_effect"] <= 1.0 for r in rows))
+    share_sum = sum(r["attribution"] for r in rows)
+    normalized = int(share_sum == 0.0 or abs(share_sum - 1.0) < 1e-4)
+    out = [
+        (r["channel"], int(r["n_touches"]), in_range, normalized) for r in rows
+    ]
+    return spark.createDataFrame(
+        sorted(out),
+        "channel string, n_touches long, effects_in_unit_range int, "
+        "attribution_normalized int",
     )

@@ -190,15 +190,28 @@ def test_pca_matches_numpy_eigh(spark):
 
 def test_markov_attribution_invariants(spark):
     """Removal effects in [0,1]; attribution shares normalize to 1;
-    every channel present; deterministic."""
-    rows = registry.QUERIES["q_markov_attribution"](spark, SF_ORACLE).collect()
+    every channel present; deterministic. The r7 contract form must
+    carry the same claims as oracled flags."""
+    from sparkifydb_datawarehouse_spark.operators.ts_advanced import (
+        markov_attribution_detail,
+    )
+
+    rows = markov_attribution_detail(spark, SF_ORACLE).collect()
     assert {r["channel"] for r in rows} == {"click", "view", "signup", "error"}
     for r in rows:
         assert 0.0 <= r["removal_effect"] <= 1.0
         assert r["n_touches"] > 0
     assert abs(sum(r["attribution"] for r in rows) - 1.0) < 1e-4
-    again = registry.QUERIES["q_markov_attribution"](spark, SF_ORACLE).collect()
+    again = markov_attribution_detail(spark, SF_ORACLE).collect()
     assert [tuple(r) for r in again] == [tuple(r) for r in rows]
+    flagged = registry.QUERIES["q_markov_attribution"](spark, SF_ORACLE).collect()
+    assert {r["channel"]: r["n_touches"] for r in flagged} == {
+        r["channel"]: r["n_touches"] for r in rows
+    }
+    assert all(
+        r["effects_in_unit_range"] == 1 and r["attribution_normalized"] == 1
+        for r in flagged
+    )
 
 
 def test_semantic_dedup_recall_and_determinism(spark):
