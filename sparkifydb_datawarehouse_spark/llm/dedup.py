@@ -1554,13 +1554,17 @@ _CAP_PROFILE: tuple[int, ...] = (4, 8, 16, 32, 64)
 def dedup_lsh_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per degree-cap operating point: surviving candidate
     edges, verified pairs at that cap, exact true-pair count, and
-    realized recall. Verification runs ONCE on the uncapped candidate
-    set — capping only filters candidates, and verify is
-    pair-deterministic, so verified-at-cap ≡ verified ∩ {best_rank ≤
-    cap}; five caps cost one extra join, not five pipelines."""
+    realized recall. Verification runs ONCE at the LARGEST profiled
+    cap — capping only filters candidates and verify is
+    pair-deterministic, so verified-at-cap ≡ verified@max ∩
+    {best_rank ≤ cap} for every cap ≤ max: identical per-cap results,
+    but the verify tier stays bounded at max_cap·n edges BY
+    CONSTRUCTION (an uncapped profile verify on the 100×-adversarial
+    replica corpus spilled ~70 GB before dying — the cap demonstrating
+    its own necessity; SCALING.md (y))."""
     docs = load_table(spark, sf_dir, "documents")
     _, _, _, cand_est, _, verified_all = _lsh_verified_tiers(
-        docs, max_degree=None, checkpoint_candidates=True
+        docs, max_degree=max(_CAP_PROFILE), checkpoint_candidates=True
     )
     ranked = _degree_ranked(cand_est).localCheckpoint(eager=True)
     ver = (
