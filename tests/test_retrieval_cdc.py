@@ -246,3 +246,70 @@ def test_deletion_neighborhood_covers_edit_kinds(spark):
     for _, v in variants:
         pair = (min(base, v), max(base, v))
         assert pair in got, pair
+
+
+def test_linkage_joins_match_brute_force_on_random_corpora(spark, monkeypatch):
+    """Adversarial corpus fuzz for the round-7 signature filters: a
+    tiny alphabet (dense char collisions) with planted 1-2-char typo
+    variants — both linkage joins must equal per-block brute force on
+    both metrics (the strongest soundness check: random data, not the
+    fixture's name distribution)."""
+    import random
+
+    from sparkifydb_datawarehouse_spark.operators import fuzzy as FZ
+    from sparkifydb_datawarehouse_spark.operators.fuzzy import jaro_winkler
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    rng = random.Random(99)
+    alpha = "abcdefg"
+    for _trial in range(2):
+        rows = []
+        for k in range(60):
+            name = "".join(
+                rng.choice(alpha) for _ in range(rng.randint(3, 12))
+            )
+            if k and rng.random() < 0.5:
+                base = rows[rng.randrange(len(rows))][3]
+                chars = list(base)
+                for _ in range(rng.randint(1, 2)):
+                    chars[rng.randrange(len(chars))] = rng.choice(alpha)
+                name = "".join(chars)
+            rows.append((k, f"B{k % 2}", "T", name))
+        df = spark.createDataFrame(
+            rows, "p_partkey long, p_brand string, p_type string, p_name string"
+        )
+        monkeypatch.setattr(FZ, "load_table", lambda *_a, **_k: df)
+        got_lev = {
+            (r["part_a"], r["part_b"], r["edit_dist"])
+            for r in FZ.join_fuzzy_levenshtein(spark, "x").collect()
+        }
+        got_jw = {
+            (r["part_a"], r["part_b"], r["jw_sim"])
+            for r in FZ.join_jaro_winkler(spark, "x").collect()
+        }
+        want_lev, want_jw = set(), set()
+        by_block = {}
+        for r in rows:
+            by_block.setdefault((r[1], r[2]), []).append(r)
+        for blk in by_block.values():
+            for i in range(len(blk)):
+                for j in range(i + 1, len(blk)):
+                    a, b = blk[i], blk[j]
+                    d = lev(a[3], b[3])
+                    if d <= 2 and abs(len(a[3]) - len(b[3])) <= 2:
+                        want_lev.add((a[0], b[0], d))
+                    s = jaro_winkler(a[3], b[3])
+                    if s >= 0.9:
+                        want_jw.add((a[0], b[0], round(s, 6)))
+        assert got_lev == want_lev
+        assert got_jw == want_jw
