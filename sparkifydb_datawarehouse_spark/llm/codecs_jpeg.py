@@ -228,6 +228,11 @@ class _BitReader:
                     self.pos += 2
                 elif nxt is None:
                     raise ImageDecodeError("dangling FF at end of entropy data")
+                elif nxt == 0xFF:
+                    # T.81 B.1.1.2 fill-byte run before a marker: the
+                    # marker id is the first non-FF byte (ADVICE r7)
+                    self.pos += 1
+                    continue
                 else:
                     self.marker = nxt  # RSTn / EOI / next segment
                     continue
@@ -258,10 +263,16 @@ class _BitReader:
     def next_marker_pos(self) -> int:
         """Position of the next real (non-stuffed) marker at or after
         the reader's byte cursor — where the outer segment loop resumes
-        after a progressive scan's entropy data."""
+        after a progressive scan's entropy data. Runs of 0xFF fill
+        bytes before a marker are spec-legal padding (T.81 B.1.1.2):
+        skip to the LAST 0xFF of the run so ``data[pos+1]`` is the
+        marker id, not another fill byte (ADVICE r7)."""
         p = self.pos
         while p + 1 < len(self.data):
             if self.data[p] == 0xFF and self.data[p + 1] != 0x00:
+                if self.data[p + 1] == 0xFF:  # fill byte, not a marker id
+                    p += 1
+                    continue
                 return p
             p += 1
         raise ImageDecodeError("missing marker after scan data")
@@ -272,9 +283,12 @@ class _BitReader:
         self.nbits = 0
         if self.marker is None:
             # reader may not have hit the marker yet: scan forward
+            # (skipping T.81 B.1.1.2 fill-byte runs, same as
+            # next_marker_pos)
             while self.pos + 1 < len(self.data):
-                if self.data[self.pos] == 0xFF and self.data[self.pos + 1] != 0x00:
-                    self.marker = self.data[self.pos + 1]
+                nxt = self.data[self.pos + 1]
+                if self.data[self.pos] == 0xFF and nxt not in (0x00, 0xFF):
+                    self.marker = nxt
                     break
                 self.pos += 1
         if self.marker is None or not 0xD0 <= self.marker <= 0xD7:
@@ -322,6 +336,9 @@ def decode_jpeg(blob: bytes) -> dict:
         if blob[pos] != 0xFF:
             raise ImageDecodeError(f"expected marker at {pos}, got {blob[pos]:#x}")
         marker = blob[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2 fill byte before the marker id
+            pos += 1
+            continue
         if marker == 0xD9:  # EOI
             break
         seglen = struct.unpack(">H", blob[pos + 2 : pos + 4])[0]

@@ -473,12 +473,16 @@ def rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def markov_attribution_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _markov_attribution_raw(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[str, int, float, float]]:
     """Removal-effect attribution over user journeys: journeys run
     through each user's events in time order up to the FIRST purchase
     (→ CONV) or their end (→ NULL); channels are the non-purchase
-    event types. Output per channel: transition-observed touch count,
-    removal effect, and normalized attribution share."""
+    event types. Returns UNROUNDED ``(channel, n_touches, effect,
+    share)`` tuples — the contract query's invariant flags are computed
+    from these, the detail DataFrame rounds them for display (ADVICE r7
+    caught the flags being computed post-rounding)."""
     import numpy as np
 
     from pyspark.sql.window import Window
@@ -571,14 +575,23 @@ def markov_attribution_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
         c: max(0.0, 1.0 - (p_conv(c) / base if base > 0 else 0.0)) for c in channels
     }
     total = sum(effects.values())
-    rows = [
+    return [
         (
             c,
             int(touch[c]),
-            round(effects[c], 6),
-            round(effects[c] / total, 6) if total > 0 else 0.0,
+            effects[c],
+            effects[c] / total if total > 0 else 0.0,
         )
         for c in channels
+    ]
+
+
+def markov_attribution_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6dp-rounded presentation of :func:`_markov_attribution_raw`;
+    pytest pins its values and determinism."""
+    rows = [
+        (c, n, round(effect, 6), round(share, 6))
+        for c, n, effect, share in _markov_attribution_raw(spark, sf_dir)
     ]
     return spark.createDataFrame(
         rows, "channel string, n_touches long, removal_effect double, attribution double"
@@ -616,14 +629,12 @@ def markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNROUNDED effects/shares on the driver; an attribution total of 0
     (no conversions anywhere) makes the normalization claim vacuously
     true, matching the oracle's constant."""
-    detail = markov_attribution_detail(spark, sf_dir)
-    rows = detail.collect()  # channels-sized, bounded by event-type cardinality
-    in_range = int(all(0.0 <= r["removal_effect"] <= 1.0 for r in rows))
-    share_sum = sum(r["attribution"] for r in rows)
+    # channels-sized, bounded by event-type cardinality
+    rows = _markov_attribution_raw(spark, sf_dir)
+    in_range = int(all(0.0 <= effect <= 1.0 for _, _, effect, _ in rows))
+    share_sum = sum(share for _, _, _, share in rows)
     normalized = int(share_sum == 0.0 or abs(share_sum - 1.0) < 1e-4)
-    out = [
-        (r["channel"], int(r["n_touches"]), in_range, normalized) for r in rows
-    ]
+    out = [(c, int(n), in_range, normalized) for c, n, _, _ in rows]
     return spark.createDataFrame(
         sorted(out),
         "channel string, n_touches long, effects_in_unit_range int, "

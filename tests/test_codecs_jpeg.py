@@ -337,3 +337,76 @@ def test_progressive_rejects_invalid_scan_params():
         blob = encode_jpeg_progressive_from_coeffs(q, 16, 16, scans=sc)
         with pytest.raises(ImageDecodeError):
             decode_jpeg(blob)
+
+
+# ---------------------------------------------------------------------------
+# T.81 B.1.1.2 fill bytes — any marker may be preceded by a run of
+# 0xFF padding. ADVICE r7: next_marker_pos (and the entropy reader /
+# segment loop) treated a fill 0xFF followed by another 0xFF as a
+# marker id and failed with a confusing length-read error.
+# ---------------------------------------------------------------------------
+
+
+def _insert_fill_bytes(blob: bytes, n: int = 3) -> bytes:
+    """Structurally re-emit ``blob`` with ``n`` 0xFF fill bytes before
+    every marker: segment markers, RSTn inside entropy data, and the
+    marker terminating each scan's entropy data."""
+    import struct as _struct
+
+    out = bytearray()
+    pos = 0
+    while pos + 1 < len(blob):
+        assert blob[pos] == 0xFF, hex(blob[pos])
+        marker = blob[pos + 1]
+        if pos > 0:  # never pad SOI — the magic check is positional
+            out.extend(b"\xff" * n)
+        out.extend(blob[pos : pos + 2])
+        pos += 2
+        if marker in (0xD8, 0xD9):
+            continue  # segment-less markers
+        seglen = _struct.unpack(">H", blob[pos : pos + 2])[0]
+        out.extend(blob[pos : pos + seglen])
+        pos += seglen
+        if marker == 0xDA:  # SOS: copy entropy data up to next real
+            # marker, padding RSTn markers inline and re-entering
+            # entropy mode after each one
+            while True:
+                start = pos
+                while pos + 1 < len(blob):
+                    if blob[pos] == 0xFF and blob[pos + 1] != 0x00:
+                        break
+                    pos += 1
+                out.extend(blob[start:pos])
+                if pos + 1 < len(blob) and 0xD0 <= blob[pos + 1] <= 0xD7:
+                    out.extend(b"\xff" * n)
+                    out.extend(blob[pos : pos + 2])
+                    pos += 2
+                    continue
+                break
+    out.extend(blob[pos:])
+    return bytes(out)
+
+
+def test_fill_bytes_before_markers_tolerated():
+    """Baseline + progressive decodes are byte-identical when every
+    marker is preceded by a 0xFF fill run (including before RSTn and
+    the post-scan markers that next_marker_pos locates)."""
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg import (
+        decode_jpeg,
+        encode_jpeg_from_coeffs,
+        encode_jpeg_progressive_from_coeffs,
+    )
+
+    rng = np.random.default_rng(23)
+    q = _rand_coeffs(rng, 3, 4, 0.4, 60)
+    w, h = 30, 22
+    for encode in (
+        lambda: encode_jpeg_from_coeffs(q, w, h),
+        lambda: encode_jpeg_progressive_from_coeffs(q, w, h),
+        lambda: encode_jpeg_progressive_from_coeffs(q, w, h, restart_interval=2),
+    ):
+        blob = encode()
+        want = decode_jpeg(blob)
+        for n in (1, 2, 7):
+            got = decode_jpeg(_insert_fill_bytes(blob, n))
+            assert got["pixels"] == want["pixels"], n

@@ -224,6 +224,7 @@ _EMPTY_GATE_QUERIES = [
     "q_search_rrf_fusion",
     "q_text_cdc_chunks",
     "q_agg_kmv_overlap",
+    # also covers the r7 _jw_candidates rework's lens==[] early return
     "q_join_jaro_winkler",
     "q_sample_dsir",
     "q_scan_xml",
