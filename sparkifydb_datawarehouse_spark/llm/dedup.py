@@ -207,6 +207,26 @@ _EST_MIN_AGREE = 8
 # its exact brute-force oracle.
 _MAX_DEGREE = 64
 
+# Pre-flight ceiling for the UNCAPPED verify tier (VERDICT r7 #4).
+# ``dedup_lsh_verified(max_degree=None)`` is the documented escape
+# hatch that spilled ~70 GB and died on the 100×-adversarial replica
+# corpus (SCALING.md (y)) — each junk candidate costs ~170 posting-join
+# rows downstream. When the cap is disabled, the candidate set is
+# materialized once (localCheckpoint — the verify tier reuses it, so
+# the count is amortized, not extra work) and the run REFUSES with
+# CandidateFloodError if it exceeds this many edges. The 100× flood
+# measured 21.7M estimate-surviving candidates, so the 10M default
+# trips there while leaving two orders of magnitude of headroom over
+# any legit mid-scale corpus; a workload with >10M GENUINE near-dup
+# edges should run with a degree cap (the linear-cost path), not
+# uncapped. ``uncapped_edge_ceiling=None`` disables the guard.
+_UNCAPPED_EDGE_CEILING = 10_000_000
+
+
+class CandidateFloodError(RuntimeError):
+    """Uncapped LSH-verify refused: candidate volume indicates a junk
+    flood that the exact-verify tier would inherit quadratically."""
+
 
 def minhash_band_pairs(
     docs: DataFrame, max_bucket: int = _MAX_BUCKET, observation=None
@@ -1259,6 +1279,7 @@ def _lsh_verified_tiers(
     observation=None,
     degree_observation=None,
     checkpoint_candidates: bool = False,
+    uncapped_edge_ceiling: int | None = _UNCAPPED_EDGE_CEILING,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Returns (ex, cand_raw, cand, cand_est, cand_capped, verified):
 
@@ -1436,6 +1457,27 @@ def _lsh_verified_tiers(
             cand_capped = cand_capped.localCheckpoint(eager=True)
     else:
         cand_capped = cand_est.select("doc_a", "doc_b", "la", "lb")
+        if uncapped_edge_ceiling is not None:
+            # pre-flight guard (VERDICT r7 #4): materialize the
+            # candidate set once — the verify tier reads the same
+            # checkpoint, so the count costs one cached scan — and
+            # refuse before the posting join fans each edge into ~170
+            # rows. Only the uncapped path needs this: a degree cap
+            # already bounds verify volume at cap·n by construction.
+            cand_capped = cand_capped.localCheckpoint(eager=True)
+            n_edges = cand_capped.count()
+            if n_edges > uncapped_edge_ceiling:
+                raise CandidateFloodError(
+                    f"uncapped LSH verify refused: {n_edges} candidate "
+                    f"edges exceed the {uncapped_edge_ceiling}-edge "
+                    "pre-flight ceiling (a junk flood costs ~170 "
+                    "posting-join rows per edge — the 100x-adversarial "
+                    "probe spilled ~70 GB here, SCALING.md (y)). Run "
+                    "with a degree cap (max_degree, default "
+                    f"{_MAX_DEGREE}) for verify cost linear in corpus "
+                    "size, or raise/disable uncapped_edge_ceiling if "
+                    "this volume is intended."
+                )
 
     # tier 2: exact |A∩B| via candidate-bounded posting joins — the
     # prefix-filter verify stage verbatim; zero-overlap candidates
@@ -1468,7 +1510,10 @@ def _lsh_verified_tiers(
 
 @query("q_dedup_lsh_verified", oracle=_ORACLE_PREFIX_FILTER)
 def dedup_lsh_verified(
-    spark: SparkSession, sf_dir: str, max_degree: int | None = _MAX_DEGREE
+    spark: SparkSession,
+    sf_dir: str,
+    max_degree: int | None = _MAX_DEGREE,
+    uncapped_edge_ceiling: int | None = _UNCAPPED_EDGE_CEILING,
 ) -> DataFrame:
     """All document pairs with exact shingle-set Jaccard ≥ 1/2,
     candidates from minhash LSH instead of the exact prefix-filter
@@ -1479,9 +1524,14 @@ def dedup_lsh_verified(
     default _MAX_DEGREE, inert at oracle scale — the oracle equality
     additionally proves, every run, that the default cap dropped no
     qualifying pair on this corpus; q_dedup_lsh_cap_profile reports
-    realized recall per operating point."""
+    realized recall per operating point. ``max_degree=None`` is the
+    escape hatch — it arms the CandidateFloodError pre-flight
+    (``uncapped_edge_ceiling``) so a junk flood refuses instead of
+    spilling in the verify tier."""
     _, _, _, _, _, verified = _lsh_verified_tiers(
-        load_table(spark, sf_dir, "documents"), max_degree=max_degree
+        load_table(spark, sf_dir, "documents"),
+        max_degree=max_degree,
+        uncapped_edge_ceiling=uncapped_edge_ceiling,
     )
     return verified
 

@@ -572,3 +572,36 @@ def test_lsh_cap_profile_inert_on_fixture(spark, sf_dir):
 
     rows = dedup_lsh_cap_profile(spark, sf_dir).collect()
     assert rows and all(r["realized_recall"] == 1.0 for r in rows)
+
+
+def test_uncapped_verify_flood_guard(spark, sf_dir, tmp_path):
+    """VERDICT r7 #4: ``max_degree=None`` (the documented escape hatch
+    that spilled ~70 GB on the 100x-adversarial corpus before the cap
+    existed) now pre-flights candidate volume. On a planted junk flood
+    — a 64-doc identical-text clique, C(64,2)=2016 estimate-surviving
+    edges — a 1000-edge ceiling must REFUSE with CandidateFloodError
+    before the posting join runs; on the real oracle fixture the
+    uncapped path with the default 10M ceiling completes and matches
+    the capped result exactly."""
+    from sparkifydb_datawarehouse_spark.llm.dedup import (
+        CandidateFloodError,
+        _lsh_verified_tiers,
+        dedup_lsh_verified,
+    )
+
+    # inert at oracle scale: default ceiling, uncapped == capped output
+    uncapped = _pairs(dedup_lsh_verified(spark, sf_dir, max_degree=None))
+    capped = _pairs(dedup_lsh_verified(spark, sf_dir))
+    assert uncapped == capped
+
+    text = " ".join(f"w{i}" for i in range(40))
+    flood = spark.createDataFrame(
+        [(i, text) for i in range(64)], "doc_id long, text string"
+    )
+    with pytest.raises(CandidateFloodError, match="pre-flight ceiling"):
+        _lsh_verified_tiers(flood, max_degree=None, uncapped_edge_ceiling=1000)
+    # the same flood passes when its volume is within the ceiling
+    out = _lsh_verified_tiers(
+        flood, max_degree=None, uncapped_edge_ceiling=5000
+    )[5]
+    assert out.count() == 64 * 63 // 2
