@@ -40,8 +40,8 @@ HEADLINE = [
     "q_topk_per_group",              # window top-k
     "q_sort_limit",                  # TakeOrderedAndProject
     "q_dedup_exact",                 # fingerprint groupBy
-    "q_dedup_fuzzy_minhash",         # sketch + LSH band self-join
-    "q_dedup_simhash",               # 64-bit bit-vote sketch + chunk buckets
+    "q_dedup_fuzzy_minhash",         # LSH band self-join + r8 exact-truth recall audit
+    "q_dedup_simhash",               # bit-vote sketch buckets + r8 exact-truth recall audit
     "q_dedup_clusters",              # iterative connected components
     "q_similarity_topk",             # brute-force cosine scan
     "q_similarity_batch_knn",        # bucketed all-pairs kNN

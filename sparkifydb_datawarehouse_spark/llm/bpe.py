@@ -235,6 +235,16 @@ def train_bpe_distributed(
     Returns [(left, right, pair_count), ...] in merge order. Stops
     early when the best pair's weighted count falls below
     min_pair_count (merging near-singletons adds no compression)."""
+    return _train_bpe_with_totals(docs, n_merges, min_pair_count)[0]
+
+
+def _train_bpe_with_totals(
+    docs: DataFrame, n_merges: int = _N_DIST_MERGES, min_pair_count: int = 2
+) -> tuple[list[tuple[str, str, int]], int, int, int]:
+    """train_bpe_distributed plus the corpus totals the contract query
+    anchors on: (merges, initial_symbols, final_symbols,
+    n_word_tokens) — all freq-weighted over the type table, so the two
+    extra aggs are vocabulary-sized."""
     spark = docs.sparkSession
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
     types = (
@@ -252,6 +262,15 @@ def train_bpe_distributed(
         "i -> struct(element_at(syms, i) AS l, element_at(syms, i + 1) AS r)) "
         "ELSE array() END"
     )
+
+    def totals(t: DataFrame) -> tuple[int, int]:
+        row = t.agg(
+            F.coalesce(F.sum(F.col("freq") * F.size("syms")), F.lit(0)).alias("s"),
+            F.coalesce(F.sum("freq"), F.lit(0)).alias("w"),
+        ).first()
+        return int(row["s"]), int(row["w"])
+
+    initial_symbols, n_word_tokens = totals(types)
     merges: list[tuple[str, str, int]] = []
     for _ in range(n_merges):
         top = (
@@ -268,20 +287,112 @@ def train_bpe_distributed(
         merges.append((a, b, cnt))
         types = types.withColumn("syms", _apply_merge(F.col("syms"), a, b))
         types = types.localCheckpoint(eager=True)
-    return merges
+    final_symbols = totals(types)[0] if merges else initial_symbols
+    return merges, initial_symbols, final_symbols, n_word_tokens
 
 
-@query("q_text_bpe_train_distributed")  # rows-only: iterative argmax
-# loop is non-SQL-expressible (documented category); equivalence to
-# the classic full-histogram trainer is pinned in tests/test_bpe.py
-def text_bpe_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The distributed BPE training loop as a registered query: one
-    row per learned merge with its rank and weighted pair count —
+def text_bpe_train_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed BPE training loop's full merge table: one row
+    per learned merge with its rank and weighted pair count —
     deterministic for fixed data (count desc, pair asc tie-break, the
-    train_bpe convention)."""
+    train_bpe convention). The REGISTERED query below is the contract
+    form; this detail stays available (tests/test_bpe.py pins the
+    trainer itself)."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     merges = train_bpe_distributed(docs)
     return spark.createDataFrame(
         [(i + 1, a, b, a + b, c) for i, (a, b, c) in enumerate(merges)],
         "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+# Contract oracle (VERDICT r7 #3 — "convergence/fertility anchors"):
+# ranks ≥ 2 of the merge table depend on the iterative argmax (non-
+# SQL-expressible), but rank 1 IS the plain freq-weighted argmax over
+# char-bigram pairs of the word-type histogram — DuckDB recomputes it
+# exactly (same count-desc / pair-asc tie-break; both engines compare
+# ASCII strings bytewise). Corpus anchors n_word_tokens and
+# initial_symbols are exact aggregates. The two flags are theorems:
+#   counts_monotone    — merge pair counts are non-increasing in rank
+#                        (any post-merge pair's count is bounded by
+#                        the merged pair's count: pairs involving the
+#                        new symbol occur at most once per replacement,
+#                        all others could only lose occurrences);
+#   fertility_in_bounds— n_word_tokens ≤ final_symbols ≤
+#                        initial_symbols (every word keeps ≥ 1 symbol;
+#                        merging never adds symbols).
+# Zero learned merges (max pair count < min_pair_count, e.g. the
+# one-row degenerate fixture) → zero rows on BOTH sides (the oracle's
+# first-merge CTE is empty under WHERE cnt >= 2).
+_ORACLE_BPE_TRAIN = """
+WITH words AS (
+    SELECT unnest(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+), types AS (
+    SELECT w, COUNT(*) AS freq FROM words GROUP BY w
+), syms AS (
+    SELECT freq,
+           list_append(list_transform(range(1, length(w) + 1), i -> w[i:i]),
+                       '</w>') AS syms
+    FROM types
+), pr AS (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                                 i -> struct_pack(l := syms[i], r := syms[i+1]))) AS p
+    FROM syms
+), counts AS (
+    SELECT p.l AS l, p.r AS r, SUM(freq) AS cnt FROM pr GROUP BY 1, 2
+), first AS (
+    SELECT l, r, cnt FROM counts WHERE cnt >= 2 ORDER BY cnt DESC, l, r LIMIT 1
+), anchors AS (
+    SELECT CAST((SELECT COUNT(*) FROM words) AS BIGINT) AS n_word_tokens,
+           CAST((SELECT SUM(freq * (length(w) + 1)) FROM types) AS BIGINT)
+               AS initial_symbols
+)
+SELECT first.l AS first_left,
+       first.r AS first_right,
+       CAST(first.cnt AS BIGINT) AS first_pair_count,
+       anchors.n_word_tokens,
+       anchors.initial_symbols,
+       CAST(1 AS INTEGER) AS counts_monotone,
+       CAST(1 AS INTEGER) AS fertility_in_bounds
+FROM first CROSS JOIN anchors
+"""
+
+_BPE_CONTRACT_SCHEMA = (
+    "first_left string, first_right string, first_pair_count long, "
+    "n_word_tokens long, initial_symbols long, "
+    "counts_monotone int, fertility_in_bounds int"
+)
+
+
+@query("q_text_bpe_train_distributed", oracle=_ORACLE_BPE_TRAIN)
+def text_bpe_train_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract form of the distributed BPE trainer (see oracle banner
+    above): the exact rank-1 merge + corpus anchors, plus the
+    convergence/fertility theorem flags computed from the full run."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges, initial_symbols, final_symbols, n_word_tokens = (
+        _train_bpe_with_totals(docs)
+    )
+    if not merges:
+        return spark.createDataFrame([], _BPE_CONTRACT_SCHEMA)
+    counts = [c for _, _, c in merges]
+    monotone = int(all(a >= b for a, b in zip(counts, counts[1:])))
+    in_bounds = int(n_word_tokens <= final_symbols <= initial_symbols)
+    left, right, cnt = merges[0]
+    return spark.createDataFrame(
+        [
+            (
+                left,
+                right,
+                cnt,
+                n_word_tokens,
+                initial_symbols,
+                monotone,
+                in_bounds,
+            )
+        ],
+        _BPE_CONTRACT_SCHEMA,
     )

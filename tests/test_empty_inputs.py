@@ -257,6 +257,9 @@ _EMPTY_GATE_QUERIES = [
     "q_agg_hll_sketch",
     "q_dedup_minhash_calibration",
     "q_multimodal_decode_jpeg_progressive",
+    # round-8 contract-oracle conversions
+    "q_dedup_fuzzy_minhash",
+    "q_dedup_simhash",
 ]
 
 
@@ -353,6 +356,10 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_agg_hll_sketch",
         "q_dedup_minhash_calibration",
         "q_multimodal_decode_jpeg_progressive",
+        # round-8 contract-oracle conversions
+        "q_dedup_fuzzy_minhash",
+        "q_dedup_simhash",
+        "q_text_bpe_train_distributed",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -441,6 +448,9 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_agg_hll_sketch",
         "q_dedup_minhash_calibration",
         "q_multimodal_decode_jpeg_progressive",
+        # round-8 contract-oracle conversions
+        "q_dedup_fuzzy_minhash",
+        "q_dedup_simhash",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -47,18 +47,35 @@ def test_minhash_finds_planted_dups(spark, planted_dir):
 
 
 def test_simhash_finds_planted_dups(spark, planted_dir):
-    df = dedup.dedup_simhash(spark, planted_dir)
+    docs = spark.read.parquet(f"{planted_dir}/documents.parquet")
+    df = dedup.simhash_pairs(docs)
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in df.collect()}
     assert pairs.get((0, 1)) == 0, "identical docs → identical simhash"
     assert (2, 3) in pairs, "near-identical docs within hamming threshold"
     assert not any(4 in p for p in pairs), "unrelated doc must not pair"
+    # the r8 contract form: planted identical docs make the
+    # exact_dups_hamming_zero flag NON-vacuous, and both flags read 1
+    flagged = dedup.dedup_simhash(spark, planted_dir).collect()
+    assert flagged, "planted corpus has true j >= 1/2 pairs"
+    assert all(
+        r["recall_ge_floor"] == 1 and r["exact_dups_hamming_zero"] == 1
+        for r in flagged
+    )
 
 
 def test_minhash_smoke_on_fixture(spark, sf_dir):
     # runs on the real corpus without error; pair list is deterministic
-    df = dedup.dedup_fuzzy_minhash(spark, sf_dir)
+    df = dedup.minhash_band_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+    )
     assert df.columns == ["doc_a", "doc_b"]
     df.collect()
+    # r8 contract form: every truth pair LSH-recalled, volume linear
+    flagged = dedup.dedup_fuzzy_minhash(spark, sf_dir).collect()
+    assert flagged and all(
+        r["lsh_candidate"] == 1 and r["candidate_volume_linear"] == 1
+        for r in flagged
+    )
 
 
 def test_connected_components_chain_and_islands(spark):
@@ -541,7 +558,7 @@ def test_lsh_cap_profile_reports_monotone_recall(spark, tmp_path):
     default cap 64."""
     from sparkifydb_datawarehouse_spark.llm.dedup import (
         _CAP_PROFILE,
-        dedup_lsh_cap_profile,
+        dedup_lsh_cap_profile_detail,
     )
 
     text = " ".join(f"w{i}" for i in range(40))
@@ -551,7 +568,7 @@ def test_lsh_cap_profile_reports_monotone_recall(spark, tmp_path):
     docs.coalesce(1).write.mode("overwrite").parquet(
         str(tmp_path / "documents.parquet")
     )
-    rows = dedup_lsh_cap_profile(spark, str(tmp_path)).collect()
+    rows = dedup_lsh_cap_profile_detail(spark, str(tmp_path)).collect()
     assert [r["max_degree"] for r in rows] == list(_CAP_PROFILE)
     recalls = [r["realized_recall"] for r in rows]
     edges = [r["candidate_edges"] for r in rows]
@@ -568,10 +585,20 @@ def test_lsh_cap_profile_reports_monotone_recall(spark, tmp_path):
 def test_lsh_cap_profile_inert_on_fixture(spark, sf_dir):
     """Every operating point reads recall 1.0 on the real fixture —
     the cap trade-off only exists on adversarial/hub-heavy corpora."""
-    from sparkifydb_datawarehouse_spark.llm.dedup import dedup_lsh_cap_profile
+    from sparkifydb_datawarehouse_spark.llm.dedup import (
+        dedup_lsh_cap_profile,
+        dedup_lsh_cap_profile_detail,
+    )
 
-    rows = dedup_lsh_cap_profile(spark, sf_dir).collect()
+    rows = dedup_lsh_cap_profile_detail(spark, sf_dir).collect()
     assert rows and all(r["realized_recall"] == 1.0 for r in rows)
+    # the registered contract form (r8 conversion) reads all-green too
+    flags = dedup_lsh_cap_profile(spark, sf_dir).collect()
+    assert len(flags) == len(rows)
+    assert all(
+        f["recall_full"] == 1 and f["verified_subset_of_truth"] == 1
+        for f in flags
+    )
 
 
 def test_uncapped_verify_flood_guard(spark, sf_dir, tmp_path):

@@ -86,10 +86,19 @@ EXCHANGE_BUDGETS = {
     "q_corpus_funnel": 9,
     "q_dedup_clusters": 1,
     "q_dedup_exact": 2,  # r4: scan-spread tried and reverted (measured regression; see dedup.py)
-    "q_dedup_fuzzy_minhash": 5,
+    # r8: contract-oracle conversion — the registered query is now the
+    # recall/volume audit: exact prefix-filter truth (14, its own
+    # budget) + the flag join + broadcast volume agg + final sort. The
+    # raw candidate generator (minhash_band_pairs, the production
+    # path) keeps its original 5-exchange shape, pinned via the
+    # checkpointed cand subplan
+    "q_dedup_fuzzy_minhash": 17,
     "q_dedup_ngram_jaccard": 7,
     "q_dedup_representative": 2,
-    "q_dedup_simhash": 5,
+    # r8: contract-oracle conversion — truth is localCheckpointed
+    # (the flagged frame has two consumers: recall agg + rows), so
+    # the visible plan is the sketch pipeline + flag joins/aggs
+    "q_dedup_simhash": 9,
     "q_dq_referential": 15,
     "q_drift_psi": 2,
     "q_embedding_quantize": 5,
