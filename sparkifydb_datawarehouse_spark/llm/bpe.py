@@ -132,12 +132,12 @@ _BPE_SCHEMA = StructType(
 )
 
 
-@query("q_text_bpe_apply")  # rows-only: greedy merge loop is non-SQL-expressible
-def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_bpe_apply_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Apply the corpus-learned BPE merges to every document and roll
     up token economics per language: words, subword tokens, and the
     fertility ratio (subwords/word) — the number that decides training
-    cost under a given tokenizer."""
+    cost under a given tokenizer. The REGISTERED q_text_bpe_apply
+    below is its contract form (r8 conversion)."""
     merges = learn_corpus_merges(spark, sf_dir)
     ranks = {p: i for i, p in enumerate(merges)}
 
@@ -188,6 +188,76 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 F.try_divide(F.sum("n_subwords"), F.sum("n_words")), 4
             ).alias("subwords_per_word"),
+        )
+        .orderBy("lang")
+    )
+
+
+# Contract oracle for the APPLY step (r8): the greedy merge loop's
+# subword counts are algorithm-specific, but per-language n_docs and
+# n_words are exact aggregates DuckDB recomputes, and the encoder
+# output obeys two THEOREMS checkable against a second exact anchor
+# (total word characters):
+#   fertility_lower_ok — n_subwords ≥ n_words (every word encodes to
+#                        ≥ 1 token; equality only when all words
+#                        collapse to single tokens);
+#   fertility_upper_ok — n_subwords ≤ n_word_chars + n_words (a word
+#                        starts as len(w)+1 symbols including the
+#                        </w> sentinel and merging never adds any).
+_ORACLE_BPE_APPLY = """
+WITH d AS (
+    SELECT lang,
+           CASE WHEN text IS NULL THEN []
+                ELSE list_filter(string_split_regex(LOWER(text), '\\s+'),
+                                 t -> t <> '') END AS ws
+    FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COALESCE(SUM(len(ws)), 0) AS BIGINT) AS n_words,
+       CAST(COALESCE(SUM(list_sum(list_transform(ws, w -> length(w)))), 0)
+            AS BIGINT) AS n_word_chars,
+       CAST(1 AS INTEGER) AS fertility_lower_ok,
+       CAST(1 AS INTEGER) AS fertility_upper_ok
+FROM d
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q_text_bpe_apply", oracle=_ORACLE_BPE_APPLY)
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract form of the BPE apply rollup (see oracle banner): the
+    exact per-language anchors plus the two encoder theorem flags;
+    the full token economics stay in text_bpe_apply_detail."""
+    detail = text_bpe_apply_detail(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    chars = docs.select(
+        "lang",
+        F.coalesce(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("wc"),
+    ).groupBy("lang").agg(F.sum("wc").cast("long").alias("n_word_chars"))
+    return (
+        detail.join(chars, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            F.coalesce("n_word_chars", F.lit(0)).alias("n_word_chars"),
+            (F.col("n_subwords") >= F.col("n_words"))
+            .cast("int")
+            .alias("fertility_lower_ok"),
+            (
+                F.col("n_subwords")
+                <= F.coalesce("n_word_chars", F.lit(0)) + F.col("n_words")
+            )
+            .cast("int")
+            .alias("fertility_upper_ok"),
         )
         .orderBy("lang")
     )

@@ -201,10 +201,11 @@ _SKETCH_K = 32
 _SKETCH_THRESHOLD_BP = 7500  # estimate >= 0.75 (exact op cuts at 0.80)
 
 
-@query("q_dedup_containment_sketch")  # rows-only: xxhash64 sketch
-def dedup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_sketch_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate (contained, container) pairs whose bottom-32
-    containment estimate >= 0.75.
+    containment estimate >= 0.75. The production candidate generator;
+    the REGISTERED q_dedup_containment_sketch below is its contract
+    form (r8 conversion).
 
     Plan: one codegen projection hashes every shingle (xxhash64 over
     the three token columns — the llm/dedup.py idiom, no string
@@ -265,6 +266,73 @@ def dedup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_hits",
             F.col("k_eff").alias("sample_size"),
             F.round(F.col("n_hits") * 1.0 / F.col("k_eff"), 4).alias("est_containment"),
+        )
+        .orderBy("contained_id", "container_id")
+    )
+
+
+# Contract-oracle form (VERDICT r7 #3, round 8): the bottom-k hashes
+# are engine-specific (xxhash64), but the sketch's CLAIMS are
+# checkable against the exact containment truth the sibling oracle
+# already recomputes:
+#   sketch_recalled      — per exact pair: the sketch surfaced it at
+#                          its looser 0.75 cut (50/50 at sf0.01,
+#                          56/56 at sf0.001 — the 0.05 threshold gap
+#                          absorbs the estimator's ~0.08-std noise);
+#   mae_within_bound /   — corpus-level: mean / max |est − exact|
+#   max_err_within_bound   over the recalled pairs within 0.05 / 0.15
+#                          (measured 0.005 / 0.027 at both SFs;
+#                          Binomial(32, c) std is ≤ 0.09). Vacuously
+#                          1 when no pairs overlap (zero rows then).
+_CONT_MAE_BOUND = 0.05
+_CONT_MAX_BOUND = 0.15
+
+_ORACLE_CONTAINMENT_SKETCH = _ORACLE_CONTAINMENT.replace(
+    "SELECT i.contained_id, i.container_id, i.n_shared,",
+    "SELECT i.contained_id, i.container_id,\n"
+    "       CAST(1 AS INTEGER) AS sketch_recalled,\n"
+    "       CAST(1 AS INTEGER) AS mae_within_bound,\n"
+    "       CAST(1 AS INTEGER) AS max_err_within_bound,\n"
+    "       i.n_shared,",
+    1,
+)
+
+
+@query("q_dedup_containment_sketch", oracle=_ORACLE_CONTAINMENT_SKETCH)
+def dedup_containment_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact containment pairs (the sibling oracle's values) plus the
+    bottom-32 sketch's contract flags (see banner above)."""
+    exact = dedup_containment(spark, sf_dir).localCheckpoint(eager=True)
+    sketch = containment_sketch_pairs(spark, sf_dir)
+    joined = exact.join(
+        sketch.select(
+            "contained_id",
+            "container_id",
+            F.col("est_containment").alias("est"),
+        ),
+        ["contained_id", "container_id"],
+        "left",
+    ).localCheckpoint(eager=True)  # two consumers: rows + error agg
+    err = F.abs(F.col("containment") - F.col("est"))
+    claims = joined.agg(
+        F.coalesce(F.avg(err) <= _CONT_MAE_BOUND, F.lit(True))
+        .cast("int")
+        .alias("mae_within_bound"),
+        F.coalesce(F.max(err) <= _CONT_MAX_BOUND, F.lit(True))
+        .cast("int")
+        .alias("max_err_within_bound"),
+    )
+    return (
+        joined.crossJoin(F.broadcast(claims))
+        .select(
+            "contained_id",
+            "container_id",
+            F.col("est").isNotNull().cast("int").alias("sketch_recalled"),
+            "mae_within_bound",
+            "max_err_within_bound",
+            "n_shared",
+            "n_shingles",
+            "containment",
         )
         .orderBy("contained_id", "container_id")
     )

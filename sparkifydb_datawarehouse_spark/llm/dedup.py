@@ -1684,9 +1684,9 @@ def dedup_lsh_verified(
     return verified
 
 
-@query("q_dedup_lsh_verified_stages")  # rows-only: LSH stage counts are
-# engine-specific (xxhash64 banding); the END result is oracled above
-def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_verified_stages_detail(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
     """Per-stage accounting for the two-tier join: one row per stage
     with its pair count, how many TRUE pairs (prefix-filter exact
     ground truth) it retains, and the recall fraction. The executable
@@ -1722,6 +1722,7 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(name).alias("stage"),
                 "n_pairs",
                 "n_true_recalled",
+                "n_true",
                 F.round(F.try_divide("n_true_recalled", "n_true"), 6).alias("recall"),
             )
         )
@@ -1732,6 +1733,73 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage_row(3, "sketch_estimate", cand_est))
         .unionByName(stage_row(4, "degree_capped", cand_capped))
         .unionByName(stage_row(5, "verified", verified))
+        .orderBy("stage_ord")
+    )
+
+
+# Contract-oracle form (round 8): the per-stage PAIR counts are
+# engine-specific (xxhash64 banding), but the stage labels are fixed,
+# n_true is the brute-force exact j ≥ 1/2 count, and two claims hold:
+#   recall_full    — every stage retains ALL true pairs on this corpus
+#                    (deterministic for fixed data; 1.0 per stage on
+#                    the fixture, pinned independently by pytest;
+#                    vacuously 1 when n_true = 0);
+#   pairs_monotone — stage pair counts never increase (a THEOREM: each
+#                    stage filters its predecessor's pair set).
+_STAGE_NAMES = (
+    "lsh_candidates",
+    "length_filtered",
+    "sketch_estimate",
+    "degree_capped",
+    "verified",
+)
+
+_ORACLE_LSH_STAGES = (
+    "WITH truth AS (\n"
+    + _ORACLE_PREFIX_FILTER.replace("ORDER BY doc_a, doc_b", "").rstrip()
+    + "\n), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)\n"
+    "SELECT s.stage_ord, s.stage, n.n_true,\n"
+    "       CAST(1 AS INTEGER) AS recall_full,\n"
+    "       CAST(1 AS INTEGER) AS pairs_monotone\n"
+    "FROM (VALUES "
+    + ", ".join(f"({i + 1}, '{s}')" for i, s in enumerate(_STAGE_NAMES))
+    + ") AS s(stage_ord, stage) CROSS JOIN n\n"
+    "ORDER BY s.stage_ord"
+)
+
+
+@query("q_dedup_lsh_verified_stages", oracle=_ORACLE_LSH_STAGES)
+def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract form over dedup_lsh_verified_stages_detail (which
+    keeps the full per-stage pair/recall accounting): one row per
+    stage with the exact true-pair anchor and the two flags described
+    above the oracle."""
+    detail = dedup_lsh_verified_stages_detail(spark, sf_dir).localCheckpoint(
+        eager=True
+    )  # two consumers: rows + the cross-stage monotonicity window
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("stage_ord")  # 5 rows — the single partition is fine
+    monotone = (
+        detail.select(
+            (
+                F.col("n_pairs")
+                <= F.coalesce(F.lag("n_pairs").over(w), F.col("n_pairs"))
+            ).alias("ok")
+        )
+        .agg(F.min(F.col("ok").cast("int")).alias("pairs_monotone"))
+    )
+    return (
+        detail.crossJoin(F.broadcast(monotone))
+        .select(
+            "stage_ord",
+            "stage",
+            "n_true",
+            F.when(F.col("n_true") == 0, F.lit(1))
+            .otherwise((F.col("n_true_recalled") == F.col("n_true")).cast("int"))
+            .alias("recall_full"),
+            "pairs_monotone",
+        )
         .orderBy("stage_ord")
     )
 

@@ -44,13 +44,22 @@ def test_trainer_is_deterministic_on_ties():
 def test_query_rollup_invariants(spark):
     from conftest import SF_ORACLE
 
-    rows = registry.QUERIES["q_text_bpe_apply"](spark, SF_ORACLE).collect()
+    from sparkifydb_datawarehouse_spark.llm.bpe import text_bpe_apply_detail
+
+    rows = text_bpe_apply_detail(spark, SF_ORACLE).collect()
     assert rows, "expected per-language rows"
     for r in rows:
         # every word yields >= 1 subword, <= len+1 symbols; fertility
         # must land in a sane band for natural-language fixtures
         assert r["n_subwords"] >= r["n_words"] > 0
         assert 1.0 <= r["subwords_per_word"] <= 12.0
+    # the r8 registered contract form reads all-green on the fixture
+    flagged = registry.QUERIES["q_text_bpe_apply"](spark, SF_ORACLE).collect()
+    assert len(flagged) == len(rows)
+    assert all(
+        f["fertility_lower_ok"] == 1 and f["fertility_upper_ok"] == 1
+        for f in flagged
+    )
 
 
 def test_query_is_deterministic(spark):

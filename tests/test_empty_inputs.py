@@ -360,6 +360,9 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_dedup_fuzzy_minhash",
         "q_dedup_simhash",
         "q_text_bpe_train_distributed",
+        "q_text_bpe_apply",
+        "q_dedup_containment_sketch",
+        "q_dedup_lsh_verified_stages",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -451,6 +454,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         # round-8 contract-oracle conversions
         "q_dedup_fuzzy_minhash",
         "q_dedup_simhash",
+        "q_dedup_containment_sketch",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

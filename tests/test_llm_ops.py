@@ -375,7 +375,12 @@ def test_lsh_verified_stages_full_recall_on_fixture(spark, sf_dir):
     never below it)."""
     from sparkifydb_datawarehouse_spark import registry
 
-    rows = registry.QUERIES["q_dedup_lsh_verified_stages"](spark, sf_dir).collect()
+    from sparkifydb_datawarehouse_spark import registry
+    from sparkifydb_datawarehouse_spark.llm.dedup import (
+        dedup_lsh_verified_stages_detail,
+    )
+
+    rows = dedup_lsh_verified_stages_detail(spark, sf_dir).collect()
     assert [r["stage"] for r in rows] == [
         "lsh_candidates",
         "length_filtered",
@@ -392,6 +397,14 @@ def test_lsh_verified_stages_full_recall_on_fixture(spark, sf_dir):
         >= rows[2]["n_pairs"]
         >= rows[3]["n_pairs"]
         >= rows[4]["n_pairs"]
+    )
+    # the r8 registered contract form reads all-green on the fixture
+    flagged = registry.QUERIES["q_dedup_lsh_verified_stages"](
+        spark, sf_dir
+    ).collect()
+    assert [f["stage"] for f in flagged] == [r["stage"] for r in rows]
+    assert all(
+        f["recall_full"] == 1 and f["pairs_monotone"] == 1 for f in flagged
     )
 
 

@@ -75,12 +75,13 @@ def test_containment_sketch_recovers_exact_pairs(spark):
     containment 1.0, far above both thresholds, so recall 1.0 is the
     designed behavior, not luck."""
     from sparkifydb_datawarehouse_spark.llm.containment import (
+        containment_sketch_pairs,
         dedup_containment_sketch,
     )
 
     sketch = {
         (r.contained_id, r.container_id)
-        for r in dedup_containment_sketch(spark, SF_SMOKE).collect()
+        for r in containment_sketch_pairs(spark, SF_SMOKE).collect()
     }
     exact = {
         (r.contained_id, r.container_id)
@@ -89,6 +90,15 @@ def test_containment_sketch_recovers_exact_pairs(spark):
     assert exact, "fixture must contain planted subsumption pairs"
     assert exact <= sketch
     assert not (sketch - exact)
+    # the r8 registered contract form reads all-green on the fixture
+    flagged = dedup_containment_sketch(spark, SF_SMOKE).collect()
+    assert {(r.contained_id, r.container_id) for r in flagged} == exact
+    assert all(
+        r.sketch_recalled == 1
+        and r.mae_within_bound == 1
+        and r.max_err_within_bound == 1
+        for r in flagged
+    )
 
 
 def test_domain_match_balances_to_minority(spark):

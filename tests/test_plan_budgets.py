@@ -219,7 +219,9 @@ EXCHANGE_BUDGETS = {
     "q_bootstrap_ci": 3,  # +1: deliberate scan spread before the B-fold md5 explode
     "q_diff_in_diff": 2,
     "q_map_in_arrow": 2,
-    "q_text_bpe_apply": 3,
+    # r8: contract-oracle conversion adds the per-language exact
+    # word-char anchor agg + its join onto the mapInPandas rollup
+    "q_text_bpe_apply": 5,
     "q_agg_approx_distinct_calibration": 6,
     "q_join_partition_pruned": 3,
     "q_markov_attribution": 0,  # driver-solve; distributed part is window + tiny agg
