@@ -139,15 +139,17 @@ def decode_image(blob: bytes) -> dict:
     {"width", "height", "channels", "pixels" (RGB row-major bytes)}.
 
     PPM (netpbm P6/P3), 24-bit BI_RGB BMP, 8-bit RGB/RGBA PNG
-    (stdlib-zlib inflate + unfilter), and JPEG — baseline sequential
-    AND progressive (SOF2) as of round 7 — (grayscale returns
-    channels=1 with the luma plane; YCbCr returns BT.601 RGB) decode
-    here in pure Python with no external dependency (codecs.py /
-    codecs_jpeg.py). Formats that genuinely need a codec library
-    (WebP, arithmetic-coded JPEG, ...) keep the NotImplementedError
-    gate on an import-try of Pillow."""
+    (stdlib-zlib inflate + unfilter), JPEG — baseline sequential AND
+    progressive (SOF2) as of round 7 — (grayscale returns channels=1
+    with the luma plane; YCbCr returns BT.601 RGB), and lossless WebP
+    (VP8L, round 8) decode here in pure Python with no external
+    dependency (codecs.py / codecs_jpeg.py / codecs_vp8l.py). Formats
+    that genuinely need a codec library (lossy VP8 WebP,
+    arithmetic-coded JPEG) keep the NotImplementedError gate on an
+    import-try of Pillow."""
     from .codecs import _PNG_MAGIC, decode_bmp, decode_png, decode_ppm
     from .codecs_jpeg import decode_jpeg
+    from .codecs_vp8l import decode_vp8l
 
     if blob[:2] in (b"P6", b"P3"):
         return decode_ppm(blob)
@@ -157,16 +159,22 @@ def decode_image(blob: bytes) -> dict:
         return decode_png(blob)
     if blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
+        if b"VP8L" in blob[12:24]:
+            return decode_vp8l(blob)
+        # fall through to the gate: VP8 (lossy) / VP8X (extended)
     try:  # pragma: no cover - codec gate for compressed formats
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "WebP (and other exotic-format) decode requires a codec "
-            "library (e.g. Pillow), which is not available in this "
-            "environment; PPM, BMP, 8-bit RGB/RGBA PNG, and baseline + "
-            "progressive JPEG decode natively (codecs.py / codecs_jpeg.py), and "
-            "the deterministic fake-media path (attach_fake_media + "
-            "multimodal_features) covers pipeline testing"
+            "lossy/extended WebP (VP8/VP8X) and arithmetic-coded JPEG "
+            "decode require a codec library (e.g. Pillow), which is not "
+            "available in this environment; PPM, BMP, 8-bit RGB/RGBA "
+            "PNG, baseline + progressive JPEG, and lossless WebP (VP8L) "
+            "decode natively (codecs.py / codecs_jpeg.py / "
+            "codecs_vp8l.py), and the deterministic fake-media path "
+            "(attach_fake_media + multimodal_features) covers pipeline "
+            "testing"
         ) from exc
     import io  # pragma: no cover
 
@@ -395,6 +403,74 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     media = spread.mapInPandas(
         _attach_png,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_png_features, _PNG_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Lossless-WebP (VP8L) decode, oracle-checked end-to-end (round 8,
+# VERDICT r7 #6): the SAME planted gradient as the PNG path, but the
+# raster is a real RIFF/VP8L bitstream and the encoder options cycle
+# by doc_id so the oracled path itself exercises the feature matrix —
+# subtract-green, predictor, cross-color, LZ77 (both distance forms),
+# color cache, and meta-huffman groups. Lossless ⇒ the channel sums
+# must reproduce the closed form exactly; a wrong predictor border
+# rule, cache hash, or canonical code assignment slips them
+# immediately.
+# ---------------------------------------------------------------------------
+
+
+def _webp_encode_opts(d: int) -> dict:
+    return {
+        "subtract_green": d % 2 == 1,
+        "predictor": d % 3 == 0,
+        "color_element": (17, 203, 9) if d % 5 == 0 else None,
+        "cache_bits": (0, 0, 3, 6)[d % 4],
+        "lz77": d % 2 == 0,
+        "distance_map": d % 4 < 2,
+        "use_max_symbol": d % 3 != 1,
+        "meta_groups": (0, 0, 2, 3)[d % 4],
+    }
+
+
+def _attach_webp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → real VP8L bytes (gradient raster, options cycling)."""
+    import numpy as np
+
+    from .codecs_vp8l import encode_vp8l
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, ch = d % 32 + 1, d % 24 + 1, 3 if d % 2 == 0 else 4
+            px = (
+                ((np.arange(w * h * ch, dtype=np.int64) * _PX_B + d * _PX_A) % 256)
+                .astype(np.uint8)
+                .tobytes()
+            )
+            blobs.append(encode_vp8l(w, h, px, channels=ch, **_webp_encode_opts(d)))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+_ORACLE_DECODE_WEBP = _ORACLE_DECODE_PNG
+
+
+@query("q_multimodal_decode_webp", oracle=_ORACLE_DECODE_WEBP)
+def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real lossless-WebP binary column (VP8L transforms /
+    LZ77 / cache / meta-huffman cycling by doc_id) → pure-Python
+    decode → integer channel sums, value-checked against the closed
+    form of the planted gradient. Same scale shape as the PNG path:
+    scan spread first, fixed-width feature columns leave mapInPandas,
+    payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_webp,
         StructType(
             [StructField("doc_id", LongType()), StructField("media", BinaryType())]
         ),

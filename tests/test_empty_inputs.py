@@ -260,6 +260,7 @@ _EMPTY_GATE_QUERIES = [
     # round-8 contract-oracle conversions
     "q_dedup_fuzzy_minhash",
     "q_dedup_simhash",
+    "q_multimodal_decode_webp",
 ]
 
 
@@ -363,6 +364,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_text_bpe_apply",
         "q_dedup_containment_sketch",
         "q_dedup_lsh_verified_stages",
+        "q_multimodal_decode_webp",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -455,6 +457,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_dedup_fuzzy_minhash",
         "q_dedup_simhash",
         "q_dedup_containment_sketch",
+        "q_multimodal_decode_webp",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
