@@ -242,8 +242,14 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("wc"),
     ).groupBy("lang").agg(F.sum("wc").cast("long").alias("n_word_chars"))
+    chars = chars.withColumnRenamed("lang", "chars_lang")
     return (
-        detail.join(chars, "lang", "left")
+        detail.join(
+            chars,
+            F.col("lang").eqNullSafe(F.col("chars_lang")),  # NULL lang is
+            # a real group on both engines — a plain join would drop it
+            "left",
+        )
         .select(
             "lang",
             "n_docs",

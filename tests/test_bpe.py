@@ -129,3 +129,24 @@ def test_distributed_trainer_fertility_monotone_and_converges(spark):
         if prev is not None:
             assert total <= prev, (m, total, prev)
         prev = total
+
+
+def test_apply_contract_null_lang_group_keeps_flags(spark, tmp_path):
+    """NULL lang is a real group on both engines; the exact word-char
+    anchor join must be null-safe or the fertility flags silently read
+    0 for that group (caught in r8 self-review)."""
+    rows = [(1, "hello world hello", None), (2, "a b c a b", "en"), (3, None, None)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from sparkifydb_datawarehouse_spark.llm.bpe import text_bpe_apply
+
+    out = text_bpe_apply(spark, str(tmp_path)).collect()
+    langs = {r["lang"] for r in out}
+    assert langs == {None, "en"}
+    assert all(
+        r["fertility_lower_ok"] == 1 and r["fertility_upper_ok"] == 1
+        for r in out
+    )
