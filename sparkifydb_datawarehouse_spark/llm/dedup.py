@@ -1116,8 +1116,28 @@ ORDER BY doc_a, doc_b
 """
 
 
+# Pre-flight ceiling for the exact prefix-filter join (round 8,
+# the _UNCAPPED_EDGE_CEILING pattern applied to the OTHER exact tier).
+# A shingle-SATURATED corpus — tiny fixed vocabulary, so trigram space
+# stops growing with data (the Heaps'-law violation the containment
+# op already work-bounds) — makes even each doc's RAREST shingles
+# common: on the 10× natural-perturbation fixture (50k docs, only 41k
+# distinct shingles, max df 955) the prefix buckets hold
+# Σ C(d,2) ≈ 643M candidate pairs and the join ground past 25 min
+# before being killed, vs 52M / ~170 s on the replica corpus and
+# 0.65M / ~4 s at sf0.1. The guard counts the prefix-bucket pair
+# volume off the (already materialized) prefix index and refuses
+# above the ceiling — exact joins on saturated corpora should go to
+# the LSH tier, not spill for half an hour.
+_PF_PAIR_CEILING = 100_000_000
+
+
 @query("q_dedup_prefix_filter", oracle=_ORACLE_PREFIX_FILTER)
-def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_prefix_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    candidate_volume_ceiling: int | None = _PF_PAIR_CEILING,
+) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1150,7 +1170,31 @@ def dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sized, "doc_id")
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") / 3) + 1)
         .select("doc_id", "h", "n", "rk")
+        # two consumers (both sides of the self-join) + the volume
+        # guard below — one materialization instead of two builds
+        .localCheckpoint(eager=True)
     )
+    if candidate_volume_ceiling is not None:
+        vol_row = (
+            prefix.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.sum(F.col("d") * (F.col("d") - 1) / 2).alias("pair_volume")
+            )
+            .first()
+        )
+        pair_volume = int(vol_row["pair_volume"] or 0)
+        if pair_volume > candidate_volume_ceiling:
+            raise CandidateFloodError(
+                f"exact prefix-filter join refused: prefix buckets hold "
+                f"~{pair_volume} candidate pairs, above the "
+                f"{candidate_volume_ceiling} pre-flight ceiling. This "
+                "corpus is shingle-saturated (vocabulary not growing "
+                "with data — measured 643M pairs on a 50k-doc fixture "
+                "with 41k distinct shingles); run the LSH tier "
+                "(dedup_lsh_verified) instead, or raise/disable "
+                "candidate_volume_ceiling if the volume is intended."
+            )
 
     # candidate pairs: shared prefix shingle + integer length filter
     # (t*la <= lb <= la/t), then the PPJoin POSITION filter: at the

@@ -645,3 +645,30 @@ def test_uncapped_verify_flood_guard(spark, sf_dir, tmp_path):
         flood, max_degree=None, uncapped_edge_ceiling=5000
     )[5]
     assert out.count() == 64 * 63 // 2
+
+
+def test_prefix_filter_saturation_guard(spark, sf_dir, tmp_path):
+    """Round-8 guard: the exact prefix-filter join pre-flights its
+    prefix-bucket pair volume and refuses on shingle-saturated corpora
+    (tiny fixed vocabulary => even the rarest shingles are common; the
+    10x natural-perturbation fixture measured ~643M candidate pairs
+    and ground >25 min before this guard existed). Inert at oracle
+    scale; trips with a small ceiling on a dense planted corpus."""
+    from sparkifydb_datawarehouse_spark.llm.dedup import (
+        CandidateFloodError,
+        dedup_prefix_filter,
+    )
+
+    assert dedup_prefix_filter(spark, sf_dir).count() > 0  # inert
+
+    words = [f"w{i}" for i in range(6)]
+    rng_texts = [
+        " ".join(words[(i + j) % 6] for j in range(12)) for i in range(40)
+    ]
+    spark.createDataFrame(
+        list(enumerate(rng_texts)), "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    with pytest.raises(CandidateFloodError, match="shingle-saturated"):
+        dedup_prefix_filter(spark, str(tmp_path), candidate_volume_ceiling=50)
