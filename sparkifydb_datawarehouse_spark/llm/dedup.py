@@ -17,6 +17,8 @@ queries (exact dedup, n-gram Jaccard) are fully oracle-checked.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 
@@ -1132,6 +1134,22 @@ ORDER BY doc_a, doc_b
 _PF_PAIR_CEILING = 100_000_000
 
 
+def _env_ceiling(name: str, passed: int | None, default: int) -> int | None:
+    """Resolve a flood-guard ceiling: an explicit non-default argument
+    wins; otherwise the SPARK_GRAFT_* env var overrides the module
+    default (value 0 disables) — the release valve for DELIBERATE
+    long probes (the 100×-replica corpus measures 1.56e9 prefix pairs
+    and refuses by design; a planned hour-long exact run raises the
+    ceiling instead of editing code)."""
+    if passed != default:
+        return passed
+    env = os.environ.get(name)
+    if env is None:
+        return passed
+    v = int(env)
+    return v if v > 0 else None
+
+
 @query("q_dedup_prefix_filter", oracle=_ORACLE_PREFIX_FILTER)
 def dedup_prefix_filter(
     spark: SparkSession,
@@ -1173,6 +1191,9 @@ def dedup_prefix_filter(
         # two consumers (both sides of the self-join) + the volume
         # guard below — one materialization instead of two builds
         .localCheckpoint(eager=True)
+    )
+    candidate_volume_ceiling = _env_ceiling(
+        "SPARK_GRAFT_PF_PAIR_CEILING", candidate_volume_ceiling, _PF_PAIR_CEILING
     )
     if candidate_volume_ceiling is not None:
         vol_row = (
@@ -1649,6 +1670,11 @@ def _lsh_verified_tiers(
             cand_capped = cand_capped.localCheckpoint(eager=True)
     else:
         cand_capped = cand_est.select("doc_a", "doc_b", "la", "lb")
+        uncapped_edge_ceiling = _env_ceiling(
+            "SPARK_GRAFT_LSH_EDGE_CEILING",
+            uncapped_edge_ceiling,
+            _UNCAPPED_EDGE_CEILING,
+        )
         if uncapped_edge_ceiling is not None:
             # pre-flight guard (VERDICT r7 #4): materialize the
             # candidate set once — the verify tier reads the same

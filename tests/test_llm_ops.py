@@ -672,3 +672,32 @@ def test_prefix_filter_saturation_guard(spark, sf_dir, tmp_path):
     )
     with pytest.raises(CandidateFloodError, match="shingle-saturated"):
         dedup_prefix_filter(spark, str(tmp_path), candidate_volume_ceiling=50)
+
+
+def test_flood_guard_env_override(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_PF_PAIR_CEILING is the release valve for deliberate
+    long exact runs (the 100x-replica corpus measures 1.56e9 prefix
+    pairs and refuses by design): a low env ceiling trips the guard on
+    the dense planted corpus, 0 disables it entirely."""
+    from sparkifydb_datawarehouse_spark.llm.dedup import (
+        CandidateFloodError,
+        dedup_prefix_filter,
+    )
+
+    words = [f"w{i}" for i in range(6)]
+    texts = [" ".join(words[(i + j) % 6] for j in range(12)) for i in range(40)]
+    spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PF_PAIR_CEILING", "50")
+    with pytest.raises(CandidateFloodError):
+        dedup_prefix_filter(spark, str(tmp_path))
+    monkeypatch.setenv("SPARK_GRAFT_PF_PAIR_CEILING", "0")  # disabled
+    assert dedup_prefix_filter(spark, str(tmp_path)).count() >= 0
+    # an explicit non-default argument beats the env var
+    monkeypatch.setenv("SPARK_GRAFT_PF_PAIR_CEILING", "50")
+    assert dedup_prefix_filter(
+        spark, str(tmp_path), candidate_volume_ceiling=None
+    ).count() >= 0
