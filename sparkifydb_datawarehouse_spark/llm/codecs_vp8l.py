@@ -758,10 +758,27 @@ def _tokenize(
         if cache_size:
             cache[((_CACHE_MUL * px) & 0xFFFFFFFF) >> (32 - cache_bits)] = px
 
+    # candidate match distances: horizontal runs, near-horizontal,
+    # and the vertical neighborhood — every one expressible as a 2D
+    # map offset (dy·w + dx), so the map path gets real coverage
+    # across table rows, not just codes 1-2
+    dists = [1, 2, 3]
+    for dy in (1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            d = dy * w + dx
+            if d > 0:
+                dists.append(d)
+    dist_plane = {1: _DIST_CODE[(1, 0)], 2: _DIST_CODE[(2, 0)], 3: _DIST_CODE[(3, 0)]}
+    for dy in (1, 2):
+        for dx in (-2, -1, 0, 1, 2):
+            d = dy * w + dx
+            if d > 0 and (dx, dy) in _DIST_CODE:
+                dist_plane.setdefault(d, _DIST_CODE[(dx, dy)])
+
     while pos < n:
         best_len, best_dist = 0, 0
         if lz77:
-            for dist in (1, w):
+            for dist in dists:
                 if dist == 0 or dist > pos:
                     continue
                 length = 0
@@ -771,10 +788,8 @@ def _tokenize(
                 if length > best_len:
                     best_len, best_dist = length, dist
         if best_len >= 3:
-            if distance_map and best_dist == 1:
-                plane = _DIST_CODE[(1, 0)]
-            elif distance_map and best_dist == w and (0, 1) in _DIST_CODE:
-                plane = _DIST_CODE[(0, 1)]
+            if distance_map and best_dist in dist_plane:
+                plane = dist_plane[best_dist]
             else:
                 plane = best_dist + 120
             tokens.append(("copy", best_len, plane))

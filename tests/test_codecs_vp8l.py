@@ -193,3 +193,55 @@ def test_oracle_query_option_cycle_covers_features():
             seen[k].add(bool(v) if not isinstance(v, bool) else v)
     for k, vals in seen.items():
         assert vals == {True, False}, f"option {k} never varies"
+
+
+def test_distance_map_paths_are_really_exercised():
+    """The widened tokenizer must emit map-coded copies beyond codes
+    1-2 on a diagonal-repetitive raster (regression guard: the first
+    encoder only mapped dist 1 and dist w)."""
+    from sparkifydb_datawarehouse_spark.llm.codecs_vp8l import _tokenize
+
+    rng = random.Random(31)
+    w, h = 12, 10
+    base = [rng.randrange(1 << 24) | 0xFF000000 for _ in range(w)]
+    # rows repeat the row above shifted by one pixel -> dist w-1 or w+1
+    argb = list(base)
+    for y in range(1, h):
+        prev = argb[(y - 1) * w : y * w]
+        argb.extend(prev[1:] + prev[:1])
+    toks = _tokenize(argb, w, cache_bits=0, lz77=True, distance_map=True)
+    planes = {t[2] for t in toks if t[0] == "copy"}
+    assert planes, "expected LZ77 copies"
+    assert any(2 < p <= 120 for p in planes), planes
+    # and the stream still roundtrips
+    px = b"".join(
+        bytes(((p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF)) for p in argb
+    )
+    img = decode_vp8l(encode_vp8l(w, h, px, 3, lz77=True, distance_map=True))
+    assert img["pixels"] == px
+
+
+def test_corruption_fuzz_refuses_cleanly():
+    """Randomly corrupted/truncated VP8L payloads must either decode
+    (corruption may land in padding) or raise ImageDecodeError — never
+    another exception type, a hang, or silently wrong dimensions."""
+    rng = random.Random(43)
+    px = _rand_px(rng, 14, 9, 3)
+    blob = bytearray(
+        encode_vp8l(14, 9, px, 3, lz77=True, cache_bits=3, subtract_green=True)
+    )
+    for _ in range(200):
+        mutated = bytearray(blob)
+        for _ in range(rng.randint(1, 4)):
+            mutated[rng.randrange(22, len(mutated))] = rng.randrange(256)
+        try:
+            img = decode_vp8l(bytes(mutated))
+            assert (img["width"], img["height"]) == (14, 9)
+            assert len(img["pixels"]) == 14 * 9 * 3
+        except ImageDecodeError:
+            pass
+    for cut in range(22, len(blob), 7):
+        try:
+            decode_vp8l(bytes(blob[:cut]))
+        except ImageDecodeError:
+            pass
