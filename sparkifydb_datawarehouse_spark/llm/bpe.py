@@ -18,10 +18,12 @@ state):
   rate high), and only fixed-width counts leave mapInPandas. No
   shuffle touches text; the final per-language rollup is a tiny agg.
 
-Rows-only registration: the greedy iterative merge is genuinely
-non-SQL-expressible (the documented rows-only category); behavioral
-correctness is pinned by hand-computed classic examples in
-tests/test_bpe.py (lowest/newer corpus), determinism asserted.
+Oracle posture (r8): the greedy iterative merge stays genuinely
+non-SQL-expressible, but both registered queries are CONTRACT
+ORACLES — exact anchors DuckDB recomputes (rank-1 merge, per-language
+word/char counts) plus theorem flags; full outputs stay in the
+*_detail helpers and behavioral correctness is pinned by
+hand-computed classic examples in tests/test_bpe.py.
 """
 
 from __future__ import annotations

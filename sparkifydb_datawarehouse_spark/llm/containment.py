@@ -193,8 +193,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 # drops from ~|shingles| strings to k int64s, independent of document
 # length — this is the candidate generator you run at 100 TB, with
 # the exact query as the verify stage on its survivors.
-# xxhash64 sketches have no DuckDB equivalent -> rows-only, pinned by
-# the recall test in tests/test_new_ops_r3b.py against the exact op.
+# xxhash64 sketches have no DuckDB equivalent; the registered query
+# is the r8 contract form below, and the recall test in
+# tests/test_new_ops_r3b.py pins the generator against the exact op.
 # ---------------------------------------------------------------------------
 
 _SKETCH_K = 32

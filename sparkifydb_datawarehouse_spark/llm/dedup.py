@@ -11,8 +11,10 @@ never documents. That is the property that makes these runnable at
 100 TB: the full text never crosses the network.
 
 Sketch hash = xxhash64 (Spark built-in, JVM-side). DuckDB has no
-xxhash64, so the sketch-based queries are rows-only; the set-exact
-queries (exact dedup, n-gram Jaccard) are fully oracle-checked.
+xxhash64, so the sketch PAIR SETS are engine-specific; since round 8
+the registered sketch queries are CONTRACT ORACLES (exact truth rows
++ recall/accuracy flags DuckDB re-checks), and the set-exact queries
+(exact dedup, n-gram Jaccard) are fully value-checked.
 """
 
 from __future__ import annotations
@@ -162,7 +164,8 @@ def _minhash_signatures(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup: signature → band buckets → bucket self-join.
-# rows-only (xxhash64 has no DuckDB equivalent).
+# The raw pair set is engine-specific (xxhash64); the registered
+# q_dedup_fuzzy_minhash is its r8 contract form further below.
 # ---------------------------------------------------------------------------
 
 
@@ -302,7 +305,8 @@ def minhash_band_pairs(
 # ---------------------------------------------------------------------------
 # SimHash: 64-bit bit-vote sketch; candidates share one of four
 # 16-bit chunks, verified with bit_count(xor) <= hamming threshold.
-# rows-only (xxhash64).
+# The raw pair set is engine-specific (xxhash64); the registered
+# q_dedup_simhash is its r8 contract form further below.
 #
 # Scale note (measured in SCALING.md): 16-bit chunks give 65536
 # buckets per chunk; expected bucket depth is corpus/65536, and pair
@@ -958,8 +962,8 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the sketch at scales where exact verification is unaffordable. The
 # estimator is the signature agreement fraction (unbiased for true
 # Jaccard, stderr ≈ sqrt(J(1-J)/32)); the exact side reuses the
-# exploded-intersection aggregation. rows-only (xxhash64 sketches);
-# the estimator's error is pinned by tests/test_llm_ops.py.
+# exploded-intersection aggregation. Contract-oracled since r7; the
+# estimator's error is also pinned by tests/test_llm_ops.py.
 # ---------------------------------------------------------------------------
 
 

@@ -94,6 +94,15 @@ EXCHANGE_BUDGETS = {
     # checkpointed cand subplan
     "q_dedup_fuzzy_minhash": 17,
     "q_dedup_ngram_jaccard": 7,
+    # r8 additions: contract forms over localCheckpointed detail
+    # subplans — the visible plan is the flag/anchor tail only
+    "q_dedup_lsh_verified_stages": 3,
+    # 5 cap rows x (3 counting aggs + broadcast crossJoins) over
+    # checkpointed candidate/verified/truth frames — many TINY
+    # exchanges by construction, none data-bearing
+    "q_dedup_lsh_cap_profile": 45,
+    "q_text_bpe_train_distributed": 1,  # one-row createDataFrame tail
+    "q_multimodal_decode_webp": 2,  # scan spread + final sort
     "q_dedup_representative": 2,
     # r8: contract-oracle conversion — truth is localCheckpointed
     # (the flagged frame has two consumers: recall agg + rows), so
