@@ -657,6 +657,133 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WAV (RIFF integer-PCM) decode, oracle-checked end-to-end (round 8):
+# the audio analog of the image decode family. Each doc gets a REAL
+# WAV container — mono/stereo by parity, 8-bit unsigned / 16-bit
+# signed PCM cycling by doc_id % 3 — carrying the planted interleaved
+# ramp v(d, i) = ((31·d + 7·i) mod 2^bits) − 2^(bits−1). decode_wav
+# walks the chunks, validates block alignment, recentres 8-bit
+# storage, and de-interleaves; the per-channel sums and the absolute
+# peak reduce to a closed form DuckDB recomputes. A wrong byte order,
+# channel stride, or sign recentre slips the sums immediately.
+# ---------------------------------------------------------------------------
+
+_WAV_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("bits", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("sum_ch0", LongType()),
+        StructField("sum_ch1", LongType()),
+        StructField("peak_abs", LongType()),
+    ]
+)
+
+
+def _wav_plant_params(d: int) -> tuple[int, int, int, int]:
+    n_frames = d % 480 + 8
+    channels = 1 if d % 2 == 0 else 2
+    bits = 8 if d % 3 == 0 else 16
+    sample_rate = 8000 + (d % 5) * 4000
+    return n_frames, channels, bits, sample_rate
+
+
+def _attach_wav(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → real WAV bytes (interleaved planted ramp)."""
+    from .codecs_wav import encode_wav
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n_frames, channels, bits, rate = _wav_plant_params(d)
+            mod, half = (1 << bits), (1 << (bits - 1))
+            chans = [
+                [
+                    ((_PX_A * d + _PX_B * (f * channels + c)) % mod) - half
+                    for f in range(n_frames)
+                ]
+                for c in range(channels)
+            ]
+            blobs.append(encode_wav(rate, channels, bits, chans))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _decode_wav_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_wav import decode_wav
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            a = decode_wav(bytes(media))
+            sums = [sum(ch) for ch in a["samples"]]
+            peak = max(
+                (abs(v) for ch in a["samples"] for v in ch), default=0
+            )
+            out.append(
+                (
+                    int(doc_id),
+                    a["sample_rate"],
+                    a["channels"],
+                    a["bits"],
+                    a["n_frames"],
+                    sums[0] if sums else 0,
+                    sums[1] if len(sums) > 1 else None,
+                    peak,
+                )
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _WAV_SCHEMA.fields])
+
+
+_ORACLE_DECODE_WAV = f"""
+WITH p AS (
+    SELECT doc_id,
+           CAST(doc_id % 480 + 8 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS INTEGER) AS bits,
+           CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS sample_rate
+    FROM documents
+), s AS (
+    SELECT doc_id, n_frames, channels, bits, sample_rate,
+           UNNEST(generate_series(0, n_frames * channels - 1)) AS i
+    FROM p
+), v AS (
+    SELECT doc_id, n_frames, channels, bits, sample_rate,
+           ({_PX_A} * doc_id + {_PX_B} * i) % (1 << bits) - (1 << (bits - 1)) AS val,
+           i % channels AS ch
+    FROM s
+)
+SELECT doc_id, sample_rate, channels, bits, n_frames,
+       CAST(SUM(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_ch0,
+       CAST(SUM(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_ch1,
+       CAST(MAX(ABS(val)) AS BIGINT) AS peak_abs
+FROM v
+GROUP BY doc_id, sample_rate, channels, bits, n_frames
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_decode_wav", oracle=_ORACLE_DECODE_WAV)
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real WAV binary column → pure-Python RIFF/PCM
+    decode → per-channel integer sums + absolute peak, value-checked
+    against the planted ramp's closed form. Same scale shape as the
+    image decode paths: scan spread first, fixed-width features leave
+    mapInPandas, PCM bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_wav,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_wav_features, _WAV_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # JPEG decode, oracle-checked end-to-end (round 5 — closes the last
 # compressed-codec gap, VERDICT r4 "missing #2"): plant images whose
 # 8x8 blocks are CONSTANT with even value v(bx,by) = 2*((7d + 5bx +
