@@ -737,6 +737,137 @@ def _decode_wav_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         yield pd.DataFrame(out, columns=[f.name for f in _WAV_SCHEMA.fields])
 
 
+# ---------------------------------------------------------------------------
+# Animated-GIF frame sampling, oracle-checked end-to-end (round 8):
+# the video-shaped path gets a REAL container. Each doc gets an
+# animated GIF89a (2-5 frames; odd docs store frames INTERLACED) whose
+# frame f is the planted index raster idx(x, y) = (d + f + x + y) mod
+# 16 over the closed-form palette color(i) = (31i mod 256,
+# (17i + 3) mod 256, (7i + 11) mod 256). The decoder runs the full
+# machinery — LZW with code growth, sub-block reassembly, interlace
+# reorder, canvas compositing — then the SAMPLER keeps every 2nd
+# frame and reduces each to channel sums DuckDB recomputes. A wrong
+# interlace pass order or LZW code-size bump slips the sums.
+# ---------------------------------------------------------------------------
+
+_GIF_P = 16  # planted palette size
+
+_GIF_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+    ]
+)
+
+
+def _gif_plant_params(d: int) -> tuple[int, int, int]:
+    return d % 21 + 4, d % 17 + 4, d % 4 + 2  # w, h, n_frames
+
+
+def _attach_gif(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_gif import encode_gif
+
+    palette = [
+        ((31 * i) % 256, (17 * i + 3) % 256, (7 * i + 11) % 256)
+        for i in range(_GIF_P)
+    ]
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, nf = _gif_plant_params(d)
+            frames = [
+                {
+                    "indices": [
+                        (d + f + x + y) % _GIF_P
+                        for y in range(h)
+                        for x in range(w)
+                    ],
+                    "interlaced": d % 2 == 1,
+                }
+                for f in range(nf)
+            ]
+            blobs.append(encode_gif(w, h, palette, frames))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _decode_gif_sampled(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_gif import decode_gif
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            g = decode_gif(bytes(media))
+            for f in range(0, g["n_frames"], 2):  # sample every 2nd frame
+                px = g["frames"][f]
+                out.append(
+                    (
+                        int(doc_id),
+                        f,
+                        g["width"],
+                        g["height"],
+                        g["n_frames"],
+                        sum(px[0::3]),
+                        sum(px[1::3]),
+                        sum(px[2::3]),
+                    )
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in _GIF_FRAME_SCHEMA.fields])
+
+
+_ORACLE_DECODE_GIF = f"""
+WITH p AS (
+    SELECT doc_id,
+           CAST(doc_id % 21 + 4 AS INTEGER) AS width,
+           CAST(doc_id % 17 + 4 AS INTEGER) AS height,
+           CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames
+    FROM documents
+), fr AS (
+    SELECT doc_id, width, height, n_frames,
+           UNNEST(generate_series(0, n_frames - 1)) AS frame_idx
+    FROM p
+), px AS (
+    SELECT doc_id, frame_idx, width, height, n_frames,
+           (doc_id + frame_idx + (i % width) + (i // width)) % {_GIF_P} AS idx
+    FROM (SELECT *, UNNEST(generate_series(0, width * height - 1)) AS i FROM fr)
+    WHERE frame_idx % 2 = 0
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, width, height, n_frames,
+       CAST(SUM((31 * idx) % 256) AS BIGINT) AS sum_r,
+       CAST(SUM((17 * idx + 3) % 256) AS BIGINT) AS sum_g,
+       CAST(SUM((7 * idx + 11) % 256) AS BIGINT) AS sum_b
+FROM px
+GROUP BY doc_id, frame_idx, width, height, n_frames
+ORDER BY doc_id, frame_idx
+"""
+
+
+@query("q_multimodal_decode_gif_frames", oracle=_ORACLE_DECODE_GIF)
+def multimodal_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real animated-GIF binary column → pure-Python
+    GIF89a decode (LZW, interlace, compositing) → every-2nd-frame
+    sampling → per-frame channel sums, value-checked against the
+    planted raster's closed form. Frame payloads never shuffle; only
+    fixed-width per-frame rows leave mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_gif,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_gif_sampled, _GIF_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
 _ORACLE_DECODE_WAV = f"""
 WITH p AS (
     SELECT doc_id,

@@ -262,6 +262,7 @@ _EMPTY_GATE_QUERIES = [
     "q_dedup_simhash",
     "q_multimodal_decode_webp",
     "q_multimodal_decode_wav",
+    "q_multimodal_decode_gif_frames",
 ]
 
 
@@ -367,6 +368,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_dedup_lsh_verified_stages",
         "q_multimodal_decode_webp",
         "q_multimodal_decode_wav",
+        "q_multimodal_decode_gif_frames",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -461,6 +463,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_dedup_containment_sketch",
         "q_multimodal_decode_webp",
         "q_multimodal_decode_wav",
+        "q_multimodal_decode_gif_frames",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
