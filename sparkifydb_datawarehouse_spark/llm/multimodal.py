@@ -148,6 +148,7 @@ def decode_image(blob: bytes) -> dict:
     arithmetic-coded JPEG) keep the NotImplementedError gate on an
     import-try of Pillow."""
     from .codecs import _PNG_MAGIC, decode_bmp, decode_png, decode_ppm
+    from .codecs_gif import decode_gif
     from .codecs_jpeg import decode_jpeg
     from .codecs_vp8l import decode_vp8l
 
@@ -159,6 +160,14 @@ def decode_image(blob: bytes) -> dict:
         return decode_png(blob)
     if blob[:2] == b"\xff\xd8":
         return decode_jpeg(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        g = decode_gif(blob)  # first frame is the still-image view
+        return {
+            "width": g["width"],
+            "height": g["height"],
+            "channels": 3,
+            "pixels": g["frames"][0],
+        }
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         if b"VP8L" in blob[12:24]:
             return decode_vp8l(blob)

@@ -199,3 +199,13 @@ def test_corruption_fuzz_refuses_cleanly():
             assert g["n_frames"] >= 1
         except ImageDecodeError:
             pass
+
+
+def test_decode_image_dispatches_gif():
+    from sparkifydb_datawarehouse_spark.llm.multimodal import decode_image
+
+    pal = _pal(8, 21)
+    idx = [i % 8 for i in range(7 * 5)]
+    img = decode_image(encode_gif(7, 5, pal, [{"indices": idx}]))
+    assert (img["width"], img["height"], img["channels"]) == (7, 5, 3)
+    assert img["pixels"] == _rgb(pal, idx)
