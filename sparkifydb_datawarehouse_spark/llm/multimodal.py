@@ -122,7 +122,109 @@ def _extract_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
         yield pd.DataFrame(out, columns=[f.name for f in _FEATURE_SCHEMA.fields])
 
 
-@query("q_multimodal_features")  # rows-only: binary plumbing, no SQL analog
+# ---------------------------------------------------------------------------
+# Round-8 conversions: the three fake-media plumbing queries and the
+# fake-PCM audio query are EXACT closed forms of (doc_id, text) — the
+# payload is the UTF-8 encoding of the text behind an 8-byte header,
+# and DuckDB can reproduce every output column: byte lengths via
+# octet_length(encode(text)) (UTF-8-correct, no ASCII assumption) and
+# byte VALUES via hex-digit arithmetic over hex(encode(text)). So the
+# whole mapInPandas plumbing (1→1 features, 1→1 resize metadata,
+# 1→many frame sampling, PCM synth + DSP reductions) is value-checked
+# end to end, not just rows-counted. rows-only shrinks to the three
+# genuinely unreachable ids (surrogate keys, raw-file scans whose
+# oracle would need a per-sf path).
+# ---------------------------------------------------------------------------
+
+_HEX_BYTE = (
+    "16 * (strpos('0123456789ABCDEF', substr(hx, 2 * {i} + 1, 1)) - 1)"
+    " + (strpos('0123456789ABCDEF', substr(hx, 2 * {i} + 2, 1)) - 1)"
+)
+
+_ORACLE_MM_FEATURES = f"""
+WITH m AS (
+    SELECT doc_id,
+           CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+           CAST(doc_id % 48 + 1 AS INTEGER) AS h,
+           CASE WHEN text IS NULL THEN NULL ELSE hex(encode(text)) END AS hx
+    FROM documents
+)
+SELECT doc_id,
+       'image/fake' AS kind,
+       CAST(CASE WHEN hx IS NULL THEN 0 ELSE 8 + length(hx) // 2 END AS BIGINT)
+           AS n_bytes,
+       CAST(CASE WHEN hx IS NULL THEN 0 ELSE 1 END AS INTEGER) AS magic_ok,
+       CASE WHEN hx IS NULL THEN -1 ELSE w END AS width,
+       CASE WHEN hx IS NULL THEN -1 ELSE h END AS height,
+       CAST(COALESCE({{hexsum}}, 0) % 2147483648 AS BIGINT) AS payload_checksum
+FROM m
+ORDER BY doc_id
+""".format(hexsum=_HEX_BYTE.format(i="i").join(
+    ["list_sum(list_transform(range(length(hx) // 2), i -> ", "))"]
+))
+
+_ORACLE_MM_RESIZE = """
+WITH m AS (
+    SELECT doc_id,
+           doc_id % 64 + 1 AS w,
+           doc_id % 48 + 1 AS h,
+           octet_length(encode(text)) AS plen,
+           greatest(doc_id % 64 + 1, doc_id % 48 + 1) AS mx
+    FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(CASE WHEN mx <= 16 THEN w
+            ELSE greatest(1, (16 * w) // mx) END AS INTEGER) AS width,
+       CAST(CASE WHEN mx <= 16 THEN h
+            ELSE greatest(1, (16 * h) // mx) END AS INTEGER) AS height,
+       CAST(8 + CASE WHEN mx <= 16 THEN plen
+            ELSE (plen + greatest(1, mx // 16) - 1) // greatest(1, mx // 16)
+            END AS BIGINT) AS n_bytes
+FROM m
+ORDER BY doc_id
+"""
+
+_ORACLE_MM_FRAMES = """
+WITH m AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           (octet_length(encode(text))) // 32 AS n_frames
+    FROM documents WHERE text IS NOT NULL
+), f AS (
+    SELECT doc_id, hx, 4 * UNNEST(range((n_frames + 3) // 4)) AS i
+    FROM m WHERE n_frames > 0
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_no,
+       CAST(list_sum(list_transform(range(32), j ->
+           16 * (strpos('0123456789ABCDEF', substr(hx, 2 * (32 * i + j) + 1, 1)) - 1)
+              + (strpos('0123456789ABCDEF', substr(hx, 2 * (32 * i + j) + 2, 1)) - 1)
+       )) AS BIGINT) AS frame_checksum
+FROM f
+ORDER BY doc_id, frame_no
+"""
+
+_ORACLE_MM_AUDIO = """
+WITH p AS (
+    SELECT doc_id, 64 + doc_id % 192 AS n FROM documents
+), v AS (
+    SELECT doc_id, n, i,
+           ((doc_id * 7919 + i * 104729) % 4096) - 2048 AS x,
+           CASE WHEN i > 0 THEN
+               ((doc_id * 7919 + (i - 1) * 104729) % 4096) - 2048 END AS px
+    FROM (SELECT doc_id, n, UNNEST(range(n)) AS i FROM p)
+)
+SELECT doc_id,
+       CAST(n AS INTEGER) AS n_samples,
+       CAST(FLOOR(SQRT(SUM(x * x) * 1.0 / n)) AS BIGINT) AS rms,
+       CAST(SUM(CASE WHEN px IS NOT NULL AND ((x < 0) != (px < 0))
+                THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+FROM v
+GROUP BY doc_id, n
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_features", oracle=_ORACLE_MM_FEATURES)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → fake media binary column → Arrow-batched feature
     extraction via mapInPandas."""
@@ -530,7 +632,7 @@ def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in _RESIZED_SCHEMA.fields])
 
 
-@query("q_multimodal_resize")  # rows-only: binary plumbing, no SQL analog
+@query("q_multimodal_resize", oracle=_ORACLE_MM_RESIZE)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize every fake image to fit a 16px box; returns the resized
     binary plus its new metadata (payload bytes stay in the row only
@@ -575,7 +677,7 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out, columns=[f.name for f in _FRAME_SCHEMA.fields])
 
 
-@query("q_multimodal_frames")  # rows-only: binary plumbing, no SQL analog
+@query("q_multimodal_frames", oracle=_ORACLE_MM_FRAMES)
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample every 4th 32-byte 'frame' of each fake video payload —
     one output row per sampled frame."""
@@ -652,7 +754,7 @@ def _audio_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("q_multimodal_audio")  # rows-only: binary plumbing, no SQL analog
+@query("q_multimodal_audio", oracle=_ORACLE_MM_AUDIO)
 def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over mapInPandas: payloads stay inside
     their partition (features out, PCM never shuffles) — identical

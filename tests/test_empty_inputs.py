@@ -263,6 +263,11 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_decode_webp",
     "q_multimodal_decode_wav",
     "q_multimodal_decode_gif_frames",
+    # round-8 late conversions (fake-media plumbing, now oracled)
+    "q_multimodal_features",
+    "q_multimodal_resize",
+    "q_multimodal_frames",
+    "q_multimodal_audio",
 ]
 
 
@@ -336,6 +341,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multimodal_features",
         "q_multimodal_frames",
         "q_multimodal_resize",
+        "q_multimodal_audio",
         "q_window_moving_median",
         "q_dq_rapid_repeat",
         "q_multitouch_attribution",
@@ -464,6 +470,10 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_webp",
         "q_multimodal_decode_wav",
         "q_multimodal_decode_gif_frames",
+        "q_multimodal_features",
+        "q_multimodal_resize",
+        "q_multimodal_frames",
+        "q_multimodal_audio",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
