@@ -30,23 +30,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _coverage_order(ids) -> list[str]:
-    """Never-driver-checked ids first (VERDICT r3 #2); inside that
-    group, ids WITH a DuckDB oracle before declared rows-only ids
-    (VERDICT r6 #1 — round 6 burned 3 of its ~50 slots on ``no_oracle``
-    rows because rows-only ids sat ahead of oracled unchecked ones).
-    Stable registry order within each group — ids themselves stay
+    """Four tiers (the driver samples ~50 ids from the front):
+
+    1. RECHECK_FIRST — ids whose latest driver row is non-green
+       (VERDICT r8 #3: a fix shipped this round must get its driver
+       re-verification THIS round, not after the unchecked tail
+       drains; round 8's decode-oracle fix would otherwise have sat
+       behind 16 never-checked ids).
+    2. never-driver-checked ids WITH a DuckDB oracle (VERDICT r3 #2 —
+       grow the cross-round union),
+    3. never-driver-checked rows-only ids (VERDICT r6 #1 — these earn
+       only a weaker rows-only row, so they queue after oracled ones),
+    4. everything already green.
+
+    Stable registry order within each tier — ids themselves stay
     byte-stable across rounds."""
-    from sparkifydb_datawarehouse_spark.driver_history import DRIVER_CHECKED
+    from sparkifydb_datawarehouse_spark.driver_history import (
+        DRIVER_CHECKED,
+        RECHECK_FIRST,
+    )
 
     oracled = registry.ORACLE
+    recheck = [i for i in ids if i in RECHECK_FIRST]
     unchecked_oracled = [
-        i for i in ids if i not in DRIVER_CHECKED and i in oracled
+        i
+        for i in ids
+        if i not in RECHECK_FIRST and i not in DRIVER_CHECKED and i in oracled
     ]
     unchecked_rows_only = [
-        i for i in ids if i not in DRIVER_CHECKED and i not in oracled
+        i
+        for i in ids
+        if i not in RECHECK_FIRST and i not in DRIVER_CHECKED and i not in oracled
     ]
-    checked = [i for i in ids if i in DRIVER_CHECKED]
-    return unchecked_oracled + unchecked_rows_only + checked
+    checked = [
+        i for i in ids if i not in RECHECK_FIRST and i in DRIVER_CHECKED
+    ]
+    return recheck + unchecked_oracled + unchecked_rows_only + checked
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

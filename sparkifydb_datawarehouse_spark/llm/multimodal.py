@@ -379,9 +379,9 @@ WITH px AS (
     FROM documents
 )
 SELECT doc_id, width, height, 3 AS channels,
-       SUM(CASE WHEN i % 3 = 0 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_r,
-       SUM(CASE WHEN i % 3 = 1 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_g,
-       SUM(CASE WHEN i % 3 = 2 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_b
+       CAST(SUM(CASE WHEN i % 3 = 0 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % 3 = 1 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % 3 = 2 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS BIGINT) AS sum_b
 FROM px
 GROUP BY doc_id, width, height
 ORDER BY doc_id
@@ -492,10 +492,10 @@ WITH px AS (
     FROM documents
 )
 SELECT doc_id, width, height, channels,
-       SUM(CASE WHEN i % channels = 0 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_r,
-       SUM(CASE WHEN i % channels = 1 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_g,
-       SUM(CASE WHEN i % channels = 2 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_b,
-       SUM(CASE WHEN i % channels = 3 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS sum_a
+       CAST(SUM(CASE WHEN i % channels = 0 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS BIGINT) AS sum_r,
+       CAST(SUM(CASE WHEN i % channels = 1 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS BIGINT) AS sum_g,
+       CAST(SUM(CASE WHEN i % channels = 2 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS BIGINT) AS sum_b,
+       CAST(SUM(CASE WHEN i % channels = 3 THEN ({_PX_A} * doc_id + {_PX_B} * i) % 256 END) AS BIGINT) AS sum_a
 FROM px
 GROUP BY doc_id, width, height, channels
 ORDER BY doc_id

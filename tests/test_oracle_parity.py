@@ -65,6 +65,23 @@ def test_oracle_parity(spark, query_id):
     s, d = _normalize(spark_df), _normalize(duck_df)
     for col in s.columns:
         sv, dv = s[col].to_numpy(), d[col].to_numpy()
+        # The real driver's value-hash is dtype-sensitive: Spark int64
+        # 123 vs oracle float64 123.0 (DuckDB SUM → HUGEINT → pandas
+        # float64) hash-mismatch even with identical values — the exact
+        # failure CORRECTNESS_r08 recorded for the three decode
+        # queries. Mirror the driver: an int-vs-float class mismatch on
+        # a fully non-null column is a parity FAILURE; the fix is a
+        # CAST(... AS BIGINT) in the oracle SQL.
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        d_int = np.issubdtype(dv.dtype, np.integer)
+        s_flt = np.issubdtype(sv.dtype, np.floating)
+        d_flt = np.issubdtype(dv.dtype, np.floating)
+        if (s_int and d_flt) or (s_flt and d_int):
+            assert not (s[col].notna().all() and d[col].notna().all()), (
+                f"{query_id}.{col}: dtype-class mismatch on non-null column: "
+                f"spark {sv.dtype} vs oracle {dv.dtype} — the driver hash is "
+                f"dtype-sensitive; CAST the oracle aggregate to BIGINT"
+            )
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
             sv = sv.astype(float)
             dv = dv.astype(float)

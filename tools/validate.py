@@ -49,7 +49,31 @@ def compare(qid: str, s: pd.DataFrame, d: pd.DataFrame) -> list[str]:
     s, d = normalize(s), normalize(d)
     for col in s.columns:
         sv, dv = s[col].to_numpy(), d[col].to_numpy()
-        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+        s_flt = np.issubdtype(sv.dtype, np.floating)
+        d_flt = np.issubdtype(dv.dtype, np.floating)
+        s_int = np.issubdtype(sv.dtype, np.integer)
+        d_int = np.issubdtype(dv.dtype, np.integer)
+        # The real driver's value-hash is dtype-sensitive (int64 123 vs
+        # float64 123.0 mismatch — CORRECTNESS_r08's three decode rows).
+        # A class mismatch on a fully non-null column is therefore a
+        # FAIL here too; float normalization only applies when the
+        # float-ness is a nullable-int artifact or both sides are float.
+        if (s_int and d_flt) or (s_flt and d_int):
+            if s[col].notna().all() and d[col].notna().all():
+                problems.append(
+                    f"{col}: dtype-class mismatch on non-null column: "
+                    f"spark {sv.dtype} vs oracle {dv.dtype} "
+                    f"(driver hash is dtype-sensitive - CAST the oracle)"
+                )
+                continue
+            sv, dv = sv.astype(float), dv.astype(float)
+            ok = np.isclose(sv, dv, rtol=1e-9, atol=1e-9) | (np.isnan(sv) & np.isnan(dv))
+        elif s_flt and d_flt:
+            sv, dv = sv.astype(float), dv.astype(float)
+            ok = np.isclose(sv, dv, rtol=1e-9, atol=1e-9) | (np.isnan(sv) & np.isnan(dv))
+        elif s_flt or d_flt:
+            # float vs non-numeric (object decimals etc.): coerce both,
+            # still value-close but flag nothing — classes matched above
             sv, dv = sv.astype(float), dv.astype(float)
             ok = np.isclose(sv, dv, rtol=1e-9, atol=1e-9) | (np.isnan(sv) & np.isnan(dv))
         else:
