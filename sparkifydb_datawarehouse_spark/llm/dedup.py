@@ -1160,9 +1160,27 @@ def dedup_prefix_filter(
     sf_dir: str,
     candidate_volume_ceiling: int | None = _PF_PAIR_CEILING,
 ) -> DataFrame:
+    candidate_volume_ceiling = _env_ceiling(
+        "SPARK_GRAFT_PF_PAIR_CEILING", candidate_volume_ceiling, _PF_PAIR_CEILING
+    )
+    return _prefix_filter_pairs(
+        load_table(spark, sf_dir, "documents"), candidate_volume_ceiling
+    )
+
+
+def _prefix_filter_pairs(
+    docs: DataFrame, candidate_volume_ceiling: int | None
+) -> DataFrame:
+    """Exact j ≥ 1/2 PPJoin over an arbitrary documents frame — the
+    core of q_dedup_prefix_filter, factored out (round 9) so the
+    audit-class contract queries can run the SAME exact pipeline over
+    a FIXED-SIZE anchor slice (see _truth_anchor_pairs) instead of the
+    whole corpus. ``candidate_volume_ceiling=None`` skips the
+    pre-flight count job (callers with a construction-bounded input,
+    like the anchor slice, save one Spark job per audit query)."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    spark = docs.sparkSession
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     # exploded distinct shingles FOLDED TO 64-BIT HASHES at the scan —
     # every later join/sort/shuffle carries (doc_id, int64), text never
@@ -1195,9 +1213,6 @@ def dedup_prefix_filter(
         # two consumers (both sides of the self-join) + the volume
         # guard below — one materialization instead of two builds
         .localCheckpoint(eager=True)
-    )
-    candidate_volume_ceiling = _env_ceiling(
-        "SPARK_GRAFT_PF_PAIR_CEILING", candidate_volume_ceiling, _PF_PAIR_CEILING
     )
     if candidate_volume_ceiling is not None:
         vol_row = (
@@ -1284,31 +1299,120 @@ def dedup_prefix_filter(
 # Contract-oracle forms for the two raw sketch candidate generators
 # (VERDICT r7 #3, the minhash-calibration pattern): the candidate
 # PAIRS are engine-specific (xxhash64), but the CLAIMS about them are
-# checkable against the brute-force exact j ≥ 1/2 truth
-# (_ORACLE_PREFIX_FILTER). Vacuous-truth discipline: zero truth pairs
-# → zero rows on both sides, so no flag can diverge on degenerate
-# slices. Production candidate generation stays minhash_band_pairs()
-# / simhash_pairs().
+# checkable against the brute-force exact j ≥ 1/2 truth. Vacuous-truth
+# discipline: zero truth pairs → zero rows on both sides, so no flag
+# can diverge on degenerate slices. Production candidate generation
+# stays minhash_band_pairs() / simhash_pairs().
+#
+# BOUNDED exact-truth tier (VERDICT r8 #5, the q_dedup_semantic C173
+# anchor pattern): round 8 ran the exact prefix-filter truth over the
+# WHOLE corpus inside these registered queries, which made the two
+# headline entries the bench's most expensive (6.0 / 7.0 s at sf0.1)
+# and super-linear per decade (30.2× / 16.1× — the exact tier inherits
+# candidate blowup; SCALING.md (z)). The truth tier is now the SAME
+# exact PPJoin restricted to a FIXED-SIZE anchor slice
+# (doc_id < _TRUTH_ANCHOR): exact values at any corpus scale, constant
+# audit cost — the sketch under audit still runs over the FULL corpus,
+# so the recall claim is "full-corpus sketch vs anchored exact truth".
+# At sf0.01 the anchor covers the whole 500-doc fixture, so the r8 and
+# r9 contracts coincide there; full-corpus recall at fixture scale
+# stays a pytest invariant (tests/test_llm_ops.py), and the UNBOUNDED
+# audit remains available via the non-headline *_detail functions.
 # ---------------------------------------------------------------------------
 
-_ORACLE_FUZZY_MINHASH = _ORACLE_PREFIX_FILTER.replace(
+_TRUTH_ANCHOR = 500
+
+
+def _truth_anchor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact j ≥ 1/2 pairs among the fixed anchor slice
+    (doc_id < _TRUTH_ANCHOR) — the bounded ground-truth tier shared by
+    the four audit-class contract queries.
+
+    Deliberately NOT the PPJoin: prefix pruning (rarity window + rank
+    filter) earns its ~6 extra exchanges at corpus scale, but on a
+    ≤500-doc slice the fixed plan overhead dominates (measured 2.1 s
+    per audit query at sf0.1 vs <1 s for this shape). A brute-force
+    posting self-join with the slice BROADCAST is the C173 pattern:
+    one explode projection, one broadcast hash join, two aggregations
+    — shuffle volume bounded by the anchor at any corpus size. Worst
+    case join fan-out is all-identical docs: shingles·C(500,2) ≈ 5M
+    rows, still executor-local. Same 64-bit shingle-hash intersection
+    semantics as the PPJoin (collision P ≲ 1e-10; the string-set
+    DuckDB oracle re-proves equality on every driver run)."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < _TRUTH_ANCHOR
+    )
+    ex = (
+        docs.select("doc_id", F.explode(_word_shingles("text")).alias("shingle"))
+        .select("doc_id", F.xxhash64("shingle").alias("h"))
+        .localCheckpoint(eager=True)  # three consumers: sizes + join sides
+    )
+    sized = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    li = (
+        ex.alias("a")
+        .join(
+            F.broadcast(ex.alias("b")),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("li"))
+    )
+    return (
+        li.join(
+            F.broadcast(sized.withColumnRenamed("doc_id", "doc_a")), "doc_a"
+        )
+        .withColumnRenamed("n", "la")
+        .join(
+            F.broadcast(sized.withColumnRenamed("doc_id", "doc_b")), "doc_b"
+        )
+        .withColumnRenamed("n", "lb")
+        .filter(3 * F.col("li") >= F.col("la") + F.col("lb"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("li") / (F.col("la") + F.col("lb") - F.col("li")), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+_ORACLE_PREFIX_ANCHORED = _ORACLE_PREFIX_FILTER.replace(
+    "FROM documents", f"FROM documents WHERE doc_id < {_TRUTH_ANCHOR}", 1
+)
+
+_ORACLE_FUZZY_MINHASH = _ORACLE_PREFIX_ANCHORED.replace(
     "SELECT doc_a, doc_b,",
     "SELECT doc_a, doc_b,\n"
-    "       CAST(1 AS INTEGER) AS lsh_candidate,\n"
+    "       CAST(1 AS INTEGER) AS recall_ge_floor,\n"
     "       CAST(1 AS INTEGER) AS candidate_volume_linear,",
     1,
 )
 
+# The 8-band/4-row production banding misses a j = 0.889 pair with
+# p ≈ 4e-4 (deterministic for fixed data; measured anchored-truth
+# recall 1.0 on every fixture: 25/25 sf0.01, 28/28 sf0.001, 1/1
+# sf0.1). ADVICE r8: a per-pair =1 oracle would fail outright on the
+# first future corpus where the banding curve's residual miss rate
+# shows up — use a corpus-level floor like the sibling simhash
+# contract instead, with margin under all measured points.
+_MINHASH_RECALL_FLOOR = 0.9
+
 
 @query("q_dedup_fuzzy_minhash", oracle=_ORACLE_FUZZY_MINHASH)
 def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact j ≥ 1/2 truth pairs (the prefix-filter oracle's values)
-    plus the 8-band/4-row LSH candidate-generator contract flags:
+    """Exact j ≥ 1/2 truth pairs over the fixed anchor slice (the
+    anchored prefix-filter oracle's values) plus the 8-band/4-row LSH
+    candidate-generator contract flags:
 
-    lsh_candidate           — per TRUE pair: the band join surfaced it
-                              (recall re-proven on every driver run;
-                              measured 25/25 at sf0.01, 28/28 at
-                              sf0.001, 256/256 at sf0.1);
+    recall_ge_floor         — anchor-truth-level: the fraction of
+                              anchored truth pairs the FULL-corpus
+                              band join surfaced is ≥ 0.9 (vacuously 1
+                              with no truth pairs — zero rows then
+                              anyway);
     candidate_volume_linear — corpus-level: the candidate set stayed
                               within _MAX_DEGREE·n_docs edges (the
                               linearity bound the degree cap enforces
@@ -1317,26 +1421,41 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                               read 0 here.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # two consumers: per-pair recall join + corpus volume aggregate
-    cand = minhash_band_pairs(docs).localCheckpoint(eager=True)
     n_docs = docs.count()  # parquet footer metadata, not a scan
-    vol = cand.agg(
-        (F.count(F.lit(1)) <= F.lit(_MAX_DEGREE * max(n_docs, 1)))
-        .cast("int")
-        .alias("candidate_volume_linear")
-    )
-    return (
-        dedup_prefix_filter(spark, sf_dir)
+    # bounded anchor truth (≤ C(500,2) rows) — materialized once, then
+    # BROADCAST into the single pass over the full-corpus candidate
+    # set: both flags (recall + volume) come out of ONE aggregation,
+    # so the LSH generator is computed exactly once with no
+    # checkpoint-materialization job (measured 4.9 → 2.6 s at sf0.1)
+    truth = _truth_anchor_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    n_true = truth.count()  # bounded scalar
+    flags = (
+        minhash_band_pairs(docs)
         .join(
-            cand.select("doc_a", "doc_b", F.lit(1).alias("lsh_candidate")),
+            F.broadcast(truth.select("doc_a", "doc_b", F.lit(1).alias("t"))),
             ["doc_a", "doc_b"],
             "left",
         )
-        .crossJoin(F.broadcast(vol))
+        .agg(
+            (F.count(F.lit(1)) <= F.lit(_MAX_DEGREE * max(n_docs, 1)))
+            .cast("int")
+            .alias("candidate_volume_linear"),
+            (
+                F.coalesce(F.sum("t"), F.lit(0)) / F.lit(max(n_true, 1))
+                >= _MINHASH_RECALL_FLOOR
+            )
+            .cast("int")
+            .alias("recall_ge_floor")
+            if n_true
+            else F.lit(1).alias("recall_ge_floor"),  # vacuous: no truth
+        )
+    )
+    return (
+        truth.crossJoin(F.broadcast(flags))
         .select(
             "doc_a",
             "doc_b",
-            F.coalesce("lsh_candidate", F.lit(0)).alias("lsh_candidate"),
+            "recall_ge_floor",
             "candidate_volume_linear",
             "jaccard",
         )
@@ -1344,7 +1463,7 @@ def dedup_fuzzy_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ORACLE_SIMHASH = _ORACLE_PREFIX_FILTER.replace(
+_ORACLE_SIMHASH = _ORACLE_PREFIX_ANCHORED.replace(
     "SELECT doc_a, doc_b,",
     "SELECT doc_a, doc_b,\n"
     "       CAST(1 AS INTEGER) AS recall_ge_floor,\n"
@@ -1354,55 +1473,70 @@ _ORACLE_SIMHASH = _ORACLE_PREFIX_FILTER.replace(
 
 # SimHash is a LOSSIER sketch than shingle minhash (64 token-level
 # bit-votes vs 32 shingle minhashes): shingle-Jaccard ≥ 1/2 pairs sit
-# near but not always under hamming 12 — measured truth recall 0.92
-# at sf0.01, 0.964 at sf0.001, 0.879 at sf0.1. The floor below leaves
-# margin under all three; corpora where simhash recall collapses
-# (token-permuted near-dups) honestly read 0.
+# near but not always under hamming 12 — measured FULL-corpus truth
+# recall 0.92 at sf0.01, 0.964 at sf0.001, 0.879 at sf0.1 (r8);
+# against the r9 anchored truth (doc_id < 500): 27/28 = 0.964 at
+# sf0.001, 23/25 = 0.92 at sf0.01 (anchor covers the whole fixture at
+# both), 1/1 at sf0.1. The floor below leaves margin under all
+# measured points; corpora where simhash recall collapses
+# (token-permuted near-dups) honestly read 0. Full-corpus recall at
+# fixture scale stays pinned by pytest via the *_detail audits.
 _SIMHASH_RECALL_FLOOR = 0.85
 
 
 @query("q_dedup_simhash", oracle=_ORACLE_SIMHASH)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact j ≥ 1/2 truth pairs plus the simhash sketch's contract
-    flags:
+    """Exact j ≥ 1/2 truth pairs over the fixed anchor slice plus the
+    simhash sketch's contract flags:
 
-    recall_ge_floor         — corpus-level: the fraction of truth
-                              pairs simhash_pairs surfaces (chunk
+    recall_ge_floor         — anchor-truth-level: the fraction of
+                              anchored truth pairs the FULL-corpus
+                              simhash_pairs surfaces (chunk
                               collision + hamming ≤ _HAMMING_MAX) is
                               ≥ _SIMHASH_RECALL_FLOOR; vacuously 1
                               when there are no truth pairs (zero rows
                               then anyway);
-    exact_dups_hamming_zero — every identical-normalized-text pair is
-                              surfaced with hamming 0 (a theorem:
-                              identical token multisets give identical
-                              sketches; 0 such pairs on the fixture —
-                              the planted-corpus pytest exercises the
-                              non-vacuous case).
+    exact_dups_hamming_zero — every identical-normalized-text pair
+                              within the anchor slice is surfaced with
+                              hamming 0 (a theorem: identical token
+                              multisets give identical sketches; 0
+                              such pairs on the fixture — the
+                              planted-corpus pytest exercises the
+                              non-vacuous case; bounded to the anchor
+                              so the fingerprint self-join broadcasts).
     """
     docs = load_table(spark, sf_dir, "documents")
-    cand = simhash_pairs(docs).localCheckpoint(eager=True)  # 2 consumers
-    truth = dedup_prefix_filter(spark, sf_dir).localCheckpoint(eager=True)
-    hit = truth.join(
-        cand.select("doc_a", "doc_b", F.lit(1).alias("hit")),
-        ["doc_a", "doc_b"],
-        "left",
-    )
-    recall_flag = hit.agg(
-        F.coalesce(
-            F.avg(F.coalesce("hit", F.lit(0))) >= _SIMHASH_RECALL_FLOOR,
-            F.lit(True),  # vacuous: no truth pairs
+    # bounded anchor truth, broadcast into a single pass over the
+    # full-corpus candidate set (the fuzzy_minhash shape); the sketch
+    # generator is checkpointed once for its two consumers (recall agg
+    # + the hamming-0 anti join)
+    truth = _truth_anchor_pairs(spark, sf_dir).localCheckpoint(eager=True)
+    n_true = truth.count()  # bounded scalar
+    cand = simhash_pairs(docs).localCheckpoint(eager=True)
+    recall_flag = (
+        cand.join(
+            F.broadcast(truth.select("doc_a", "doc_b", F.lit(1).alias("t"))),
+            ["doc_a", "doc_b"],
+            "left",
+        ).agg(
+            (
+                F.coalesce(F.sum("t"), F.lit(0)) / F.lit(max(n_true, 1))
+                >= _SIMHASH_RECALL_FLOOR
+            )
+            .cast("int")
+            .alias("recall_ge_floor")
+            if n_true
+            else F.lit(1).alias("recall_ge_floor")  # vacuous: no truth
         )
-        .cast("int")
-        .alias("recall_ge_floor")
     )
-    fp = docs.select(
+    fp = docs.filter(F.col("doc_id") < _TRUTH_ANCHOR).select(
         "doc_id",
         F.md5(F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")).alias("f"),
     )
     dup_pairs = (
         fp.alias("a")
         .join(
-            fp.alias("b"),
+            F.broadcast(fp.alias("b")),
             (F.col("a.f") == F.col("b.f"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
@@ -1416,7 +1550,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "left_anti",
     ).agg((F.count(F.lit(1)) == 0).cast("int").alias("exact_dups_hamming_zero"))
     return (
-        hit.crossJoin(F.broadcast(recall_flag))
+        truth.crossJoin(F.broadcast(recall_flag))
         .crossJoin(F.broadcast(dup_flag))
         .select(
             "doc_a",
@@ -1759,7 +1893,7 @@ def dedup_lsh_verified(
 
 
 def dedup_lsh_verified_stages_detail(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession, sf_dir: str, truth: DataFrame | None = None
 ) -> DataFrame:
     """Per-stage accounting for the two-tier join: one row per stage
     with its pair count, how many TRUE pairs (prefix-filter exact
@@ -1769,17 +1903,20 @@ def dedup_lsh_verified_stages_detail(
     replica corpora the banding curve's residual miss rate shows up
     honestly (measured 0.998 at 10×, SCALING.md). truth and cand_raw
     each feed 3-4 subplans of the final union, so both are
-    localCheckpointed — without it the prefix-filter ground-truth job
-    re-executes once per stage row (4× cost at 10×)."""
+    localCheckpointed — without it the ground-truth job re-executes
+    once per stage row (4× cost at 10×).
+
+    ``truth`` defaults to the FULL-corpus exact prefix filter — the
+    unbounded audit, for probes and pytest. The registered contract
+    query passes the bounded anchor slice instead (VERDICT r8 #5), so
+    the headline cost stays constant in corpus size."""
     docs = load_table(spark, sf_dir, "documents")
     _, cand_raw, cand, cand_est, cand_capped, verified = _lsh_verified_tiers(
         docs, checkpoint_candidates=True
     )
-    truth = (
-        dedup_prefix_filter(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    if truth is None:
+        truth = dedup_prefix_filter(spark, sf_dir)
+    truth = truth.select("doc_a", "doc_b").localCheckpoint(eager=True)
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
 
     def stage_row(ord_: int, name: str, pairs: DataFrame) -> DataFrame:
@@ -1830,7 +1967,7 @@ _STAGE_NAMES = (
 
 _ORACLE_LSH_STAGES = (
     "WITH truth AS (\n"
-    + _ORACLE_PREFIX_FILTER.replace("ORDER BY doc_a, doc_b", "").rstrip()
+    + _ORACLE_PREFIX_ANCHORED.replace("ORDER BY doc_a, doc_b", "").rstrip()
     + "\n), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)\n"
     "SELECT s.stage_ord, s.stage, n.n_true,\n"
     "       CAST(1 AS INTEGER) AS recall_full,\n"
@@ -1847,8 +1984,13 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract form over dedup_lsh_verified_stages_detail (which
     keeps the full per-stage pair/recall accounting): one row per
     stage with the exact true-pair anchor and the two flags described
-    above the oracle."""
-    detail = dedup_lsh_verified_stages_detail(spark, sf_dir).localCheckpoint(
+    above the oracle. Truth tier bounded to the anchor slice
+    (VERDICT r8 #5) — the stages themselves still run over the full
+    corpus; only the exact ground truth they are scored against is
+    the fixed-size slice."""
+    detail = dedup_lsh_verified_stages_detail(
+        spark, sf_dir, truth=_truth_anchor_pairs(spark, sf_dir)
+    ).localCheckpoint(
         eager=True
     )  # two consumers: rows + the cross-stage monotonicity window
     from pyspark.sql.window import Window
@@ -1889,7 +2031,12 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CAP_PROFILE: tuple[int, ...] = (4, 8, 16, 32, 64)
 
 
-def dedup_lsh_cap_profile_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_lsh_cap_profile_detail(
+    spark: SparkSession,
+    sf_dir: str,
+    truth: DataFrame | None = None,
+    scope_max_doc: int | None = None,
+) -> DataFrame:
     """One row per degree-cap operating point: surviving candidate
     edges, verified pairs at that cap, exact true-pair count, and
     realized recall. Verification runs ONCE at the LARGEST profiled
@@ -1899,22 +2046,31 @@ def dedup_lsh_cap_profile_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     but the verify tier stays bounded at max_cap·n edges BY
     CONSTRUCTION (an uncapped profile verify on the 100×-adversarial
     replica corpus spilled ~70 GB before dying — the cap demonstrating
-    its own necessity; SCALING.md (y))."""
+    its own necessity; SCALING.md (y)).
+
+    ``truth`` defaults to the FULL-corpus exact prefix filter (probes,
+    pytest); the registered contract query passes the bounded anchor
+    slice (VERDICT r8 #5) together with ``scope_max_doc`` so the
+    verified/recalled accounting restricts to pairs inside the anchor
+    — verified_pairs == n_true_recalled stays the subset THEOREM when
+    the truth tier only covers the slice. candidate_edges always count
+    the full corpus (the cap's own operating curve)."""
     docs = load_table(spark, sf_dir, "documents")
     _, _, _, cand_est, _, verified_all = _lsh_verified_tiers(
         docs, max_degree=max(_CAP_PROFILE), checkpoint_candidates=True
     )
     ranked = _degree_ranked(cand_est).localCheckpoint(eager=True)
-    ver = (
-        verified_all.join(ranked, ["doc_a", "doc_b"], "inner")
-        .select("doc_a", "doc_b", "best_rank")
-        .localCheckpoint(eager=True)
+    ver = verified_all.join(ranked, ["doc_a", "doc_b"], "inner").select(
+        "doc_a", "doc_b", "best_rank"
     )
-    truth = (
-        dedup_prefix_filter(spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    if scope_max_doc is not None:
+        ver = ver.filter(
+            (F.col("doc_a") < scope_max_doc) & (F.col("doc_b") < scope_max_doc)
+        )
+    ver = ver.localCheckpoint(eager=True)
+    if truth is None:
+        truth = dedup_prefix_filter(spark, sf_dir)
+    truth = truth.select("doc_a", "doc_b").localCheckpoint(eager=True)
     n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
 
     def cap_row(cap: int) -> DataFrame:
@@ -1960,7 +2116,7 @@ def dedup_lsh_cap_profile_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                  every verified pair qualifies), re-checked per run.
 _ORACLE_CAP_PROFILE = (
     "WITH truth AS (\n"
-    + _ORACLE_PREFIX_FILTER.replace("ORDER BY doc_a, doc_b", "").rstrip()
+    + _ORACLE_PREFIX_ANCHORED.replace("ORDER BY doc_a, doc_b", "").rstrip()
     + "\n), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM truth)\n"
     "SELECT c.max_degree, n.n_true,\n"
     "       CAST(1 AS INTEGER) AS recall_full,\n"
@@ -1976,9 +2132,17 @@ def dedup_lsh_cap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract form over dedup_lsh_cap_profile_detail (which keeps
     the full candidate/verified/recall accounting): one row per
     profiled cap with the exact true-pair anchor and the two flags
-    described above the oracle."""
+    described above the oracle. Truth tier and the verified-subset
+    scope are bounded to the anchor slice (VERDICT r8 #5); the LSH
+    candidate generation, capping, and verify tiers still run over
+    the full corpus."""
     return (
-        dedup_lsh_cap_profile_detail(spark, sf_dir)
+        dedup_lsh_cap_profile_detail(
+            spark,
+            sf_dir,
+            truth=_truth_anchor_pairs(spark, sf_dir),
+            scope_max_doc=_TRUTH_ANCHOR,
+        )
         .select(
             "max_degree",
             "n_true",

@@ -70,10 +70,10 @@ def test_minhash_smoke_on_fixture(spark, sf_dir):
     )
     assert df.columns == ["doc_a", "doc_b"]
     df.collect()
-    # r8 contract form: every truth pair LSH-recalled, volume linear
+    # r9 contract form: anchored-truth recall over floor, volume linear
     flagged = dedup.dedup_fuzzy_minhash(spark, sf_dir).collect()
     assert flagged and all(
-        r["lsh_candidate"] == 1 and r["candidate_volume_linear"] == 1
+        r["recall_ge_floor"] == 1 and r["candidate_volume_linear"] == 1
         for r in flagged
     )
 

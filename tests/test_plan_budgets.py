@@ -90,9 +90,11 @@ EXCHANGE_BUDGETS = {
     # recall/volume audit: exact prefix-filter truth (14, its own
     # budget) + the flag join + broadcast volume agg + final sort. The
     # raw candidate generator (minhash_band_pairs, the production
-    # path) keeps its original 5-exchange shape, pinned via the
-    # checkpointed cand subplan
-    "q_dedup_fuzzy_minhash": 17,
+    # path) keeps its original 5-exchange shape. r9: 17 -> 8 — the
+    # exact-truth tier is now the BOUNDED anchor slice (broadcast
+    # brute-force posting join, VERDICT r8 #5) and both flags fold
+    # into one pass over the candidate set
+    "q_dedup_fuzzy_minhash": 8,
     "q_dedup_ngram_jaccard": 7,
     # r8 additions: contract forms over localCheckpointed detail
     # subplans — the visible plan is the flag/anchor tail only
@@ -108,8 +110,10 @@ EXCHANGE_BUDGETS = {
     "q_dedup_representative": 2,
     # r8: contract-oracle conversion — truth is localCheckpointed
     # (the flagged frame has two consumers: recall agg + rows), so
-    # the visible plan is the sketch pipeline + flag joins/aggs
-    "q_dedup_simhash": 9,
+    # the visible plan is the sketch pipeline + flag joins/aggs.
+    # r9: 9 -> 8 — anchored truth broadcast into a single candidate
+    # pass; the exact-dup theorem check bounded to the anchor slice
+    "q_dedup_simhash": 8,
     "q_dq_referential": 15,
     "q_drift_psi": 2,
     "q_embedding_quantize": 5,
