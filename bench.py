@@ -40,8 +40,12 @@ HEADLINE = [
     "q_topk_per_group",              # window top-k
     "q_sort_limit",                  # TakeOrderedAndProject
     "q_dedup_exact",                 # fingerprint groupBy
-    "q_dedup_fuzzy_minhash",         # LSH band self-join + r8 exact-truth recall audit
-    "q_dedup_simhash",               # bit-vote sketch buckets + r8 exact-truth recall audit
+    # NOTE bench history: r7 entries = production sketch only; r8 =
+    # + full-corpus exact-truth audit (6.0/7.0 s); r9 = same contract,
+    # truth bounded to the 500-doc anchor slice (~2.6/3.2 s) — the
+    # r7->r8->r9 deltas are workload redefinitions (SCALING.md (ab))
+    "q_dedup_fuzzy_minhash",         # LSH band self-join + anchored exact-truth audit
+    "q_dedup_simhash",               # bit-vote sketch buckets + anchored exact-truth audit
     "q_dedup_clusters",              # iterative connected components
     "q_similarity_topk",             # brute-force cosine scan
     "q_similarity_batch_knn",        # bucketed all-pairs kNN

@@ -347,7 +347,7 @@ def _read_entropy_coded_image(
         groups.append(
             tuple(
                 _read_huffman_code(a if a else green_alpha, br)
-                for a in (0, 256, 256, 256, _NUM_DIST_CODES)
+                for a in _ALPHABETS
             )
         )
 
@@ -871,7 +871,9 @@ def _write_image_stream(
         else:
             bump(0, 256 + _NUM_LENGTH_CODES + t[1])
     cache_size = (1 << cache_bits) if cache_bits else 0
-    alphabets = [256 + _NUM_LENGTH_CODES + cache_size, 256, 256, 256, _NUM_DIST_CODES]
+    # same alphabet rule as the decoder (_ALPHABETS); slot 0 is the
+    # green alphabet, sized per cache
+    alphabets = [a or (256 + _NUM_LENGTH_CODES + cache_size) for a in _ALPHABETS]
     for _ in range(n_tables):  # identical tables per meta group
         tables = [
             _write_huffman_code(bw, hists[i], alphabets[i], use_max_symbol)
