@@ -362,10 +362,11 @@ def decode_jpeg(blob: bytes) -> dict:
                 nat[list(ZIGZAG)] = zz
                 qtables[tq] = nat
                 i += 65
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):
-            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential arith
-            progressive = marker == 0xC2
-            arith = marker == 0xC9
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9, 0xCA):
+            # SOF0/1 baseline, SOF2 progressive, SOF9 sequential
+            # arithmetic, SOF10 progressive arithmetic
+            progressive = marker in (0xC2, 0xCA)
+            arith = marker in (0xC9, 0xCA)
             prec, h, w, ncomp = seg[0], struct.unpack(">H", seg[1:3])[0], struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
                 raise ImageDecodeError(f"unsupported precision {prec}")
@@ -394,7 +395,7 @@ def decode_jpeg(blob: bytes) -> dict:
                 c["bh_n"] = -(-(-(-h * c["v"] // vmax)) // 8)
                 c["coef"] = np.zeros((c["bh"], c["bw"], 64), dtype=np.int32)
             frame.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise ImageDecodeError(
                 f"unsupported JPEG coding process (SOF marker {marker:#x})"
             )
@@ -441,18 +442,35 @@ def decode_jpeg(blob: bytes) -> dict:
                     raise ImageDecodeError("SOS header truncated")
                 ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
                 a = seg[3 + 2 * ns]
-                pos = _decode_progressive_scan(
-                    blob,
-                    pos + 2 + seglen,
-                    frame,
-                    htables,
-                    restart_interval,
-                    scomps,
-                    ss,
-                    se,
-                    a >> 4,
-                    a & 0x0F,
-                )
+                if arith:
+                    from .codecs_jpeg_arith import decode_progressive_scan_arith
+
+                    pos = decode_progressive_scan_arith(
+                        blob,
+                        pos + 2 + seglen,
+                        frame,
+                        cond_dc,
+                        cond_ac,
+                        restart_interval,
+                        scomps,
+                        ss,
+                        se,
+                        a >> 4,
+                        a & 0x0F,
+                    )
+                else:
+                    pos = _decode_progressive_scan(
+                        blob,
+                        pos + 2 + seglen,
+                        frame,
+                        htables,
+                        restart_interval,
+                        scomps,
+                        ss,
+                        se,
+                        a >> 4,
+                        a & 0x0F,
+                    )
                 n_prog_scans += 1
                 continue
             if arith:

@@ -1,15 +1,18 @@
-"""Pure-Python arithmetic-coded JPEG: SOF9 (extended sequential DCT,
-arithmetic entropy coding, 8-bit) decode plus the fixture encoder —
-the last tractable item behind the multimodal codec gate (VERDICT r8
-"What's missing #3"; the gate now covers only lossy/extended WebP and
-progressive-arithmetic SOF10).
+"""Pure-Python arithmetic-coded JPEG: SOF9 (extended sequential DCT)
+AND SOF10 (progressive DCT) decode plus fixture encoders — closing the
+arithmetic half of the multimodal codec gate (VERDICT r8 "What's
+missing #3"; the NotImplementedError gate now covers only lossy/
+extended WebP, which needs a full VP8 intra-frame decoder).
 
 Spec: ITU-T T.81 (public) — the QM arithmetic coder of Annex D
 (probability-estimation state machine Table D.3, byte stuffing D.1.6,
-termination D.1.8) and the sequential DCT statistical models of
-Annex F (DC conditioning F.1.4.4.1 with the L/U thresholds, AC
-conditioning F.1.4.4.2 with the Kx split, magnitude categories
-Figures F.6-F.9, decoder procedures F.2.4). DAC segment: B.2.4.3.
+termination D.1.8), the sequential DCT statistical models of Annex F
+(DC conditioning F.1.4.4.1 with the L/U thresholds, AC conditioning
+F.1.4.4.2 with the Kx split, magnitude categories Figures F.6-F.9,
+decoder procedures F.2.4), and the progressive models of Annex G
+(point-transformed DC diffs G.1.2.1, fixed-estimate DC refinement
+bits, banded AC first scans, correction-bit AC refinement with the
+previous-stage end-of-block index G.1.3.3). DAC segment: B.2.4.3.
 
 Implementation notes, honestly stated:
 
@@ -666,4 +669,452 @@ def _assemble_jpeg_arith(
             n_mcu += 1
     out += enc.flush()
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Progressive DCT with arithmetic coding (SOF10, T.81 Annex G models
+# G.1.3 / libjpeg-structured): per-scan fresh coder + statistics; the
+# scan script, spectral bands, and successive-approximation semantics
+# are the SAME as the Huffman progressive path — only the entropy
+# layer differs. DC refinement bits and AC sign decisions use the
+# fixed 0.5 bin; everything else adapts.
+# ---------------------------------------------------------------------------
+
+
+def decode_progressive_scan_arith(
+    blob: bytes,
+    data_pos: int,
+    frame: dict,
+    cond_dc: dict[int, tuple[int, int]],
+    cond_ac: dict[int, int],
+    restart_interval: int,
+    scomps: list[dict],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+) -> int:
+    """Decode one SOF10 scan's entropy data into the frame's
+    coefficient grids; returns the stream position of the next marker
+    (the decode_jpeg progressive loop's contract)."""
+    from .codecs_jpeg import ZIGZAG
+
+    comps = frame["comps"]
+    by_id = {c["id"]: c for c in comps}
+    sel = []
+    for sc in scomps:
+        if sc["id"] not in by_id:
+            raise ImageDecodeError(
+                f"scan references unknown component {sc['id']}"
+            )
+        sel.append((by_id[sc["id"]], sc))
+    if not (0 <= ss <= se <= 63):
+        raise ImageDecodeError(f"bad spectral band {ss}..{se}")
+    if ss == 0 and se != 0:
+        raise ImageDecodeError("progressive scan mixes DC and AC bands")
+    if ss > 0 and len(sel) != 1:
+        raise ImageDecodeError("progressive AC scans must be single-component")
+    if ah != 0 and ah != al + 1:
+        raise ImageDecodeError(f"bad successive approximation Ah={ah} Al={al}")
+
+    dec = ArithDecoder(blob, data_pos)
+    stats = _CoderStats()
+    rst = 0
+    p1 = 1 << al
+
+    def restart(n_unit: int) -> bool:
+        return bool(restart_interval) and n_unit > 0 and n_unit % restart_interval == 0
+
+    if ss == 0:
+        # ---- DC scan ----
+        def dc_unit(ci: int, c: dict, sc: dict, by: int, bx: int) -> None:
+            blk = c["coef"][by, bx]
+            if ah == 0:
+                cond = cond_dc.get(sc["td"], _DEFAULT_DC_COND)
+                # the diff model runs in the point-transformed domain
+                blk[0] = _decode_dc(dec, stats, sc["td"], ci, cond) << al
+            else:
+                # G.1.3.1.2: refinement bit via the fixed estimate
+                if dec.decode(stats.fixed, 0):
+                    blk[0] |= p1
+
+        n_unit = 0
+        if len(sel) > 1:
+            for my in range(frame["mcuy"]):
+                for mx in range(frame["mcux"]):
+                    if restart(n_unit):
+                        p = dec.next_marker_pos()
+                        _expect_rst(blob, p, rst)
+                        rst = (rst + 1) % 8
+                        dec = ArithDecoder(blob, p + 2)
+                        stats = _CoderStats()
+                    for ci, (c, sc) in enumerate(sel):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(
+                                    ci, c, sc,
+                                    my * c["v"] + by, mx * c["h"] + bx,
+                                )
+                    n_unit += 1
+        else:
+            c, sc = sel[0]
+            for by in range(c["bh_n"]):
+                for bx in range(c["bw_n"]):
+                    if restart(n_unit):
+                        p = dec.next_marker_pos()
+                        _expect_rst(blob, p, rst)
+                        rst = (rst + 1) % 8
+                        dec = ArithDecoder(blob, p + 2)
+                        stats = _CoderStats()
+                    dc_unit(0, c, sc, by, bx)
+                    n_unit += 1
+        return dec.next_marker_pos()
+
+    # ---- AC scan: single component ----
+    c, sc = sel[0]
+    tbl = sc["ta"]
+    kx = cond_ac.get(tbl, _DEFAULT_AC_KX)
+    nat = list(ZIGZAG)
+    n_unit = 0
+    for by in range(c["bh_n"]):
+        for bx in range(c["bw_n"]):
+            if restart(n_unit):
+                p = dec.next_marker_pos()
+                _expect_rst(blob, p, rst)
+                rst = (rst + 1) % 8
+                dec = ArithDecoder(blob, p + 2)
+                stats = _CoderStats()
+            n_unit += 1
+            blk = c["coef"][by, bx]
+            st = stats.ac_stats(tbl)
+            if ah == 0:
+                # G.1.3.2: first pass for this band — the sequential
+                # AC model bounded to [ss, se], values scaled by 2^Al
+                k = ss
+                while k <= se:
+                    base = 3 * (k - 1)
+                    if dec.decode(st, base):
+                        break  # EOB
+                    while dec.decode(st, base + 1) == 0:
+                        base += 3
+                        k += 1
+                        if k > se:
+                            raise ImageDecodeError(
+                                "arithmetic AC run past band end"
+                            )
+                    sign = dec.decode(stats.fixed, 0)
+                    pos = base + 2
+                    m = dec.decode(st, pos)
+                    if m:
+                        if dec.decode(st, pos):
+                            m = 2
+                            pos = 189 if k <= kx else 217
+                            while dec.decode(st, pos):
+                                m <<= 1
+                                if m == 0x8000:
+                                    raise ImageDecodeError(
+                                        "arithmetic AC magnitude overflow"
+                                    )
+                                pos += 1
+                    v = m
+                    pos += 14
+                    mm = m >> 1
+                    while mm:
+                        if dec.decode(st, pos):
+                            v |= mm
+                        mm >>= 1
+                    v += 1
+                    blk[nat[k]] = (-v if sign else v) << al
+                    k += 1
+            else:
+                # G.1.3.3: refinement — correction bits for already-
+                # significant coefficients, adaptive newly-significant
+                # insertions, EOB decisions only beyond the previous
+                # stage's end-of-block index
+                kex = se
+                while kex > 0 and blk[nat[kex]] == 0:
+                    kex -= 1
+                k = ss
+                while k <= se:
+                    base = 3 * (k - 1)
+                    if k > kex and dec.decode(st, base):
+                        break  # EOB
+                    while True:
+                        cur = int(blk[nat[k]])
+                        if cur:  # previously significant: correction bit
+                            if dec.decode(st, base + 2):
+                                blk[nat[k]] = cur + (p1 if cur > 0 else -p1)
+                            break
+                        if dec.decode(st, base + 1):  # newly significant
+                            blk[nat[k]] = -p1 if dec.decode(stats.fixed, 0) else p1
+                            break
+                        base += 3
+                        k += 1
+                        if k > se:
+                            raise ImageDecodeError(
+                                "arithmetic AC refinement past band end"
+                            )
+                    k += 1
+    return dec.next_marker_pos()
+
+
+def _expect_rst(blob: bytes, p: int, rst: int) -> None:
+    marker = blob[p + 1] if p + 1 < len(blob) else None
+    if marker != 0xD0 + rst:
+        raise ImageDecodeError(
+            f"expected RST{rst}, found marker "
+            f"{'EOF' if marker is None else hex(marker)}"
+        )
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic fixture encoder
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_progressive_arith(
+    planes: list[np.ndarray],
+    width: int,
+    height: int,
+    sampling: str = "444",
+    scans: list[dict] | None = None,
+    restart_interval: int = 0,
+    dc_cond: tuple[int, int] = _DEFAULT_DC_COND,
+    ac_kx: int = _DEFAULT_AC_KX,
+) -> bytes:
+    """Encode an SOF10 progressive arithmetic JPEG — same plane and
+    scan-script contract as encode_jpeg_progressive."""
+    from .codecs_jpeg import _default_prog_scans, _prep_encode_components
+
+    comps, qts = _prep_encode_components(planes, width, height, sampling)
+    if scans is None:
+        scans = _default_prog_scans(len(comps))
+    return _assemble_jpeg_progressive_arith(
+        comps, width, height, qts, scans, restart_interval, dc_cond, ac_kx
+    )
+
+
+def _assemble_jpeg_progressive_arith(
+    comps: list[dict],
+    width: int,
+    height: int,
+    qts: dict[int, np.ndarray],
+    scans: list[dict],
+    restart_interval: int,
+    dc_cond: tuple[int, int],
+    ac_kx: int,
+) -> bytes:
+    from .codecs_jpeg import ZIGZAG, _seg
+
+    ncomp = len(comps)
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    for c in comps:
+        c["bw_n"] = -(-(-(-width * c["h"] // hmax)) // 8)
+        c["bh_n"] = -(-(-(-height * c["v"] // vmax)) // 8)
+        # zigzag views once per component
+        nat = list(ZIGZAG)
+        c["zz"] = c["qblocks"].reshape(
+            c["qblocks"].shape[0], c["qblocks"].shape[1], 64
+        )[:, :, nat]
+
+    out = bytearray(b"\xff\xd8")
+    for tq, qt in sorted(qts.items()):
+        if ncomp == 1 and tq == 1:
+            continue
+        zz = bytes(int(qt[ZIGZAG[i]]) for i in range(64))
+        out += _seg(0xDB, bytes([tq]) + zz)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([ncomp])
+    for c in comps:
+        sof += bytes([c["id"], (c["h"] << 4) | c["v"], c["tq"]])
+    out += _seg(0xCA, sof)  # SOF10: progressive DCT, arithmetic
+    dac = bytearray()
+    tables = sorted({(0, c["tq"]) for c in comps} | {(1, c["tq"]) for c in comps})
+    for tc, tb in tables:
+        cs = ((dc_cond[1] << 4) | dc_cond[0]) if tc == 0 else ac_kx
+        dac += bytes([(tc << 4) | tb, cs])
+    out += _seg(0xCC, bytes(dac))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    by_id = {c["id"]: c for c in comps}
+    for scd in scans:
+        sel = [by_id[i] for i in scd["ids"]]
+        ss, se, ah, al = scd["ss"], scd["se"], scd["ah"], scd["al"]
+        sos = bytes([len(sel)])
+        for c in sel:
+            tq = c["tq"]
+            sos += bytes([c["id"], (tq << 4) | tq])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        out += _encode_prog_scan_arith(
+            sel, mcux, mcuy, ss, se, ah, al, restart_interval, dc_cond, ac_kx
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_prog_scan_arith(
+    sel: list[dict],
+    mcux: int,
+    mcuy: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart_interval: int,
+    dc_cond: tuple[int, int],
+    ac_kx: int,
+) -> bytes:
+    out = bytearray()
+    enc = ArithEncoder()
+    stats = _CoderStats()
+    rst = 0
+    p1 = 1 << al
+
+    def restart(n_unit: int) -> bool:
+        return bool(restart_interval) and n_unit > 0 and n_unit % restart_interval == 0
+
+    def do_restart() -> None:
+        nonlocal enc, stats, rst
+        out.extend(enc.flush())
+        out.extend(bytes([0xFF, 0xD0 + rst]))
+        rst = (rst + 1) % 8
+        enc = ArithEncoder()
+        stats = _CoderStats()
+
+    if ss == 0:
+        def dc_unit(ci: int, c: dict, by: int, bx: int) -> None:
+            v = int(c["zz"][by, bx, 0])
+            if ah == 0:
+                # point transform: arithmetic shift per G.1.2.1
+                _encode_dc(enc, stats, c["tq"], ci, v >> al, dc_cond)
+            else:
+                enc.encode(stats.fixed, 0, (v >> al) & 1)
+
+        n_unit = 0
+        if len(sel) > 1:
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if restart(n_unit):
+                        do_restart()
+                    for ci, c in enumerate(sel):
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                dc_unit(ci, c, my * c["v"] + by, mx * c["h"] + bx)
+                    n_unit += 1
+        else:
+            c = sel[0]
+            for by in range(c["bh_n"]):
+                for bx in range(c["bw_n"]):
+                    if restart(n_unit):
+                        do_restart()
+                    dc_unit(0, c, by, bx)
+                    n_unit += 1
+        out.extend(enc.flush())
+        return bytes(out)
+
+    # AC scan, single component
+    c = sel[0]
+    tbl = c["tq"]
+    n_unit = 0
+    for by in range(c["bh_n"]):
+        for bx in range(c["bw_n"]):
+            if restart(n_unit):
+                do_restart()
+            n_unit += 1
+            zz = c["zz"][by, bx]
+            st = stats.ac_stats(tbl)
+            if ah == 0:
+                # magnitudes at this stage: toward-zero point transform
+                tvals = [
+                    (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
+                    for k in range(se + 1)
+                ]
+                ke = 0
+                for k in range(se, ss - 1, -1):
+                    if tvals[k]:
+                        ke = k
+                        break
+                k = ss
+                while k <= ke:
+                    base = 3 * (k - 1)
+                    enc.encode(st, base, 0)  # not EOB
+                    while tvals[k] == 0:
+                        enc.encode(st, base + 1, 0)
+                        base += 3
+                        k += 1
+                    enc.encode(st, base + 1, 1)
+                    v = tvals[k]
+                    sign = 1 if v < 0 else 0
+                    vm = (-v if sign else v) - 1
+                    enc.encode(stats.fixed, 0, sign)
+                    pos = base + 2
+                    if vm == 0:
+                        enc.encode(st, pos, 0)
+                    else:
+                        enc.encode(st, pos, 1)
+                        if vm == 1:
+                            enc.encode(st, pos, 0)
+                            m = 1
+                        else:
+                            enc.encode(st, pos, 1)
+                            m = 2
+                            pos = 189 if k <= ac_kx else 217
+                            while (m << 1) <= vm:
+                                enc.encode(st, pos, 1)
+                                m <<= 1
+                                pos += 1
+                            enc.encode(st, pos, 0)
+                        pos += 14
+                        mm = m >> 1
+                        while mm:
+                            enc.encode(st, pos, 1 if (vm & mm) else 0)
+                            mm >>= 1
+                    k += 1
+                if ke < se:
+                    enc.encode(st, 3 * (k - 1), 1)  # EOB
+            else:
+                mags = [abs(int(zz[k])) >> al for k in range(se + 1)]
+                prev = [abs(int(zz[k])) >> (al + 1) for k in range(se + 1)]
+                ke = 0
+                for k in range(se, ss - 1, -1):
+                    if mags[k]:
+                        ke = k
+                        break
+                kex = 0
+                for k in range(ke, ss - 1, -1):
+                    if prev[k]:
+                        kex = k
+                        break
+                k = ss
+                while k <= se:
+                    base = 3 * (k - 1)
+                    if k > kex:
+                        if k > ke:
+                            enc.encode(st, base, 1)  # EOB
+                            break
+                        enc.encode(st, base, 0)
+                    while True:
+                        if prev[k]:  # previously significant
+                            enc.encode(st, base + 2, mags[k] & 1)
+                            break
+                        if mags[k]:  # newly significant (== 1)
+                            enc.encode(st, base + 1, 1)
+                            enc.encode(
+                                stats.fixed, 0, 1 if int(zz[k]) < 0 else 0
+                            )
+                            break
+                        enc.encode(st, base + 1, 0)
+                        base += 3
+                        k += 1
+                        if k > se:
+                            raise ImageDecodeError(
+                                "encoder: AC refinement past band end"
+                            )
+                    k += 1
+    out.extend(enc.flush())
     return bytes(out)

@@ -12,8 +12,8 @@ remain by design:
   header + payload bytes) generated Spark-side from `documents`
   exercises the binary-column plumbing independent of any codec;
 - `decode_image` keeps a NotImplementedError gate (on an import-try
-  of PIL) only for formats that genuinely require an external codec
-  library — WebP, arithmetic-coded JPEG.
+  of PIL) only for the one format that genuinely requires an external
+  codec library — lossy/extended (VP8/VP8X) WebP.
 
 Scale notes:
 - Binary payloads ride in Arrow record batches
@@ -242,14 +242,14 @@ def decode_image(blob: bytes) -> dict:
 
     PPM (netpbm P6/P3), 24-bit BI_RGB BMP, 8-bit RGB/RGBA PNG
     (stdlib-zlib inflate + unfilter), JPEG — baseline sequential,
-    progressive (SOF2, round 7) AND arithmetic-coded sequential
-    (SOF9, round 9) — (grayscale returns channels=1 with the luma
-    plane; YCbCr returns BT.601 RGB), and lossless WebP (VP8L,
-    round 8) decode here in pure Python with no external dependency
-    (codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py /
-    codecs_vp8l.py). Formats that genuinely need a codec library
-    (lossy VP8 WebP, progressive-arithmetic SOF10 JPEG) keep the
-    NotImplementedError gate on an import-try of Pillow."""
+    progressive (SOF2, round 7) AND arithmetic-coded sequential +
+    progressive (SOF9/SOF10, round 9) — (grayscale returns channels=1
+    with the luma plane; YCbCr returns BT.601 RGB), and lossless WebP
+    (VP8L, round 8) decode here in pure Python with no external
+    dependency (codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py /
+    codecs_vp8l.py). The one format that genuinely needs a codec
+    library (lossy VP8/VP8X WebP — a full VP8 intra-frame decoder)
+    keeps the NotImplementedError gate on an import-try of Pillow."""
     from .codecs import _PNG_MAGIC, decode_bmp, decode_png, decode_ppm
     from .codecs_gif import decode_gif
     from .codecs_jpeg import decode_jpeg
@@ -279,13 +279,13 @@ def decode_image(blob: bytes) -> dict:
         from PIL import Image  # noqa: F401
     except ImportError as exc:
         raise NotImplementedError(
-            "lossy/extended WebP (VP8/VP8X) and progressive-arithmetic "
-            "(SOF10) JPEG decode require a codec library (e.g. Pillow), "
-            "which is not available in this environment; PPM, BMP, "
-            "8-bit RGB/RGBA PNG, baseline + progressive + sequential-"
-            "arithmetic JPEG, and lossless WebP (VP8L) decode natively "
-            "(codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py / "
-            "codecs_vp8l.py), and the deterministic fake-media path "
+            "lossy/extended WebP (VP8/VP8X) decode requires a codec "
+            "library (e.g. Pillow), which is not available in this "
+            "environment; PPM, BMP, 8-bit RGB/RGBA PNG, every T.81 DCT "
+            "JPEG process (baseline, progressive, sequential- and "
+            "progressive-arithmetic), and lossless WebP (VP8L) decode "
+            "natively (codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py "
+            "/ codecs_vp8l.py), and the deterministic fake-media path "
             "(attach_fake_media + multimodal_features) covers pipeline "
             "testing"
         ) from exc
@@ -1247,6 +1247,56 @@ def _attach_jpeg_arith(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     )
                 )
         yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _attach_jpeg_prog_arith(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """doc_id → real PROGRESSIVE arithmetic-coded (SOF10) JPEG bytes —
+    the planted raster through the full default scan script (DC first
+    at Al=1 + DC refinement, per-component AC spectral bands at Al=2,
+    two AC refinement passes), all QM-coded."""
+    import numpy as np
+
+    from .codecs_jpeg_arith import encode_jpeg_progressive_arith
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h, plane = _jpeg_plane(d)
+            if d % 2 == 0:
+                blobs.append(encode_jpeg_progressive_arith([plane], w, h))
+            else:
+                neutral = np.full((h, w), 128, dtype=np.uint8)
+                blobs.append(
+                    encode_jpeg_progressive_arith(
+                        [plane, neutral, neutral], w, h, "420"
+                    )
+                )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+@query("q_multimodal_decode_jpeg_prog_arith", oracle=_ORACLE_DECODE_JPEG)
+def multimodal_decode_jpeg_prog_arith(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents → REAL progressive arithmetic-coded (SOF10) JPEG
+    binary column → pure-Python T.81 Annex-G-model QM decode → integer
+    channel sums against the same closed form as every other JPEG
+    process — one planted raster, four coding processes, identical
+    reconstruction. Losslessness of the progressive-arithmetic entropy
+    layer on arbitrary coefficients is pinned by
+    tests/test_codecs_jpeg_arith.py's SOF10==baseline pixel fuzz."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_jpeg_prog_arith,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
 
 
 @query("q_multimodal_decode_jpeg_arith", oracle=_ORACLE_DECODE_JPEG)

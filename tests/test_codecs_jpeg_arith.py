@@ -206,11 +206,64 @@ def test_truncated_scan_degrades_cleanly():
             pass
 
 
-def test_progressive_arithmetic_still_refused():
-    """SOF10 stays behind the honest gate."""
+def test_lossless_process_still_refused():
+    """SOF11 (lossless) stays behind the honest gate."""
     plane = np.full((8, 8), 100, dtype=np.uint8)
     blob = bytearray(encode_jpeg_arith([plane], 8, 8))
     sof = blob.find(b"\xff\xc9")
-    blob[sof + 1] = 0xCA
+    blob[sof + 1] = 0xCB
     with pytest.raises(ImageDecodeError, match="unsupported JPEG coding"):
         decode_jpeg(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic (SOF10)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_progressive_arith_equals_baseline(seed):
+    """The full default scan script (DC first+refine, AC spectral
+    bands, two AC refinement passes) through the QM coder must
+    reconstruct the identical pixels the single-scan Huffman baseline
+    produces from the same planes — entropy layer and scan scheduling
+    are both lossless."""
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg_arith import (
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(seed)
+    h, w = int(rng.integers(8, 30)), int(rng.integers(8, 40))
+    planes = [
+        rng.integers(0, 256, size=(h, w)).astype(np.uint8) for _ in range(3)
+    ]
+    for samp in ("444", "420"):
+        a = decode_jpeg(encode_jpeg_progressive_arith(planes, w, h, samp))
+        b = decode_jpeg(encode_jpeg_baseline(planes, w, h, samp))
+        assert a["pixels"] == b["pixels"], samp
+    a = decode_jpeg(encode_jpeg_progressive_arith([planes[0]], w, h))
+    b = decode_jpeg(encode_jpeg_baseline([planes[0]], w, h))
+    assert a["pixels"] == b["pixels"], "grayscale"
+
+
+def test_progressive_arith_restart_and_dac():
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg_arith import (
+        encode_jpeg_progressive_arith,
+    )
+
+    rng = np.random.default_rng(3)
+    planes = [
+        rng.integers(0, 256, size=(24, 24)).astype(np.uint8) for _ in range(3)
+    ]
+    ref = decode_jpeg(encode_jpeg_baseline(planes, 24, 24, "420"))
+    got = decode_jpeg(
+        encode_jpeg_progressive_arith(planes, 24, 24, "420", restart_interval=2)
+    )
+    assert got["pixels"] == ref["pixels"]
+    ref4 = decode_jpeg(encode_jpeg_baseline(planes, 24, 24, "444"))
+    got4 = decode_jpeg(
+        encode_jpeg_progressive_arith(
+            planes, 24, 24, "444", dc_cond=(1, 3), ac_kx=2
+        )
+    )
+    assert got4["pixels"] == ref4["pixels"]

@@ -262,6 +262,7 @@ _EMPTY_GATE_QUERIES = [
     "q_dedup_simhash",
     "q_multimodal_decode_webp",
     "q_multimodal_decode_jpeg_arith",
+    "q_multimodal_decode_jpeg_prog_arith",
     "q_multimodal_decode_wav",
     "q_multimodal_decode_gif_frames",
     # round-8 late conversions (fake-media plumbing, now oracled)
@@ -375,6 +376,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_dedup_lsh_verified_stages",
         "q_multimodal_decode_webp",
         "q_multimodal_decode_jpeg_arith",
+        "q_multimodal_decode_jpeg_prog_arith",
         "q_multimodal_decode_wav",
         "q_multimodal_decode_gif_frames",
     ],
@@ -471,6 +473,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_dedup_containment_sketch",
         "q_multimodal_decode_webp",
         "q_multimodal_decode_jpeg_arith",
+        "q_multimodal_decode_jpeg_prog_arith",
         "q_multimodal_decode_wav",
         "q_multimodal_decode_gif_frames",
         "q_multimodal_features",

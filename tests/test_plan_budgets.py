@@ -106,6 +106,7 @@ EXCHANGE_BUDGETS = {
     "q_text_bpe_train_distributed": 1,  # one-row createDataFrame tail
     "q_multimodal_decode_webp": 2,  # scan spread + final sort
     "q_multimodal_decode_jpeg_arith": 2,  # scan spread + final sort
+    "q_multimodal_decode_jpeg_prog_arith": 2,  # scan spread + final sort
     "q_multimodal_decode_wav": 2,   # same shape (r8)
     "q_multimodal_decode_gif_frames": 2,  # same shape (r8)
     "q_dedup_representative": 2,
