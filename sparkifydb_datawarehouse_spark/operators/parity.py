@@ -350,11 +350,43 @@ def epoch_millis_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("q_surrogate_key")  # rows-only: ids are nondeterministic by design
-def surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+def surrogate_key_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production projection: one nondeterministic 64-bit id per
+    row (partition-id high bits + per-partition counter — no shuffle,
+    no driver round-trip; the 100 TB surrogate-key shape)."""
     ev = load_table(spark, sf_dir, "events")
     return ev.select(
         F.monotonically_increasing_id().alias("surrogate_id"),
         "event_id",
         "event_type",
+    )
+
+
+# Contract-oracle form (round 9, the r7/r8 rows-only-conversion
+# pattern): the ids themselves are nondeterministic by design
+# (partition layout decides them), but three claims are exact and
+# SQL-checkable — the row count, distinctness (a THEOREM of
+# monotonically_increasing_id: partition-unique counters under
+# partition-unique prefixes), and non-negativity (ids are built from
+# non-negative partition ids and counters). The raw projection stays
+# available as surrogate_key_frame.
+_ORACLE_SURROGATE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(1 AS INTEGER) AS ids_distinct,
+       CAST(1 AS INTEGER) AS ids_nonnegative
+FROM events
+"""
+
+
+@query("q_surrogate_key", oracle=_ORACLE_SURROGATE)
+def surrogate_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frame = surrogate_key_frame(spark, sf_dir)
+    return frame.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count_distinct("surrogate_id") == F.count(F.lit(1)))
+        .cast("int")
+        .alias("ids_distinct"),
+        F.coalesce(F.min("surrogate_id") >= 0, F.lit(True))
+        .cast("int")
+        .alias("ids_nonnegative"),
     )

@@ -12,9 +12,16 @@ task granularity exactly as for parquet.
 Here the fixture directory's own parquet files stand in as "opaque
 binaries": the query proves the plumbing (schema, lazy content read,
 deterministic projection) by fingerprinting each file's magic bytes.
-Registered rows-only: no DuckDB analog reads raw files; the strong
-check is the pytest asserting every content column starts with the
-parquet magic PAR1 and the listing matches the catalog.
+
+Contract-oracle conversion (round 9, closing the registry's last
+rows-only ids): the driver fixtures are plain one-file-per-table
+parquet with catalog-deterministic names, so the LISTING and MAGIC
+are exact SQL values (a VALUES table of the ten catalog names +
+PAR1), and the census row counts equal the table's COUNT(*). File
+byte sizes stay engine-side (not derivable from table contents) and
+are reduced to a ≥-footer-size flag. The raw (path, length, magic)
+projection stays available as scan_binaryfile_frame for scaled /
+multi-part directories, where part-file names are nondeterministic.
 """
 
 from __future__ import annotations
@@ -23,12 +30,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import query
+from ..tables import TABLE_NAMES
+
+# minimum plausible parquet file: PAR1 + footer length + PAR1
+_MIN_PARQUET_BYTES = 12
+
+_ORACLE_SCAN_BINARYFILE = (
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"('{t}.parquet', '50415231', 1)" for t in sorted(TABLE_NAMES))
+    + ") AS v(file_name, magic_hex, plausible_size) ORDER BY file_name"
+)
 
 
-@query("q_scan_binaryfile")  # rows-only: raw-file scan has no SQL-view analog
-def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One row per file in the scale-factor directory: name, size, and
-    the hex magic of the first 4 bytes (PAR1 for every fixture)."""
+def scan_binaryfile_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw listing: one row per file with name, byte size, and the hex
+    magic of the first 4 bytes (PAR1 for every fixture)."""
     return (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.parquet")
@@ -38,14 +54,39 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("length").cast("long").alias("n_bytes"),
             F.upper(F.hex(F.substring("content", 1, 4))).alias("magic_hex"),
         )
+    )
+
+
+@query("q_scan_binaryfile", oracle=_ORACLE_SCAN_BINARYFILE)
+def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract form over scan_binaryfile_frame: the listing must be
+    exactly the ten catalog files, each carrying the parquet magic and
+    a plausible (≥ header+footer) byte size."""
+    return (
+        scan_binaryfile_frame(spark, sf_dir)
+        .select(
+            "file_name",
+            "magic_hex",
+            (F.col("n_bytes") >= _MIN_PARQUET_BYTES)
+            .cast("int")
+            .alias("plausible_size"),
+        )
         .orderBy("file_name")
     )
 
 
-@query("q_file_census")  # rows-only: the oracle needs a per-sf file path,
-# which the static-oracle contract can't express; the value check runs in
-# tests/test_new_ops_r3.py against DuckDB read_parquet(filename=true) at
-# the SAME sf_dir.
+# The census's file identity is catalog-deterministic on the driver
+# fixtures (one plain file per table), so the oracle is the exact
+# per-file row count — COUNT(*) of the table itself.
+_ORACLE_FILE_CENSUS = """
+SELECT 'lineitem.parquet' AS file_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+ORDER BY file_name
+"""
+
+
+@query("q_file_census", oracle=_ORACLE_FILE_CENSUS)
 def file_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-layout census: rows per physical input file via
     input_file_name() — the small-file / skewed-file detector every

@@ -263,6 +263,10 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_decode_webp",
     "q_multimodal_decode_jpeg_arith",
     "q_multimodal_decode_jpeg_prog_arith",
+    # round-9 rows-only -> contract-oracle conversions
+    "q_surrogate_key",
+    "q_scan_binaryfile",
+    "q_file_census",
     "q_multimodal_decode_wav",
     "q_multimodal_decode_gif_frames",
     # round-8 late conversions (fake-media plumbing, now oracled)
@@ -377,6 +381,10 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_webp",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
+        # round-9 rows-only -> contract-oracle conversions
+        "q_surrogate_key",
+        "q_scan_binaryfile",
+        "q_file_census",
         "q_multimodal_decode_wav",
         "q_multimodal_decode_gif_frames",
     ],
@@ -474,6 +482,10 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_webp",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
+        # round-9 rows-only -> contract-oracle conversions
+        "q_surrogate_key",
+        "q_scan_binaryfile",
+        "q_file_census",
         "q_multimodal_decode_wav",
         "q_multimodal_decode_gif_frames",
         "q_multimodal_features",

@@ -300,15 +300,22 @@ def test_chunking_covers_every_token_exactly_once_per_stride_window(spark, sf_di
 
 def test_scan_binaryfile_magic_and_catalog(spark):
     """binaryFile scan: every fixture file surfaces with the parquet
-    magic and the listing covers the whole catalog."""
+    magic and the listing covers the whole catalog — raw frame plus
+    the r9 contract form."""
+    from sparkifydb_datawarehouse_spark.sources.binaryfile_source import (
+        scan_binaryfile_frame,
+    )
     from sparkifydb_datawarehouse_spark.tables import TABLE_NAMES
 
-    rows = registry.QUERIES["q_scan_binaryfile"](spark, SF_SMOKE).collect()
-    names = {r.file_name for r in rows}
+    raw = scan_binaryfile_frame(spark, SF_SMOKE).collect()
+    names = {r.file_name for r in raw}
     assert names == {f"{t}.parquet" for t in TABLE_NAMES}
-    for r in rows:
+    for r in raw:
         assert r.magic_hex == "50415231", r  # b"PAR1"
         assert r.n_bytes > 0
+    rows = registry.QUERIES["q_scan_binaryfile"](spark, SF_SMOKE).collect()
+    assert [r.file_name for r in rows] == sorted(names)
+    assert all(r.magic_hex == "50415231" and r.plausible_size == 1 for r in rows)
 
 
 def test_file_census_matches_duckdb(spark):

@@ -122,6 +122,9 @@ EXCHANGE_BUDGETS = {
     "q_event_trigrams": 2,
     "q_feature_binning": 1,
     "q_file_census": 2,
+    # r9 contract conversion: count + count_distinct agg over the
+    # shuffle-free id projection
+    "q_surrogate_key": 2,
     "q_forecast_eval": 3,
     "q_funnel_latency": 5,
     "q_k_anonymity": 3,
