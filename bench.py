@@ -140,6 +140,7 @@ HEADLINE = [
     "q_agg_kmv_overlap",             # KMV sketch set algebra + contract
     "q_sample_dsir",                 # DSIR importance weighting toward a target domain
     "q_multimodal_decode_jpeg",      # pure-Python baseline JPEG decode
+    "q_multimodal_decode_jpeg_arith",  # r9: SOF9 QM-coder decode
     "q_text_novelty",                # cross-doc duplication rate (gram-key window)
     "q_graph_link_prediction",       # neighborhood-Jaccard, degree-capped pair volume
     "q_hard_negatives",              # closure-anchor contrastive mining (one Arrow pass)
