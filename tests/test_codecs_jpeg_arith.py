@@ -267,3 +267,64 @@ def test_progressive_arith_restart_and_dac():
         )
     )
     assert got4["pixels"] == ref4["pixels"]
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis property tests — stronger than the seeded fuzz above:
+# shrinking finds minimal counterexamples in the coder's renorm /
+# carry / flush edges if any exist.
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 1)), max_size=300
+    )
+)
+def test_coder_roundtrip_property(bits):
+    """ANY (context, bit) sequence roundtrips byte-exactly, and both
+    sides finish in identical statistics states."""
+    enc = ArithEncoder()
+    st_e = bytearray(8)
+    for idx, b in bits:
+        enc.encode(st_e, idx, b)
+    data = enc.flush() + b"\xff\xd9"
+    dec = ArithDecoder(data, 0)
+    st_d = bytearray(8)
+    assert [dec.decode(st_d, idx) for idx, _ in bits] == [b for _, b in bits]
+    assert st_e == st_d
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.integers(-1023, 1023), min_size=64, max_size=64),
+    st.integers(0, 3),
+)
+def test_block_model_roundtrip_property(coeffs, tbl):
+    """ANY coefficient block (DC diff chains included) survives the
+    Annex-F DC+AC statistical models: encode then decode over a shared
+    coder recovers the exact zigzag coefficients."""
+    from sparkifydb_datawarehouse_spark.llm.codecs_jpeg_arith import (
+        _CoderStats,
+        _decode_ac,
+        _decode_dc,
+        _encode_ac,
+        _encode_dc,
+    )
+
+    zz = np.array(coeffs, dtype=np.int32)
+    enc = ArithEncoder()
+    se = _CoderStats()
+    _encode_dc(enc, se, tbl, 0, int(zz[0]), (0, 1))
+    _encode_ac(enc, se, tbl, zz, 5)
+    data = enc.flush() + b"\xff\xd9"
+    dec = ArithDecoder(data, 0)
+    sd = _CoderStats()
+    out = np.zeros(64, dtype=np.int32)
+    out[0] = _decode_dc(dec, sd, tbl, 0, (0, 1))
+    _decode_ac(dec, sd, tbl, out, 5)
+    assert (out == zz).all()
