@@ -41,12 +41,17 @@ def _coverage_order(ids) -> list[str]:
        grow the cross-round union),
     3. never-driver-checked rows-only ids (VERDICT r6 #1 — these earn
        only a weaker rows-only row, so they queue after oracled ones),
-    4. everything already green.
+    4. everything already green, OLDEST-CHECKED-FIRST (VERDICT r9 #6:
+       with the cross-round union at 345/345, each round's ~50 slots
+       rotate to the stalest green rows instead of re-spending on
+       recently-verified ones) — sorted by LAST_CHECKED_ROUND
+       ascending, stable registry order within a round.
 
     Stable registry order within each tier — ids themselves stay
     byte-stable across rounds."""
     from sparkifydb_datawarehouse_spark.driver_history import (
         DRIVER_CHECKED,
+        LAST_CHECKED_ROUND,
         RECHECK_FIRST,
     )
 
@@ -65,6 +70,7 @@ def _coverage_order(ids) -> list[str]:
     checked = [
         i for i in ids if i not in RECHECK_FIRST and i in DRIVER_CHECKED
     ]
+    checked.sort(key=lambda i: LAST_CHECKED_ROUND[i])  # stable: ties keep registry order
     return recheck + unchecked_oracled + unchecked_rows_only + checked
 
 
