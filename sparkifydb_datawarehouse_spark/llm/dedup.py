@@ -1631,8 +1631,20 @@ def _lsh_verified_tiers(
     degree_observation=None,
     checkpoint_candidates: bool = False,
     uncapped_edge_ceiling: int | None = _UNCAPPED_EDGE_CEILING,
+    anchor_doc_a: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame, DataFrame, DataFrame]:
     """Returns (ex, cand_raw, cand, cand_est, cand_capped, verified):
+
+    ``anchor_doc_a`` (VERDICT r9 #5) restricts every returned pair set
+    to pairs whose SMALLER id is in the anchor slice (doc_a < anchor,
+    applied map-side inside the bucket explode, before any distinct /
+    window / posting join) — the bounded-accounting tier of the stages
+    contract. Restriction commutes with each stage's filter, so the
+    monotone theorem survives, and anchored truth pairs (both ids <
+    anchor, doc_a < doc_b) are all anchor-incident, so per-stage recall
+    vs anchored truth is unchanged. Downstream volume is bounded by
+    the anchor at any corpus scale; only the sketch + bucket explode
+    itself stays corpus-sized (one map pass). None = full corpus.
 
     ex        — (doc_id, h): distinct 3-word shingles as 64-bit hashes,
                 localCheckpointed (three consumers: sketch, both verify
@@ -1765,6 +1777,11 @@ def _lsh_verified_tiers(
             F.expr(agree_expr).alias("agree"),
         )
     )
+    if anchor_doc_a is not None:
+        # drop non-anchor-incident pairs inside the explode's map
+        # stage: nothing past this line ever sees more than the
+        # anchor-bounded pair volume
+        pairs_dec = pairs_dec.filter(F.col("doc_a") < anchor_doc_a)
     if checkpoint_candidates:
         # the stages query consumes the pair stream in 3 stage rows and
         # its descendant (verified) in 1 more — cut the lineage so the
@@ -1893,7 +1910,10 @@ def dedup_lsh_verified(
 
 
 def dedup_lsh_verified_stages_detail(
-    spark: SparkSession, sf_dir: str, truth: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    truth: DataFrame | None = None,
+    anchor_doc_a: int | None = None,
 ) -> DataFrame:
     """Per-stage accounting for the two-tier join: one row per stage
     with its pair count, how many TRUE pairs (prefix-filter exact
@@ -1909,10 +1929,13 @@ def dedup_lsh_verified_stages_detail(
     ``truth`` defaults to the FULL-corpus exact prefix filter — the
     unbounded audit, for probes and pytest. The registered contract
     query passes the bounded anchor slice instead (VERDICT r8 #5), so
-    the headline cost stays constant in corpus size."""
+    the headline cost stays constant in corpus size. ``anchor_doc_a``
+    (VERDICT r9 #5) additionally bounds the per-stage pair ACCOUNTING
+    to anchor-incident pairs — the registered query sets it; detail
+    callers (probes, pytest) default to full-corpus accounting."""
     docs = load_table(spark, sf_dir, "documents")
     _, cand_raw, cand, cand_est, cand_capped, verified = _lsh_verified_tiers(
-        docs, checkpoint_candidates=True
+        docs, checkpoint_candidates=True, anchor_doc_a=anchor_doc_a
     )
     if truth is None:
         truth = dedup_prefix_filter(spark, sf_dir)
@@ -1985,11 +2008,23 @@ def dedup_lsh_verified_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the full per-stage pair/recall accounting): one row per
     stage with the exact true-pair anchor and the two flags described
     above the oracle. Truth tier bounded to the anchor slice
-    (VERDICT r8 #5) — the stages themselves still run over the full
-    corpus; only the exact ground truth they are scored against is
-    the fixed-size slice."""
+    (VERDICT r8 #5); since round 10 the per-stage pair ACCOUNTING is
+    anchor-incident too (VERDICT r9 #5 — full-candidate accounting
+    made this the last registered query super-linear in candidate
+    volume: 389.8 s at the 100×-adversarial probe). The sketch,
+    banding, and bucket explode still run over the FULL corpus — the
+    contract audits production banding behavior restricted to pairs
+    touching the anchor slice; both flags are invariant under that
+    restriction (monotonicity commutes with it, truth pairs are all
+    anchor-incident). At the driver's sf0.01 the anchor covers the
+    whole fixture, so the driver row is as strong as before;
+    full-corpus accounting stays available via the unregistered
+    _detail (probes + pytest)."""
     detail = dedup_lsh_verified_stages_detail(
-        spark, sf_dir, truth=_truth_anchor_pairs(spark, sf_dir)
+        spark,
+        sf_dir,
+        truth=_truth_anchor_pairs(spark, sf_dir),
+        anchor_doc_a=_TRUTH_ANCHOR,
     ).localCheckpoint(
         eager=True
     )  # two consumers: rows + the cross-stage monotonicity window

@@ -77,11 +77,15 @@ def scan_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The census's file identity is catalog-deterministic on the driver
 # fixtures (one plain file per table), so the oracle is the exact
-# per-file row count — COUNT(*) of the table itself.
+# per-file row count — COUNT(*) of the table itself. HAVING makes the
+# oracle row-conditional (ADVICE r9): a zero-row lineitem scan yields
+# zero groups on the Spark side, so the oracle must emit zero rows
+# too, not a literal ('lineitem.parquet', 0).
 _ORACLE_FILE_CENSUS = """
 SELECT 'lineitem.parquet' AS file_name,
        CAST(COUNT(*) AS BIGINT) AS n_rows
 FROM lineitem
+HAVING COUNT(*) > 0
 ORDER BY file_name
 """
 
