@@ -551,10 +551,13 @@ def decode_vp8l(blob: bytes) -> dict:
         if tag == b"VP8L":
             payload = blob[pos + 8 : pos + 8 + size]
             break
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
             raise ImageDecodeError(
-                "lossy/extended WebP (VP8/VP8X) not supported — only VP8L"
+                "lossy WebP (VP8) is codecs_vp8.py's format — this "
+                "decoder handles only VP8L"
             )
+        # VP8X is a metadata header chunk (round 10): skip it and keep
+        # walking — a VP8X-wrapped VP8L still decodes here
         pos += 8 + size + (size & 1)
     if payload is None or len(payload) < 5:
         raise ImageDecodeError("WebP container has no VP8L chunk")

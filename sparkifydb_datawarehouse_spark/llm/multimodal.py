@@ -6,14 +6,14 @@ implemented in pure Python instead (codecs.py / codecs_jpeg.py): PPM,
 BMP, PNG (stdlib zlib), and JPEG — baseline sequential AND progressive
 (SOF2) since round 7 — all decode for real and are value-checked
 end-to-end against closed-form planted rasters
-(q_multimodal_decode_{ppm,png,jpeg,jpeg_progressive}). Two stand-ins
-remain by design:
-- a deterministic fake media container ("FAKE" magic + width/height
-  header + payload bytes) generated Spark-side from `documents`
-  exercises the binary-column plumbing independent of any codec;
-- `decode_image` keeps a NotImplementedError gate (on an import-try
-  of PIL) only for the one format that genuinely requires an external
-  codec library — lossy/extended (VP8/VP8X) WebP.
+(q_multimodal_decode_{ppm,png,jpeg,jpeg_progressive,...,webp_lossy}).
+One stand-in remains by design: a deterministic fake media container
+("FAKE" magic + width/height header + payload bytes) generated
+Spark-side from `documents` exercises the binary-column plumbing
+independent of any codec. As of round 10 there is NO codec gate left:
+every attached format — PPM, BMP, PNG, all four T.81 JPEG processes,
+GIF, WAV, and WebP (VP8L lossless, VP8 lossy, VP8X still) — decodes
+in pure Python (codecs*.py).
 
 Scale notes:
 - Binary payloads ride in Arrow record batches
@@ -245,11 +245,12 @@ def decode_image(blob: bytes) -> dict:
     progressive (SOF2, round 7) AND arithmetic-coded sequential +
     progressive (SOF9/SOF10, round 9) — (grayscale returns channels=1
     with the luma plane; YCbCr returns BT.601 RGB), and lossless WebP
-    (VP8L, round 8) decode here in pure Python with no external
-    dependency (codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py /
-    codecs_vp8l.py). The one format that genuinely needs a codec
-    library (lossy VP8/VP8X WebP — a full VP8 intra-frame decoder)
-    keeps the NotImplementedError gate on an import-try of Pillow."""
+    (VP8L, round 8) AND lossy/extended WebP (VP8 intra-frame + VP8X
+    still containers, round 10 — codecs_vp8.py) decode here in pure
+    Python with no external dependency (codecs.py / codecs_jpeg.py /
+    codecs_jpeg_arith.py / codecs_vp8l.py / codecs_vp8.py). The
+    round-9 NotImplementedError codec gate is gone: every format the
+    fixture attachers emit decodes natively."""
     from .codecs import _PNG_MAGIC, decode_bmp, decode_png, decode_ppm
     from .codecs_gif import decode_gif
     from .codecs_jpeg import decode_jpeg
@@ -274,32 +275,17 @@ def decode_image(blob: bytes) -> dict:
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         if b"VP8L" in blob[12:24]:
             return decode_vp8l(blob)
-        # fall through to the gate: VP8 (lossy) / VP8X (extended)
-    try:  # pragma: no cover - codec gate for compressed formats
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "lossy/extended WebP (VP8/VP8X) decode requires a codec "
-            "library (e.g. Pillow), which is not available in this "
-            "environment; PPM, BMP, 8-bit RGB/RGBA PNG, every T.81 DCT "
-            "JPEG process (baseline, progressive, sequential- and "
-            "progressive-arithmetic), and lossless WebP (VP8L) decode "
-            "natively (codecs.py / codecs_jpeg.py / codecs_jpeg_arith.py "
-            "/ codecs_vp8l.py), and the deterministic fake-media path "
-            "(attach_fake_media + multimodal_features) covers pipeline "
-            "testing"
-        ) from exc
-    import io  # pragma: no cover
+        from .codecs_vp8 import decode_webp_lossy
 
-    from PIL import Image  # pragma: no cover
+        # lossy "VP8 " + extended VP8X (still VP8 or VP8L) — round 10
+        return decode_webp_lossy(blob)
+    from .codecs import ImageDecodeError
 
-    img = Image.open(io.BytesIO(blob)).convert("RGB")  # pragma: no cover
-    return {  # pragma: no cover
-        "width": img.width,
-        "height": img.height,
-        "channels": 3,
-        "pixels": img.tobytes(),
-    }
+    raise ImageDecodeError(
+        f"unrecognized image magic {blob[:8]!r} — supported: PPM, BMP, "
+        "PNG, JPEG (all four T.81 DCT processes), GIF, and WebP "
+        "(VP8L lossless, VP8 lossy, VP8X still containers)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -589,6 +575,97 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return media.mapInPandas(_decode_png_features, _PNG_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# LOSSY WebP decode (round 10 — the last codec gate dies, VERDICT r9
+# #4): plant per-macroblock-constant rasters, which VP8's Y2/WHT DC
+# path reconstructs EXACTLY at q-index 0 (codecs_vp8.py docstring
+# theorem: Y2 DC = 8·r → inverse WHT → inverse DCT gives residual r
+# bit-for-bit at every luma pixel). Intra modes cycle per MB across
+# DC/V/H/TM/B_PRED (the B_PRED sub-mode policy exercises all ten 4x4
+# predictors on interior subblocks), chroma stays neutral (Cb=Cr=128
+# survives 4:2:0 and BT.601 exactly, so R=G=B=Y — the same one-form
+# trick as the JPEG path), every 7th doc rides the VP8X extended
+# container (chunk-walk coverage in driver data), and filter_level=0
+# (the planted closed form is only valid unfiltered; levels > 0 are
+# pinned by tests/test_codecs_vp8.py roundtrips).
+# ---------------------------------------------------------------------------
+
+
+def _attach_webp_lossy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """doc_id → real lossy-WebP bytes (per-MB-constant raster, intra
+    modes cycling, VP8X wrap every 7th doc)."""
+    from .codecs_vp8 import encode_webp_vp8
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = d % 24 + 9, d % 16 + 9
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            targets = [
+                [(11 * d + 5 * mx + 3 * my) % 256 for mx in range(mbw)]
+                for my in range(mbh)
+            ]
+            blobs.append(
+                encode_webp_vp8(
+                    targets,
+                    w,
+                    h,
+                    extended=d % 7 == 0,
+                    y_mode_fn=lambda mx, my, _d=d: (_d + mx + my) % 5,
+                    uv_mode_fn=lambda mx, my, _d=d: (_d + mx + 2 * my) % 4,
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+_ORACLE_DECODE_WEBP_LOSSY = """
+WITH d AS (
+    SELECT doc_id,
+           doc_id % 24 + 9 AS w,
+           doc_id % 16 + 9 AS h
+    FROM documents
+),
+gx AS (SELECT d.*, UNNEST(range(0, (w + 15) // 16)) AS mx FROM d),
+g AS (SELECT gx.*, UNNEST(range(0, (h + 15) // 16)) AS my FROM gx),
+s AS (
+    SELECT doc_id, w, h,
+           SUM(((11 * doc_id + 5 * mx + 3 * my) % 256)
+               * LEAST(16, w - 16 * mx) * LEAST(16, h - 16 * my)) AS sum_luma
+    FROM g
+    GROUP BY doc_id, w, h
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(3 AS INTEGER) AS channels,
+       CAST(sum_luma AS BIGINT) AS sum_r,
+       CAST(sum_luma AS BIGINT) AS sum_g,
+       CAST(sum_luma AS BIGINT) AS sum_b
+FROM s
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_decode_webp_lossy", oracle=_ORACLE_DECODE_WEBP_LOSSY)
+def multimodal_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real lossy-WebP binary column (VP8 key frames,
+    intra modes cycling per MB, VP8X wrap every 7th doc) → pure-Python
+    RFC 6386 decode (bool coder, token contexts, inverse WHT/DCT, all
+    intra predictors) → integer channel sums, value-checked against
+    the closed form of the planted per-MB constants. Same scale shape
+    as the other decode paths: scan spread first (entropy decode is
+    real per-row CPU), fixed-width feature columns leave mapInPandas,
+    payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_webp_lossy,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -113,18 +113,11 @@ def test_decode_image_dispatches_by_magic():
     assert decode_image(encode_bmp_24(2, 2, PX_2X2))["pixels"] == PX_2X2
 
 
-def test_decode_image_gate_remains_for_webp():
-    """JPEG now decodes natively (codecs_jpeg.py, round 5) — the
-    NotImplementedError gate covers only genuinely external-codec
-    formats. A malformed JPEG is a DECODE error, not a gate hit."""
+def test_decode_image_malformed_payloads_are_decode_errors():
+    """Round 10: the codec gate is gone — a WebP container with no
+    image chunk and a truncated JPEG are both DECODE errors."""
     webp_magic = b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 8
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("Pillow present; gate not reachable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="codec"):
+    with pytest.raises(ImageDecodeError):
         decode_image(webp_magic)
     with pytest.raises(ImageDecodeError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)  # truncated JPEG

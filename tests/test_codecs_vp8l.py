@@ -175,10 +175,12 @@ def test_decode_image_dispatches_webp():
     px = _rand_px(rng, 8, 5, 3)
     img = decode_image(encode_vp8l(8, 5, px, 3, lz77=True))
     assert img["pixels"] == px
-    # VP8X (extended) still hits the honest codec gate
+    # a VP8L chunk misdeclared as VP8X is a malformed container:
+    # round 10's chunk walk rejects it (bogus VP8X feature flags /
+    # missing image chunk), never a silent misparse
     blob = encode_vp8l(8, 5, px, 3)
     ext = blob[:12] + b"VP8X" + blob[16:]
-    with pytest.raises((NotImplementedError, ImageDecodeError)):
+    with pytest.raises(ImageDecodeError):
         decode_image(ext)
 
 

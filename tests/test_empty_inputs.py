@@ -261,6 +261,7 @@ _EMPTY_GATE_QUERIES = [
     "q_dedup_fuzzy_minhash",
     "q_dedup_simhash",
     "q_multimodal_decode_webp",
+    "q_multimodal_decode_webp_lossy",
     "q_multimodal_decode_jpeg_arith",
     "q_multimodal_decode_jpeg_prog_arith",
     # round-9 rows-only -> contract-oracle conversions
@@ -379,6 +380,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_dedup_containment_sketch",
         "q_dedup_lsh_verified_stages",
         "q_multimodal_decode_webp",
+        "q_multimodal_decode_webp_lossy",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
         # round-9 rows-only -> contract-oracle conversions
@@ -480,6 +482,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_dedup_simhash",
         "q_dedup_containment_sketch",
         "q_multimodal_decode_webp",
+        "q_multimodal_decode_webp_lossy",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
         # round-9 rows-only -> contract-oracle conversions

@@ -29,8 +29,12 @@ def test_checksum_matches_python(spark, sf_dir):
     assert feat["payload_checksum"] == sum(doc["text"].encode()) % (1 << 31)
 
 
-def test_decode_image_stub_raises():
-    with pytest.raises(NotImplementedError, match="codec"):
+def test_decode_image_unknown_magic_raises():
+    from sparkifydb_datawarehouse_spark.llm.codecs import ImageDecodeError
+
+    # 6 bytes of PNG magic is not the 8-byte signature — unknown magic
+    # is a decode error (the round-9 codec gate is gone)
+    with pytest.raises(ImageDecodeError, match="unrecognized"):
         multimodal.decode_image(b"\x89PNG\r\n")
 
 

@@ -107,6 +107,7 @@ EXCHANGE_BUDGETS = {
     "q_multimodal_decode_webp": 2,  # scan spread + final sort
     "q_multimodal_decode_jpeg_arith": 2,  # scan spread + final sort
     "q_multimodal_decode_jpeg_prog_arith": 2,  # scan spread + final sort
+    "q_multimodal_decode_webp_lossy": 2,  # r10: scan spread + final sort; VP8 payloads never shuffle
     "q_multimodal_decode_wav": 2,   # same shape (r8)
     "q_multimodal_decode_gif_frames": 2,  # same shape (r8)
     "q_dedup_representative": 2,
