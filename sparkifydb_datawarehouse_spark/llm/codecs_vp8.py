@@ -150,6 +150,10 @@ _COEF_UPDATE_PROB_FLAT = 128
 
 _N_COEF_UPDATES = 4 * 8 * 3 * 11
 
+# prob_skip_false transmitted when mb_no_coeff_skip is on (any 1..255
+# value is valid; real encoders tune it per frame)
+_SKIP_PROB = 192
+
 # inverse-DCT multipliers (§14.3)
 _COS = 20091  # cos(pi/8)*sqrt(2) - 1, Q16
 _SIN = 35468  # sin(pi/8)*sqrt(2), Q16
@@ -842,21 +846,23 @@ def decode_vp8_frame(data: bytes) -> dict:
         if header.get(_COEF_UPDATE_PROB_FLAT):
             raise ImageDecodeError("coefficient prob updates not supported")
     mb_no_skip = header.get_literal(1)
-    if mb_no_skip:
-        raise ImageDecodeError("mb_no_coeff_skip not supported by this decoder")
+    prob_skip_false = header.get_literal(8) if mb_no_skip else 0
 
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
     # per-MB modes (first partition, raster order)
     y_modes: list[list[int]] = []
     sub_modes: list[list[list[int]]] = []  # per MB: 4x4 grid or None
     uv_modes: list[list[int]] = []
+    skip_flags: list[list[int]] = []
     # sub-mode context rows: above[mbw*4], left[4]
     above_sub = [B_DC_PRED] * (mbw * 4)
     implied = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED, H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}
     for mby in range(mbh):
-        row_modes, row_subs, row_uv = [], [], []
+        row_modes, row_subs, row_uv, row_skip = [], [], [], []
         left_sub = [B_DC_PRED] * 4
         for mbx in range(mbw):
+            # mb_skip_coeff precedes the modes in the per-MB record
+            row_skip.append(header.get(prob_skip_false) if mb_no_skip else 0)
             ym = header.get_tree(_KF_YMODE_TREE, _KF_YMODE_PROB)
             if ym == B_PRED:
                 grid = [[0] * 4 for _ in range(4)]
@@ -886,6 +892,7 @@ def decode_vp8_frame(data: bytes) -> dict:
         y_modes.append(row_modes)
         sub_modes.append(row_subs)
         uv_modes.append(row_uv)
+        skip_flags.append(row_skip)
 
     q = _quantizers(qi)
     w16, h16 = mbw * 16, mbh * 16
@@ -903,6 +910,31 @@ def decode_vp8_frame(data: bytes) -> dict:
         for mbx in range(mbw):
             ym = y_modes[mby][mbx]
             has_y2 = ym != B_PRED
+            if skip_flags[mby][mbx]:
+                # mb_skip_coeff: no tokens — reconstruction is the
+                # prediction alone; entropy contexts reset to 0 (Y2
+                # context only when this MB carries a Y2 block)
+                if has_y2:
+                    planes["y"][
+                        mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16
+                    ] = predict_block(planes["y"], mbx * 16, mby * 16, 16, ym)
+                    ctx_above["y2"][mbx] = ctx_left["y2"] = 0
+                else:
+                    for sb in range(16):
+                        r, c = sb // 4, sb % 4
+                        x0, y0 = mbx * 16 + c * 4, mby * 16 + r * 4
+                        planes["y"][y0 : y0 + 4, x0 : x0 + 4] = predict_subblock(
+                            planes["y"], x0, y0, sub_modes[mby][mbx][r][c]
+                        )
+                for pl in ("u", "v"):
+                    planes[pl][
+                        mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8
+                    ] = predict_block(planes[pl], mbx * 8, mby * 8, 8, uv_modes[mby][mbx])
+                    ctx_above[pl][mbx * 2 : mbx * 2 + 2] = [0, 0]
+                    ctx_left[pl][0] = ctx_left[pl][1] = 0
+                ctx_above["y"][mbx * 4 : mbx * 4 + 4] = [0, 0, 0, 0]
+                ctx_left["y"][:] = [0, 0, 0, 0]
+                continue
             y2_out = None
             if has_y2:
                 ctx = ctx_above["y2"][mbx] + ctx_left["y2"]
@@ -1063,6 +1095,7 @@ def encode_vp8_frame(
     filter_level: int = 0,
     filter_type: int = 0,
     sharpness: int = 0,
+    use_skip: bool = False,
 ) -> tuple[bytes, dict]:
     """Encode per-MB luma constants ``mb_targets[mby][mbx]`` (and
     optional chroma constants) into a VP8 key-frame payload. Returns
@@ -1075,7 +1108,13 @@ def encode_vp8_frame(
     ``level_override_fn(plane, mbx, mby, sb) -> list[16] | None`` lets
     tests plant arbitrary quantization levels (AC paths, token
     categories, zero-runs); the encoder simulates reconstruction
-    through the normative inverse transforms either way."""
+    through the normative inverse transforms either way.
+
+    ``use_skip=True`` enables mb_no_coeff_skip: macroblocks whose
+    blocks are all zero-level carry a per-MB skip flag instead of
+    token data, and their entropy contexts reset to 0 (§13.1) —
+    reconstruction is unchanged (zero residual either way), so the
+    planted-raster exactness is preserved."""
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
     y_mode_fn = y_mode_fn or (lambda mbx, mby: DC_PRED)
     uv_mode_fn = uv_mode_fn or (lambda mbx, mby: DC_PRED)
@@ -1097,40 +1136,21 @@ def encode_vp8_frame(
     header.put_literal(1, 1)  # refresh entropy probs
     for _ in range(_N_COEF_UPDATES):
         header.put(0, _COEF_UPDATE_PROB_FLAT)
-    header.put_literal(0, 1)  # mb_no_coeff_skip off
+    header.put_literal(1 if use_skip else 0, 1)  # mb_no_coeff_skip
+    if use_skip:
+        header.put_literal(_SKIP_PROB, 8)
 
-    # mode plan (also written into the header with decoder-mirrored
-    # sub-mode context tracking)
+    # mode plan (written into the header AFTER the token pass, which
+    # decides the per-MB skip flags that precede the modes)
     modes = [[y_mode_fn(x, y) for x in range(mbw)] for y in range(mbh)]
     uv_modes = [[uv_mode_fn(x, y) for x in range(mbw)] for y in range(mbh)]
     sub_modes = [[None] * mbw for _ in range(mbh)]
-    above_sub = [B_DC_PRED] * (mbw * 4)
-    implied = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED, H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}
     for mby in range(mbh):
-        left_sub = [B_DC_PRED] * 4
         for mbx in range(mbw):
-            ym = modes[mby][mbx]
-            header.put_tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ym)
-            if ym == B_PRED:
-                grid = [[0] * 4 for _ in range(4)]
-                for r in range(4):
-                    for c in range(4):
-                        sm = b_submode_fn(mbx, mby, r, c)
-                        # context (above, left sub-modes) selects the
-                        # prob row in the spec; placeholder is flat
-                        header.put_tree(_BMODE_TREE, _KF_BMODE_PROB_FLAT, sm)
-                        grid[r][c] = sm
-                sub_modes[mby][mbx] = grid
-                for c in range(4):
-                    above_sub[mbx * 4 + c] = grid[3][c]
-                for r in range(4):
-                    left_sub[r] = grid[r][3]
-            else:
-                for c in range(4):
-                    above_sub[mbx * 4 + c] = implied[ym]
-                for r in range(4):
-                    left_sub[r] = implied[ym]
-            header.put_tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, uv_modes[mby][mbx])
+            if modes[mby][mbx] == B_PRED:
+                sub_modes[mby][mbx] = [
+                    [b_submode_fn(mbx, mby, r, c) for c in range(4)] for r in range(4)
+                ]
 
     # token partition + reconstruction
     w16, h16 = mbw * 16, mbh * 16
@@ -1141,11 +1161,16 @@ def encode_vp8_frame(
     }
     tokens = BoolEncoder()
     ctx_above = {"y": [0] * (mbw * 4), "u": [0] * (mbw * 2), "v": [0] * (mbw * 2), "y2": [0] * mbw}
+    skip_flags = [[0] * mbw for _ in range(mbh)]
 
     def override(plane, mbx, mby, sb):
         if level_override_fn is None:
             return None
         return level_override_fn(plane, mbx, mby, sb)
+
+    def _block_nonzero(levels, btype):
+        first = 1 if btype == 0 else 0
+        return any(levels[_ZIGZAG[i]] for i in range(first, 16))
 
     for mby in range(mbh):
         ctx_left = {"y": [0] * 4, "u": [0] * 2, "v": [0] * 2, "y2": 0}
@@ -1153,15 +1178,16 @@ def encode_vp8_frame(
             ym = modes[mby][mbx]
             target = int(mb_targets[mby][mbx])
             has_y2 = ym != B_PRED
+            # --- reconstruction pass: collect every block's levels
+            # (the skip decision needs them all before emission) ---
+            pending = []  # (plane, btype, levels, above_idx, left_idx)
             if has_y2:
                 pred = predict_block(planes["y"], mbx * 16, mby * 16, 16, ym)
                 residual = target - int(pred[0, 0])
                 y2_levels = override("y2", mbx, mby, 0) or (
                     [(64 * residual) // q["y2dc"]] + [0] * 15
                 )
-                ctx = ctx_above["y2"][mbx] + ctx_left["y2"]
-                nz = _encode_coeff_block(tokens, y2_levels, 1, ctx)
-                ctx_above["y2"][mbx] = ctx_left["y2"] = nz
+                pending.append(("y2", 1, y2_levels, mbx, 0))
                 deq = [
                     y2_levels[i] * (q["y2dc"] if i == 0 else q["y2ac"])
                     for i in range(16)
@@ -1172,9 +1198,7 @@ def encode_vp8_frame(
                 r, c = sb // 4, sb % 4
                 if has_y2:
                     levels = override("y", mbx, mby, sb) or [0] * 16
-                    ctx = ctx_above["y"][mbx * 4 + c] + ctx_left["y"][r]
-                    nz = _encode_coeff_block(tokens, levels, 0, ctx)
-                    ctx_above["y"][mbx * 4 + c] = ctx_left["y"][r] = nz
+                    pending.append(("y", 0, levels, mbx * 4 + c, r))
                     coefs = [
                         levels[i] * (q["ydc"] if i == 0 else q["yac"])
                         for i in range(16)
@@ -1191,9 +1215,7 @@ def encode_vp8_frame(
                     levels = override("y", mbx, mby, sb) or (
                         [(8 * residual) // q["ydc"]] + [0] * 15
                     )
-                    ctx = ctx_above["y"][mbx * 4 + c] + ctx_left["y"][r]
-                    nz = _encode_coeff_block(tokens, levels, 3, ctx)
-                    ctx_above["y"][mbx * 4 + c] = ctx_left["y"][r] = nz
+                    pending.append(("y", 3, levels, mbx * 4 + c, r))
                     coefs = [
                         levels[i] * (q["ydc"] if i == 0 else q["yac"])
                         for i in range(16)
@@ -1213,9 +1235,7 @@ def encode_vp8_frame(
                     levels = override(pl, mbx, mby, sb) or (
                         [(8 * residual) // q["uvdc"]] + [0] * 15
                     )
-                    ctx = ctx_above[pl][mbx * 2 + c] + ctx_left[pl][r]
-                    nz = _encode_coeff_block(tokens, levels, 2, ctx)
-                    ctx_above[pl][mbx * 2 + c] = ctx_left[pl][r] = nz
+                    pending.append((pl, 2, levels, mbx * 2 + c, r))
                     coefs = [
                         levels[i] * (q["uvdc"] if i == 0 else q["uvac"])
                         for i in range(16)
@@ -1225,6 +1245,58 @@ def encode_vp8_frame(
                         pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res, 0, 255
                     )
                 planes[pl][mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pred
+            # --- emission pass: skip flag or token data ---
+            if use_skip and not any(
+                _block_nonzero(lv, bt) for _, bt, lv, _, _ in pending
+            ):
+                skip_flags[mby][mbx] = 1
+                # context reset, mirrored by the decoder's skip branch
+                if has_y2:
+                    ctx_above["y2"][mbx] = ctx_left["y2"] = 0
+                ctx_above["y"][mbx * 4 : mbx * 4 + 4] = [0, 0, 0, 0]
+                ctx_left["y"][:] = [0, 0, 0, 0]
+                for pl in ("u", "v"):
+                    ctx_above[pl][mbx * 2 : mbx * 2 + 2] = [0, 0]
+                    ctx_left[pl][0] = ctx_left[pl][1] = 0
+                continue
+            for pl, btype, levels, ai, li in pending:
+                if pl == "y2":
+                    ctx = ctx_above["y2"][ai] + ctx_left["y2"]
+                    nz = _encode_coeff_block(tokens, levels, btype, ctx)
+                    ctx_above["y2"][ai] = ctx_left["y2"] = nz
+                else:
+                    ctx = ctx_above[pl][ai] + ctx_left[pl][li]
+                    nz = _encode_coeff_block(tokens, levels, btype, ctx)
+                    ctx_above[pl][ai] = ctx_left[pl][li] = nz
+
+    # mode + skip-flag writing (decoder-mirrored sub-mode context
+    # tracking; the skip flag precedes the modes in each MB record)
+    above_sub = [B_DC_PRED] * (mbw * 4)
+    implied = {DC_PRED: B_DC_PRED, V_PRED: B_VE_PRED, H_PRED: B_HE_PRED, TM_PRED: B_TM_PRED}
+    for mby in range(mbh):
+        left_sub = [B_DC_PRED] * 4
+        for mbx in range(mbw):
+            if use_skip:
+                header.put(skip_flags[mby][mbx], _SKIP_PROB)
+            ym = modes[mby][mbx]
+            header.put_tree(_KF_YMODE_TREE, _KF_YMODE_PROB, ym)
+            if ym == B_PRED:
+                grid = sub_modes[mby][mbx]
+                for r in range(4):
+                    for c in range(4):
+                        # context (above, left sub-modes) selects the
+                        # prob row in the spec; placeholder is flat
+                        header.put_tree(_BMODE_TREE, _KF_BMODE_PROB_FLAT, grid[r][c])
+                for c in range(4):
+                    above_sub[mbx * 4 + c] = grid[3][c]
+                for r in range(4):
+                    left_sub[r] = grid[r][3]
+            else:
+                for c in range(4):
+                    above_sub[mbx * 4 + c] = implied[ym]
+                for r in range(4):
+                    left_sub[r] = implied[ym]
+            header.put_tree(_UV_MODE_TREE, _KF_UV_MODE_PROB, uv_modes[mby][mbx])
 
     _run_loop_filter(planes, mbw, mbh, filter_level, filter_type, sharpness)
 

@@ -614,6 +614,7 @@ def _attach_webp_lossy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     w,
                     h,
                     extended=d % 7 == 0,
+                    use_skip=d % 3 == 0,  # mb_no_coeff_skip header path
                     y_mode_fn=lambda mx, my, _d=d: (_d + mx + my) % 5,
                     uv_mode_fn=lambda mx, my, _d=d: (_d + mx + 2 * my) % 4,
                 )

@@ -145,6 +145,37 @@ def test_arith_equals_huffman_color_420():
     assert a["pixels"] == b["pixels"]
 
 
+@pytest.mark.parametrize("samp,dri", [("444", 0), ("420", 0), ("420", 2), ("444", 3)])
+def test_non_interleaved_scans_equal_interleaved_and_huffman(samp, dri):
+    """ADVICE r9 #4: per-component sequential SOF9 scans (the layout
+    libjpeg emits for non-interleaved arith files) decode identically
+    to the one-scan interleaved encoding of the same planes AND to the
+    independent Huffman baseline — same coefficients, three entropy
+    layouts, one pixel result."""
+    rng = np.random.default_rng(11)
+    h, w = 19, 29
+    planes = [
+        rng.integers(0, 256, size=(h, w)).astype(np.uint8) for _ in range(3)
+    ]
+    inter = decode_jpeg(
+        encode_jpeg_arith(planes, w, h, samp, restart_interval=dri)
+    )
+    noninter = decode_jpeg(
+        encode_jpeg_arith(
+            planes, w, h, samp, restart_interval=dri, per_component_scans=True
+        )
+    )
+    huff = decode_jpeg(encode_jpeg_baseline(planes, w, h, samp))
+    assert noninter["pixels"] == inter["pixels"]
+    assert noninter["pixels"] == huff["pixels"]
+    # restarts actually present when requested
+    if dri:
+        blob = encode_jpeg_arith(
+            planes, w, h, samp, restart_interval=dri, per_component_scans=True
+        )
+        assert any(bytes([0xFF, 0xD0 + i]) in blob for i in range(8))
+
+
 def test_restart_interval_roundtrip():
     rng = np.random.default_rng(17)
     qb = rng.integers(-50, 50, size=(3, 5, 8, 8)).astype(np.int32)

@@ -281,6 +281,30 @@ def test_simple_filter_touches_luma_only():
     assert np.array_equal(f_on["v"], f_off["v"])
 
 
+def test_mb_no_coeff_skip_roundtrips_and_shrinks():
+    # all-128 frame: every MB's residual is zero ⇒ all MBs skip;
+    # contexts reset per §13.1 and the stream shrinks
+    const = [[128] * 3, [128] * 3]
+    p_skip, f_skip = encode_vp8_frame(const, 48, 32, use_skip=True)
+    p_full, _ = encode_vp8_frame(const, 48, 32, use_skip=False)
+    d = decode_vp8_frame(p_skip)
+    assert np.array_equal(d["y"], f_skip["y"]) and (d["y"] == 128).all()
+    assert len(p_skip) < len(p_full)
+    # mixed: one MB equals its left neighbor (skippable under some
+    # modes), the rest carry coefficients — roundtrip + planted values
+    t = _targets(3, 2, 7)
+    t[1][1] = t[1][0]
+    for modefn in (None, lambda x, y: [DC_PRED, V_PRED, B_PRED][(x + y) % 3]):
+        payload, frame = encode_vp8_frame(t, 48, 32, use_skip=True, y_mode_fn=modefn)
+        dec = decode_vp8_frame(payload)
+        assert np.array_equal(dec["y"], frame["y"])
+        exp = np.zeros((32, 48), dtype=np.uint8)
+        for my in range(2):
+            for mx in range(3):
+                exp[my * 16 : (my + 1) * 16, mx * 16 : (mx + 1) * 16] = t[my][mx]
+        assert np.array_equal(dec["y"], exp)
+
+
 # ---------------------------------------------------------------------------
 # container + error paths
 # ---------------------------------------------------------------------------
