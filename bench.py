@@ -143,6 +143,8 @@ HEADLINE = [
     "q_multimodal_decode_jpeg_arith",  # r9: SOF9 QM-coder decode
     "q_multimodal_decode_jpeg_prog_arith",  # r9: SOF10 progressive QM decode (VERDICT r9 #3: ~4.4 s sf0.1, the registry's most expensive new query must not hide from the headline)
     "q_multimodal_decode_webp_lossy",  # r10: VP8 intra-frame decode (last codec gate closed)
+    "q_multimodal_decode_webp_alpha",  # r10: ALPH alpha chunk (RGBA still)
+    "q_multimodal_decode_webp_anim",  # r10: ANMF animation frames (VP8+VP8L alternating)
     "q_text_novelty",                # cross-doc duplication rate (gram-key window)
     "q_graph_link_prediction",       # neighborhood-Jaccard, degree-capped pair volume
     "q_hard_negatives",              # closure-anchor contrastive mining (one Arrow pass)

@@ -1028,36 +1028,367 @@ def _walk_webp_chunks(blob: bytes) -> list[tuple[bytes, bytes]]:
     return chunks
 
 
+# ---------------------------------------------------------------------------
+# ALPH alpha chunk (WebP Container Spec): header byte = reserved(2) |
+# preprocessing(2) | filtering(2) | compression(2); compression 0 =
+# raw w·h bytes, 1 = headerless VP8L image-stream with alpha in the
+# green channel. Filtering predicts each value from reconstructed
+# neighbors (1 horizontal, 2 vertical, 3 gradient with [0,255] clamp),
+# residuals mod 256; border rule: (0,0) predicts 0, row 0 falls back
+# to left, column 0 to above — libwebp's unfilter semantics.
+# ---------------------------------------------------------------------------
+
+
+def _alpha_predictions(vals: np.ndarray, method: int) -> np.ndarray:
+    """Prediction plane from RECONSTRUCTED values (vectorized — no
+    sequential dependency because `vals` is the final plane): (0,0)
+    predicts 0, row 0 falls back to left, column 0 to above."""
+    h, w = vals.shape
+    v = vals.astype(np.int64)
+    pred = np.zeros((h, w), dtype=np.int64)
+    left = np.zeros_like(v)
+    left[:, 1:] = v[:, :-1]
+    above = np.zeros_like(v)
+    above[1:, :] = v[:-1, :]
+    if method == 1:  # horizontal
+        pred[:, 1:] = left[:, 1:]
+        pred[1:, 0] = above[1:, 0]
+    elif method == 2:  # vertical
+        pred[1:, :] = above[1:, :]
+        pred[0, 1:] = left[0, 1:]
+    else:  # gradient
+        al = np.zeros_like(v)
+        al[1:, 1:] = v[:-1, :-1]
+        pred[1:, 1:] = np.clip(
+            left[1:, 1:] + above[1:, 1:] - al[1:, 1:], 0, 255
+        )
+        pred[0, 1:] = left[0, 1:]
+        pred[1:, 0] = above[1:, 0]
+    return pred
+
+
+def _alpha_unfilter(res: np.ndarray, method: int) -> np.ndarray:
+    """Inverse of the residual filter. Horizontal/vertical are mod-256
+    cumulative sums (the prediction chain is linear); gradient's clamp
+    breaks linearity, so it reconstructs row-by-row."""
+    h, w = res.shape
+    r = res.astype(np.int64)
+    if method == 1:  # col 0 accumulates down, then rows accumulate right
+        out = r.copy()
+        out[:, 0] = np.cumsum(r[:, 0]) % 256
+        out = np.cumsum(out, axis=1) % 256
+        return out.astype(np.uint8)
+    if method == 2:
+        out = r.copy()
+        out[0, :] = np.cumsum(r[0, :]) % 256
+        out = np.cumsum(out, axis=0) % 256
+        return out.astype(np.uint8)
+    # gradient: sequential in x within each row (pred uses left)
+    out = np.zeros((h, w), dtype=np.int64)
+    for y in range(h):
+        row = out[y]
+        up = out[y - 1] if y > 0 else None
+        for x in range(w):
+            if y == 0:
+                pred = 0 if x == 0 else row[x - 1]
+            elif x == 0:
+                pred = up[0]
+            else:
+                pred = min(255, max(0, row[x - 1] + up[x] - up[x - 1]))
+            row[x] = (r[y, x] + pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def decode_alph(payload: bytes, w: int, h: int) -> bytes:
+    """ALPH chunk → w·h alpha plane bytes (row-major)."""
+    if not payload:
+        raise ImageDecodeError("empty ALPH chunk")
+    head = payload[0]
+    filtering = (head >> 2) & 0b11
+    compression = head & 0b11
+    if compression == 0:
+        raw = payload[1 : 1 + w * h]
+        if len(raw) < w * h:
+            raise ImageDecodeError("short raw ALPH payload")
+        vals = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).copy()
+    elif compression == 1:
+        from .codecs_vp8l import _BitReader, decode_image_stream
+
+        pixels = decode_image_stream(_BitReader(payload[1:]), w, h)
+        vals = np.array(
+            [(px >> 8) & 0xFF for px in pixels], dtype=np.uint8
+        ).reshape(h, w)
+    else:
+        raise ImageDecodeError(f"ALPH compression method {compression} unsupported")
+    if filtering:
+        vals = _alpha_unfilter(vals, filtering)
+    return vals.tobytes()
+
+
+def encode_alph(
+    alpha: bytes, w: int, h: int, filtering: int = 0, compression: int = 0
+) -> bytes:
+    """Alpha plane → ALPH chunk payload (the decode_alph inverse)."""
+    vals = np.frombuffer(alpha, dtype=np.uint8).reshape(h, w)
+    if filtering:
+        res = (
+            (vals.astype(np.int64) - _alpha_predictions(vals, filtering)) % 256
+        ).astype(np.uint8)
+    else:
+        res = vals
+    head = bytes([((filtering & 0b11) << 2) | (compression & 0b11)])
+    if compression == 0:
+        return head + res.tobytes()
+    if compression == 1:
+        from .codecs_vp8l import encode_vp8l
+
+        rgb = bytearray(w * h * 3)
+        flat = res.reshape(-1)
+        for i in range(w * h):
+            rgb[3 * i + 1] = int(flat[i])  # alpha rides the green channel
+        return head + encode_vp8l(
+            w, h, bytes(rgb), channels=3, lz77=True, headerless=True
+        )
+    raise ValueError(f"ALPH compression method {compression} unsupported")
+
+
+def _parse_vp8x(vp8x: bytes) -> tuple[int, int, int]:
+    if len(vp8x) < 10:
+        raise ImageDecodeError("short VP8X chunk")
+    flags = vp8x[0]
+    canvas_w = 1 + (vp8x[4] | (vp8x[5] << 8) | (vp8x[6] << 16))
+    canvas_h = 1 + (vp8x[7] | (vp8x[8] << 8) | (vp8x[9] << 16))
+    return flags, canvas_w, canvas_h
+
+
+_VP8X_ANIM = 0x02
+_VP8X_ALPHA = 0x10
+
+
 def decode_webp_lossy(blob: bytes) -> dict:
     """Decode a lossy ("VP8 ") or extended (VP8X wrapping a still VP8
-    or VP8L frame) WebP → {width, height, channels, pixels} RGB."""
+    or VP8L frame, with optional ALPH alpha) WebP →
+    {width, height, channels, pixels} RGB / RGBA. Animated files
+    return their FIRST composited frame (the decode_image convention
+    the GIF path set); frame sampling lives in decode_webp_frames."""
     chunks = _walk_webp_chunks(blob)
     kinds = [c[0] for c in chunks]
     if b"VP8X" in kinds:
-        vp8x = dict(chunks)[b"VP8X"]
-        if len(vp8x) < 10:
-            raise ImageDecodeError("short VP8X chunk")
-        flags = vp8x[0]
-        if flags & 0b00010010:  # animation / alpha not supported here
-            raise ImageDecodeError(
-                "VP8X animation/alpha features not supported (stills only)"
-            )
-        canvas_w = 1 + (vp8x[4] | (vp8x[5] << 8) | (vp8x[6] << 16))
-        canvas_h = 1 + (vp8x[7] | (vp8x[8] << 8) | (vp8x[9] << 16))
+        flags, canvas_w, canvas_h = _parse_vp8x(dict(chunks)[b"VP8X"])
+        if flags & _VP8X_ANIM:
+            anim = decode_webp_frames(blob)
+            return {
+                "width": anim["width"],
+                "height": anim["height"],
+                "channels": 3,
+                "pixels": anim["frames"][0],
+            }
     else:
         canvas_w = canvas_h = None
+    alph = next((p for f, p in chunks if f == b"ALPH"), None)
     for fourcc, payload in chunks:
         if fourcc == b"VP8 ":
             frame = decode_vp8_frame(payload)
             out = _yuv_to_rgb(frame)
             if canvas_w is not None and (out["width"], out["height"]) != (canvas_w, canvas_h):
                 raise ImageDecodeError("VP8X canvas does not match VP8 frame")
+            if alph is not None:
+                a = np.frombuffer(
+                    decode_alph(alph, out["width"], out["height"]), dtype=np.uint8
+                )
+                rgb = np.frombuffer(out["pixels"], dtype=np.uint8).reshape(-1, 3)
+                rgba = np.concatenate([rgb, a.reshape(-1, 1)], axis=1)
+                return {
+                    "width": out["width"],
+                    "height": out["height"],
+                    "channels": 4,
+                    "pixels": rgba.tobytes(),
+                }
             return out
         if fourcc == b"VP8L":
             from .codecs_vp8l import decode_vp8l
 
             return decode_vp8l(blob)
     raise ImageDecodeError("WebP container has no VP8/VP8L image chunk")
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP (VP8X + ANIM + ANMF, WebP Container Spec): each ANMF
+# chunk carries a 16-byte frame header (x/2, y/2, w-1, h-1 as 24-bit
+# LE, duration 24-bit, flags byte with blending bit 1 and disposal
+# bit 0) followed by the frame's own image chunks (optional ALPH, then
+# VP8 or VP8L). Frames composite onto an RGBA canvas initialized to
+# the ANIM background color; blending 0 = alpha-blend (src-over),
+# 1 = overwrite; disposal 1 = restore the frame rect to background.
+# Output frames are full-canvas RGB — the decode_gif convention the
+# frame-sampling query consumes.
+# ---------------------------------------------------------------------------
+
+
+def _sub_chunks(payload: bytes, pos: int) -> list[tuple[bytes, bytes]]:
+    out = []
+    while pos + 8 <= len(payload):
+        fourcc = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        out.append((fourcc, payload[pos + 8 : pos + 8 + size]))
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def _u24(b: bytes, off: int) -> int:
+    return b[off] | (b[off + 1] << 8) | (b[off + 2] << 16)
+
+
+def decode_webp_frames(blob: bytes) -> dict:
+    """Decode an animated WebP → {width, height, frames: [RGB bytes],
+    durations: [ms]} with full compositing."""
+    chunks = _walk_webp_chunks(blob)
+    by_kind = dict(chunks)
+    if b"VP8X" not in by_kind:
+        raise ImageDecodeError("animated WebP requires a VP8X chunk")
+    flags, w, h = _parse_vp8x(by_kind[b"VP8X"])
+    if not flags & _VP8X_ANIM:
+        raise ImageDecodeError("VP8X animation flag not set")
+    if b"ANIM" not in by_kind:
+        raise ImageDecodeError("animation missing the ANIM chunk")
+    anim = by_kind[b"ANIM"]
+    if len(anim) < 6:
+        raise ImageDecodeError("short ANIM chunk")
+    bg = (anim[2], anim[1], anim[0], anim[3])  # stored BGRA → RGBA
+    canvas = np.empty((h, w, 4), dtype=np.uint8)
+    canvas[:, :] = bg
+    frames: list[bytes] = []
+    durations: list[int] = []
+    for fourcc, payload in chunks:
+        if fourcc != b"ANMF":
+            continue
+        if len(payload) < 16:
+            raise ImageDecodeError("short ANMF header")
+        fx, fy = 2 * _u24(payload, 0), 2 * _u24(payload, 3)
+        fw, fh = 1 + _u24(payload, 6), 1 + _u24(payload, 9)
+        duration = _u24(payload, 12)
+        fflags = payload[15]
+        blend = not (fflags & 0b10)  # bit 1: 0 = alpha-blend, 1 = overwrite
+        dispose = bool(fflags & 0b01)
+        if fx + fw > w or fy + fh > h:
+            raise ImageDecodeError("ANMF frame exceeds the canvas")
+        sub = _sub_chunks(payload, 16)
+        alph = next((p for f, p in sub if f == b"ALPH"), None)
+        img = None
+        for sf, sp in sub:
+            if sf == b"VP8 ":
+                f = decode_vp8_frame(sp)
+                rgb = _yuv_to_rgb(f)
+                if (rgb["width"], rgb["height"]) != (fw, fh):
+                    raise ImageDecodeError("ANMF frame size mismatch (VP8)")
+                px = np.frombuffer(rgb["pixels"], dtype=np.uint8).reshape(fh, fw, 3)
+                if alph is not None:
+                    a = np.frombuffer(decode_alph(alph, fw, fh), dtype=np.uint8)
+                    img = np.concatenate([px, a.reshape(fh, fw, 1)], axis=2)
+                else:
+                    img = np.concatenate(
+                        [px, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=2
+                    )
+                break
+            if sf == b"VP8L":
+                from .codecs_vp8l import decode_vp8l
+
+                # re-wrap the bare chunk so the VP8L entry point's
+                # container walk accepts it
+                chunk = b"VP8L" + struct.pack("<I", len(sp)) + sp
+                if len(sp) & 1:
+                    chunk += b"\x00"
+                riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+                d = decode_vp8l(riff)
+                if (d["width"], d["height"]) != (fw, fh):
+                    raise ImageDecodeError("ANMF frame size mismatch (VP8L)")
+                px = np.frombuffer(d["pixels"], dtype=np.uint8).reshape(
+                    fh, fw, d["channels"]
+                )
+                if d["channels"] == 3:
+                    img = np.concatenate(
+                        [px, np.full((fh, fw, 1), 255, dtype=np.uint8)], axis=2
+                    )
+                else:
+                    img = px.copy()
+                break
+        if img is None:
+            raise ImageDecodeError("ANMF frame has no VP8/VP8L image chunk")
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        if blend:
+            a = img[:, :, 3:4].astype(np.uint16)
+            region[:, :, :3] = (
+                (img[:, :, :3].astype(np.uint16) * a
+                 + region[:, :, :3].astype(np.uint16) * (255 - a) + 127) // 255
+            ).astype(np.uint8)
+            region[:, :, 3] = np.maximum(region[:, :, 3], img[:, :, 3])
+        else:
+            region[:, :] = img
+        frames.append(canvas[:, :, :3].tobytes())
+        durations.append(duration)
+        if dispose:
+            canvas[fy : fy + fh, fx : fx + fw] = bg
+    if not frames:
+        raise ImageDecodeError("animated WebP has no ANMF frames")
+    return {"width": w, "height": h, "frames": frames, "durations": durations}
+
+
+def encode_webp_anim(
+    frame_specs: list[dict],
+    width: int,
+    height: int,
+    bg: tuple[int, int, int, int] = (255, 255, 255, 255),
+    loop_count: int = 0,
+) -> bytes:
+    """Animated-WebP fixture encoder. Each spec: {"kind": "vp8"|"vp8l",
+    "mb_targets" | "rgb" (constant triple), optional "x","y","w","h"
+    (defaults: full canvas), "duration" ms, "blend", "dispose",
+    optional vp8 kwargs}. Frames cycle both codecs through one ANMF
+    stream — the coverage the frame-sampling query plants."""
+    from .codecs_vp8l import encode_vp8l
+
+    chunks = b""
+    vp8x = bytes([_VP8X_ANIM, 0, 0, 0]) + struct.pack("<I", width - 1)[:3] + struct.pack(
+        "<I", height - 1
+    )[:3]
+    chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    anim = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", loop_count)
+    chunks += b"ANIM" + struct.pack("<I", len(anim)) + anim
+    for spec in frame_specs:
+        fx, fy = spec.get("x", 0), spec.get("y", 0)
+        fw, fh = spec.get("w", width), spec.get("h", height)
+        if fx % 2 or fy % 2:
+            raise ValueError("ANMF offsets must be even (stored divided by 2)")
+        if spec["kind"] == "vp8":
+            payload, _ = encode_vp8_frame(
+                spec["mb_targets"], fw, fh, **spec.get("vp8_kwargs", {})
+            )
+            img_chunk = b"VP8 " + struct.pack("<I", len(payload)) + payload
+            if len(payload) & 1:
+                img_chunk += b"\x00"
+        else:
+            r, g, b = spec["rgb"]
+            px = bytes([r, g, b]) * (fw * fh)
+            full = encode_vp8l(fw, fh, px, channels=3, lz77=True)
+            img_chunk = full[12:]  # strip RIFF....WEBP, keep the VP8L chunk
+        head = (
+            struct.pack("<I", fx // 2)[:3]
+            + struct.pack("<I", fy // 2)[:3]
+            + struct.pack("<I", fw - 1)[:3]
+            + struct.pack("<I", fh - 1)[:3]
+            + struct.pack("<I", spec.get("duration", 100))[:3]
+            + bytes(
+                [
+                    (0 if spec.get("blend", False) else 0b10)
+                    | (0b01 if spec.get("dispose", False) else 0)
+                ]
+            )
+        )
+        anmf = head + img_chunk
+        chunks += b"ANMF" + struct.pack("<I", len(anmf)) + anmf
+        if len(anmf) & 1:
+            chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WEBP" + chunks
 
 
 # ---------------------------------------------------------------------------
@@ -1322,17 +1653,33 @@ def encode_vp8_frame(
 
 
 def encode_webp_vp8(
-    mb_targets, width: int, height: int, *, extended: bool = False, **kwargs
+    mb_targets,
+    width: int,
+    height: int,
+    *,
+    extended: bool = False,
+    alpha: bytes | None = None,
+    alpha_filtering: int = 0,
+    alpha_compression: int = 0,
+    **kwargs,
 ) -> bytes:
     """RIFF-wrap encode_vp8_frame; extended=True adds a VP8X chunk
-    (still image, no alpha/animation) ahead of the "VP8 " chunk."""
+    ahead of the "VP8 " chunk; ``alpha`` (w·h plane bytes) adds an
+    ALPH chunk (which forces VP8X with the alpha flag, per the
+    container spec)."""
     payload, _ = encode_vp8_frame(mb_targets, width, height, **kwargs)
     chunks = b""
-    if extended:
-        vp8x = bytes([0, 0, 0, 0]) + struct.pack("<I", width - 1)[:3] + struct.pack(
+    if extended or alpha is not None:
+        flags = _VP8X_ALPHA if alpha is not None else 0
+        vp8x = bytes([flags, 0, 0, 0]) + struct.pack("<I", width - 1)[:3] + struct.pack(
             "<I", height - 1
         )[:3]
         chunks += b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+    if alpha is not None:
+        ap = encode_alph(alpha, width, height, alpha_filtering, alpha_compression)
+        chunks += b"ALPH" + struct.pack("<I", len(ap)) + ap
+        if len(ap) & 1:
+            chunks += b"\x00"
     chunks += b"VP8 " + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:
         chunks += b"\x00"

@@ -538,6 +538,26 @@ def _inverse_color_indexing(
     return out
 
 
+def decode_image_stream(br: "_BitReader", w: int, h: int) -> list[int]:
+    """Decode a headerless VP8L image-stream (optional transforms +
+    spatially-coded image) of known dimensions into ARGB ints. Shared
+    by decode_vp8l (dimensions from the VP8L header) and the ALPH
+    alpha-chunk decoder in codecs_vp8.py (dimensions from the VP8X
+    canvas; the container spec ships alpha as a bare image-stream with
+    the alpha values in the green channel)."""
+    pixels, transforms = _read_entropy_coded_image(br, w, h, True)
+    for t in reversed(transforms):
+        if t[0] == _T_SUBTRACT_GREEN:
+            _inverse_subtract_green(pixels)
+        elif t[0] == _T_PREDICTOR:
+            _inverse_predictor(pixels, t[2], h, t[1], t[3])
+        elif t[0] == _T_COLOR:
+            _inverse_color(pixels, t[2], h, t[1], t[3])
+        else:
+            pixels = _inverse_color_indexing(pixels, t[2], h, t[1], t[3])
+    return pixels
+
+
 def decode_vp8l(blob: bytes) -> dict:
     """Decode a lossless WebP. Returns the codecs.py normalized dict;
     channels follows the header's alpha-hint bit (3 → RGB, 4 → RGBA)."""
@@ -570,16 +590,7 @@ def decode_vp8l(blob: bytes) -> dict:
     version = br.read(3)
     if version != 0:
         raise ImageDecodeError(f"VP8L version {version} unsupported")
-    pixels, transforms = _read_entropy_coded_image(br, w, h, True)
-    for t in reversed(transforms):
-        if t[0] == _T_SUBTRACT_GREEN:
-            _inverse_subtract_green(pixels)
-        elif t[0] == _T_PREDICTOR:
-            _inverse_predictor(pixels, t[2], h, t[1], t[3])
-        elif t[0] == _T_COLOR:
-            _inverse_color(pixels, t[2], h, t[1], t[3])
-        else:
-            pixels = _inverse_color_indexing(pixels, t[2], h, t[1], t[3])
+    pixels = decode_image_stream(br, w, h)
     channels = 4 if has_alpha else 3
     out = bytearray(w * h * channels)
     i = 0
@@ -951,11 +962,15 @@ def encode_vp8l(
     transform_bits: int = 4,
     use_max_symbol: bool = True,
     meta_groups: int = 0,
+    headerless: bool = False,
 ) -> bytes:
     """Encode an RGB(A) raster as lossless WebP. `color_element` is a
     (green_to_red, green_to_blue, red_to_blue) triple applied as one
     global cross-color tile. `palette` is mutually exclusive with the
-    pixel-domain transforms."""
+    pixel-domain transforms. ``headerless=True`` returns the bare
+    image-stream bytes (no RIFF, no 0x2F signature, no dimension
+    header) — the payload shape the VP8X ALPH chunk carries for
+    compression method 1 (dimensions travel in the container)."""
     if palette and (subtract_green or predictor or color_element):
         raise ValueError("palette cannot combine with pixel transforms")
     n = width * height
@@ -968,10 +983,11 @@ def encode_vp8l(
         argb[i] = (a << 24) | (r << 16) | (g << 8) | b
 
     bw = _BitWriter()
-    bw.write(width - 1, 14)
-    bw.write(height - 1, 14)
-    bw.write(1 if channels == 4 else 0, 1)
-    bw.write(0, 3)  # version
+    if not headerless:
+        bw.write(width - 1, 14)
+        bw.write(height - 1, 14)
+        bw.write(1 if channels == 4 else 0, 1)
+        bw.write(0, 3)  # version
 
     cur_w = width
     if subtract_green:
@@ -1045,6 +1061,8 @@ def encode_vp8l(
         height=height,
     )
 
+    if headerless:
+        return bw.tobytes()
     payload = b"\x2f" + bw.tobytes()
     chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload
     if len(payload) & 1:

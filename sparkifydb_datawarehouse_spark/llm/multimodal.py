@@ -670,6 +670,239 @@ def multimodal_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# WebP ALPHA still (VP8X + ALPH + VP8, round 10): the alpha plane is a
+# planted per-row ramp a(d, y) = (13d + 7y) mod 256 carried through
+# the real ALPH machinery — filter method cycling d % 4 (none /
+# horizontal / vertical / gradient), compression cycling d % 2 (raw /
+# headerless-VP8L with alpha in the green channel) — while the color
+# raster is the same exactly-reconstructed per-MB-constant VP8 frame
+# as the lossy query (seed 17d). decode_image returns RGBA; both the
+# luma sums and the alpha sum have closed forms.
+# ---------------------------------------------------------------------------
+
+_RGBA_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("sum_r", LongType()),
+        StructField("sum_g", LongType()),
+        StructField("sum_b", LongType()),
+        StructField("sum_a", LongType()),
+    ]
+)
+
+
+def _attach_webp_alpha(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_vp8 import encode_webp_vp8
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = d % 24 + 9, d % 16 + 9
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            targets = [
+                [(17 * d + 5 * mx + 3 * my) % 256 for mx in range(mbw)]
+                for my in range(mbh)
+            ]
+            alpha = bytes(
+                (13 * d + 7 * y) % 256 for y in range(h) for _ in range(w)
+            )
+            blobs.append(
+                encode_webp_vp8(
+                    targets,
+                    w,
+                    h,
+                    alpha=alpha,
+                    alpha_filtering=d % 4,
+                    alpha_compression=d % 2,
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _decode_rgba_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            img = decode_image(bytes(media))
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64)
+            chans = px.reshape(-1, img["channels"])
+            sums = [int(chans[:, i].sum()) for i in range(img["channels"])]
+            while len(sums) < 4:
+                sums.append(None)
+            out.append(
+                (int(doc_id), img["width"], img["height"], img["channels"], *sums)
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _RGBA_SCHEMA.fields])
+
+
+_ORACLE_DECODE_WEBP_ALPHA = """
+WITH d AS (
+    SELECT doc_id,
+           doc_id % 24 + 9 AS w,
+           doc_id % 16 + 9 AS h
+    FROM documents
+),
+gx AS (SELECT d.*, UNNEST(range(0, (w + 15) // 16)) AS mx FROM d),
+g AS (SELECT gx.*, UNNEST(range(0, (h + 15) // 16)) AS my FROM gx),
+s AS (
+    SELECT doc_id, w, h,
+           SUM(((17 * doc_id + 5 * mx + 3 * my) % 256)
+               * LEAST(16, w - 16 * mx) * LEAST(16, h - 16 * my)) AS sum_luma
+    FROM g
+    GROUP BY doc_id, w, h
+),
+ar AS (SELECT d.*, UNNEST(range(0, h)) AS y FROM d),
+a AS (
+    SELECT doc_id, SUM(((13 * doc_id + 7 * y) % 256) * w) AS sum_alpha
+    FROM ar
+    GROUP BY doc_id
+)
+SELECT s.doc_id, CAST(s.w AS INTEGER) AS width, CAST(s.h AS INTEGER) AS height,
+       CAST(4 AS INTEGER) AS channels,
+       CAST(s.sum_luma AS BIGINT) AS sum_r,
+       CAST(s.sum_luma AS BIGINT) AS sum_g,
+       CAST(s.sum_luma AS BIGINT) AS sum_b,
+       CAST(a.sum_alpha AS BIGINT) AS sum_a
+FROM s JOIN a ON s.doc_id = a.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("q_multimodal_decode_webp_alpha", oracle=_ORACLE_DECODE_WEBP_ALPHA)
+def multimodal_decode_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → VP8X+ALPH+VP8 WebP binary column (alpha filter and
+    compression methods cycling by doc_id) → pure-Python decode →
+    RGBA channel sums, value-checked against the planted closed forms
+    (per-MB-constant luma, per-row alpha ramp). Same scale shape as
+    every decode path: scan spread, per-doc CPU in mapInPandas,
+    payloads never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_webp_alpha,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_rgba_features, _RGBA_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Animated WebP frame sampling (VP8X + ANIM + ANMF, round 10): the
+# WebP analog of the GIF frames query. Each doc gets n = d%4 + 2
+# full-canvas frames whose constant value v(d, f) = (29d + 41f) mod
+# 256 — EVEN frames are planted VP8 key frames (exactly reconstructed,
+# neutral chroma), ODD frames VP8L lossless — so one animation stream
+# exercises both decoders plus the ANMF header walk and compositing.
+# The sampler keeps every 2nd frame; sums have one closed form because
+# both codecs reproduce the constant exactly.
+# ---------------------------------------------------------------------------
+
+
+def _attach_webp_anim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_vp8 import encode_webp_anim
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = d % 24 + 9, d % 16 + 9
+            mbw, mbh = (w + 15) // 16, (h + 15) // 16
+            nf = d % 4 + 2
+            specs = []
+            for f in range(nf):
+                v = (29 * d + 41 * f) % 256
+                if f % 2 == 0:
+                    specs.append(
+                        {
+                            "kind": "vp8",
+                            "mb_targets": [[v] * mbw for _ in range(mbh)],
+                            "duration": 100,
+                        }
+                    )
+                else:
+                    specs.append({"kind": "vp8l", "rgb": (v, v, v), "duration": 100})
+            blobs.append(encode_webp_anim(specs, w, h))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _decode_webp_anim_sampled(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    from .codecs_vp8 import decode_webp_frames
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            g = decode_webp_frames(bytes(media))
+            nf = len(g["frames"])
+            for f in range(0, nf, 2):  # sample every 2nd frame
+                px = g["frames"][f]
+                out.append(
+                    (
+                        int(doc_id),
+                        f,
+                        g["width"],
+                        g["height"],
+                        nf,
+                        sum(px[0::3]),
+                        sum(px[1::3]),
+                        sum(px[2::3]),
+                    )
+                )
+        yield pd.DataFrame(out, columns=[f.name for f in _GIF_FRAME_SCHEMA.fields])
+
+
+_ORACLE_DECODE_WEBP_ANIM = """
+WITH p AS (
+    SELECT doc_id,
+           CAST(doc_id % 24 + 9 AS INTEGER) AS width,
+           CAST(doc_id % 16 + 9 AS INTEGER) AS height,
+           CAST(doc_id % 4 + 2 AS INTEGER) AS n_frames
+    FROM documents
+), fr AS (
+    SELECT doc_id, width, height, n_frames,
+           UNNEST(generate_series(0, n_frames - 1)) AS frame_idx
+    FROM p
+)
+SELECT doc_id, CAST(frame_idx AS INTEGER) AS frame_idx, width, height, n_frames,
+       CAST(((29 * doc_id + 41 * frame_idx) % 256) * width * height AS BIGINT) AS sum_r,
+       CAST(((29 * doc_id + 41 * frame_idx) % 256) * width * height AS BIGINT) AS sum_g,
+       CAST(((29 * doc_id + 41 * frame_idx) % 256) * width * height AS BIGINT) AS sum_b
+FROM fr
+WHERE frame_idx % 2 = 0
+ORDER BY doc_id, frame_idx
+"""
+
+
+@query("q_multimodal_decode_webp_anim", oracle=_ORACLE_DECODE_WEBP_ANIM)
+def multimodal_decode_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real animated-WebP binary column (ANMF frames
+    alternating planted VP8 key frames and VP8L lossless frames) →
+    pure-Python container walk + both decoders + compositing →
+    every-2nd-frame sampling → per-frame channel sums, value-checked
+    against the planted constants' closed form. Frame payloads never
+    shuffle; only fixed-width per-frame rows leave mapInPandas."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_webp_anim,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_webp_anim_sampled, _GIF_FRAME_SCHEMA).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Resize: binary in → binary out with recomputed metadata. The
 # deterministic fake "resample" keeps every k-th payload byte; a real
 # codec swaps only the body of _resize_batch. The Spark-side contract

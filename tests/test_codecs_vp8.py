@@ -374,6 +374,76 @@ def test_query_fixture_cycles_cover_all_modes_and_container():
     assert seen_ext == {True, False}
 
 
+def test_alph_roundtrips_all_filters_and_compressions():
+    from sparkifydb_datawarehouse_spark.llm.codecs_vp8 import decode_alph, encode_alph
+
+    rng = random.Random(3)
+    for w, h in [(9, 7), (24, 16), (31, 13), (1, 1)]:
+        plane = bytes(rng.randrange(256) for _ in range(w * h))
+        for filt in range(4):
+            for comp in range(2):
+                assert decode_alph(encode_alph(plane, w, h, filt, comp), w, h) == plane
+
+
+def test_alpha_still_rgba_closed_form():
+    w, h = 33, 25
+    alpha = bytes(((13 * 5 + 7 * y) % 256) for y in range(h) for _ in range(w))
+    blob = encode_webp_vp8(
+        _targets(3, 2, 5), w, h, alpha=alpha, alpha_filtering=2, alpha_compression=1
+    )
+    img = decode_webp_lossy(blob)
+    assert img["channels"] == 4
+    px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, 4)
+    assert px[:, :, 3].tobytes() == alpha
+    assert (px[:, :, 0] == px[:, :, 1]).all()  # neutral chroma: R=G=B
+    for my in range(2):
+        for mx in range(3):
+            sub = px[my * 16 : min((my + 1) * 16, h), mx * 16 : min((mx + 1) * 16, w), 0]
+            assert (sub == _targets(3, 2, 5)[my][mx]).all()
+
+
+def test_anim_frames_compositing_and_both_codecs():
+    from sparkifydb_datawarehouse_spark.llm.codecs_vp8 import (
+        decode_webp_frames,
+        encode_webp_anim,
+    )
+
+    w, h = 33, 25
+    specs = []
+    for f in range(4):
+        v = (29 * 5 + 41 * f) % 256
+        if f % 2 == 0:
+            specs.append(
+                {"kind": "vp8", "mb_targets": [[v] * 3 for _ in range(2)], "duration": 50 + f}
+            )
+        else:
+            specs.append({"kind": "vp8l", "rgb": (v, v, v), "duration": 50 + f})
+    anim = decode_webp_frames(encode_webp_anim(specs, w, h))
+    assert len(anim["frames"]) == 4 and anim["durations"] == [50, 51, 52, 53]
+    for f in range(4):
+        v = (29 * 5 + 41 * f) % 256
+        fr = np.frombuffer(anim["frames"][f], dtype=np.uint8).reshape(h, w, 3)
+        assert (fr == v).all(), f
+    # sub-rect + disposal + blend (opaque src-over == overwrite)
+    specs = [
+        {"kind": "vp8l", "rgb": (10, 20, 30)},
+        {"kind": "vp8l", "rgb": (200, 100, 50), "x": 16, "y": 8, "w": 8, "h": 8, "dispose": True},
+        {"kind": "vp8l", "rgb": (1, 2, 3), "x": 0, "y": 0, "w": 8, "h": 8, "blend": True},
+    ]
+    anim = decode_webp_frames(encode_webp_anim(specs, w, h, bg=(9, 9, 9, 255)))
+    f1 = np.frombuffer(anim["frames"][1], dtype=np.uint8).reshape(h, w, 3)
+    assert (f1[8:16, 16:24] == [200, 100, 50]).all()
+    assert (f1[0, 0] == [10, 20, 30]).all()
+    f2 = np.frombuffer(anim["frames"][2], dtype=np.uint8).reshape(h, w, 3)
+    assert (f2[8:16, 16:24] == [9, 9, 9]).all()  # disposed to background
+    assert (f2[0:8, 0:8] == [1, 2, 3]).all()
+    # decode_image returns the FIRST composited frame (GIF convention)
+    from sparkifydb_datawarehouse_spark.llm.multimodal import decode_image
+
+    first = decode_image(encode_webp_anim(specs, w, h, bg=(9, 9, 9, 255)))
+    assert first["channels"] == 3 and first["pixels"] == anim["frames"][0]
+
+
 def test_decode_image_dispatches_lossy_webp():
     from sparkifydb_datawarehouse_spark.llm.multimodal import decode_image
 

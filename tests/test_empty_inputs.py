@@ -262,6 +262,8 @@ _EMPTY_GATE_QUERIES = [
     "q_dedup_simhash",
     "q_multimodal_decode_webp",
     "q_multimodal_decode_webp_lossy",
+    "q_multimodal_decode_webp_alpha",
+    "q_multimodal_decode_webp_anim",
     "q_multimodal_decode_jpeg_arith",
     "q_multimodal_decode_jpeg_prog_arith",
     # round-9 rows-only -> contract-oracle conversions
@@ -381,6 +383,10 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_dedup_lsh_verified_stages",
         "q_multimodal_decode_webp",
         "q_multimodal_decode_webp_lossy",
+        "q_multimodal_decode_webp_alpha",
+        "q_multimodal_decode_webp_anim",
+    "q_multimodal_decode_webp_alpha",
+    "q_multimodal_decode_webp_anim",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
         # round-9 rows-only -> contract-oracle conversions
@@ -483,6 +489,10 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_dedup_containment_sketch",
         "q_multimodal_decode_webp",
         "q_multimodal_decode_webp_lossy",
+        "q_multimodal_decode_webp_alpha",
+        "q_multimodal_decode_webp_anim",
+    "q_multimodal_decode_webp_alpha",
+    "q_multimodal_decode_webp_anim",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
         # round-9 rows-only -> contract-oracle conversions

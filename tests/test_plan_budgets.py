@@ -108,6 +108,8 @@ EXCHANGE_BUDGETS = {
     "q_multimodal_decode_jpeg_arith": 2,  # scan spread + final sort
     "q_multimodal_decode_jpeg_prog_arith": 2,  # scan spread + final sort
     "q_multimodal_decode_webp_lossy": 2,  # r10: scan spread + final sort; VP8 payloads never shuffle
+    "q_multimodal_decode_webp_alpha": 2,  # r10: same shape (ALPH + VP8 still)
+    "q_multimodal_decode_webp_anim": 2,  # r10: same shape (ANMF frame sampling)
     "q_multimodal_decode_wav": 2,   # same shape (r8)
     "q_multimodal_decode_gif_frames": 2,  # same shape (r8)
     "q_dedup_representative": 2,
