@@ -140,10 +140,21 @@ _CAT_PROBS = {
 # §13.3 coefficient bands + zigzag scan order
 _COEF_BANDS = (0, 1, 2, 3, 6, 4, 5, 6, 6, 6, 6, 6, 6, 6, 6, 7)
 _ZIGZAG = (0, 1, 4, 8, 5, 2, 3, 6, 9, 12, 13, 10, 7, 11, 14, 15)
-# §13.5 default token probabilities [block_type][band][ctx][10]:
+# §13.5 default token probabilities [block_type][band][ctx][11]:
 # uniform placeholder (see module docstring). Block types: 0 = Y with
 # Y2 (starts at coefficient 1), 1 = Y2, 2 = chroma, 3 = Y without Y2.
+# The header's per-entry UPDATE mechanism (§13.4) is fully supported —
+# both sides walk the 4×8×3×11 flag lattice and splice transmitted
+# probabilities over the defaults, so context selection is live even
+# though the defaults are flat.
 _COEF_PROB_FLAT = (128,) * 11  # 11 entropy nodes per context (§13.5)
+
+
+def _default_coef_probs() -> list:
+    return [
+        [[list(_COEF_PROB_FLAT) for _ in range(3)] for _ in range(8)]
+        for _ in range(4)
+    ]
 # §13.4 coefficient-probability-update flags are coded against
 # coeff_update_probs[4][8][3][11] — uniform placeholder likewise.
 _COEF_UPDATE_PROB_FLAT = 128
@@ -719,11 +730,13 @@ def _token_for(value: int) -> tuple[int, int]:
 
 
 def _encode_coeff_block(
-    be: BoolEncoder, levels: list[int], block_type: int, ctx: int
+    be: BoolEncoder, levels: list[int], block_type: int, ctx: int,
+    coef_probs: list,
 ) -> int:
     """Encode one block's quantization LEVELS (raster order, pre-
-    dequant); returns the nonzero flag that becomes this block's
-    entropy context."""
+    dequant) against coef_probs[block_type][band][ctx]; returns the
+    nonzero flag that becomes this block's entropy context."""
+    type_probs = coef_probs[block_type]
     first = 1 if block_type == 0 else 0
     scan = [levels[_ZIGZAG[i]] for i in range(16)]
     # trailing zeros end at EOB; everything before is coded
@@ -737,7 +750,8 @@ def _encode_coeff_block(
     while pos <= last:
         val = scan[pos]
         tok, extra = _token_for(val)
-        be.put_tree(_COEF_TREE, _COEF_PROB_FLAT, tok, 2 if prev_zero else 0)
+        probs = type_probs[_COEF_BANDS[pos]][ctx]
+        be.put_tree(_COEF_TREE, probs, tok, 2 if prev_zero else 0)
         if val == 0:
             prev_zero = True
             ctx = 0
@@ -753,26 +767,34 @@ def _encode_coeff_block(
     if last < 15:
         # `last` points at a nonzero (or the block is empty), so EOB
         # never follows a ZERO here and is always representable
-        be.put_tree(_COEF_TREE, _COEF_PROB_FLAT, _DCT_EOB, 0)
+        # EOB is read at scan position max(first, last+1) — mirror the
+        # decoder's band selection exactly (an empty type-0 block's
+        # first position is 1, not 0)
+        probs = type_probs[_COEF_BANDS[min(max(last + 1, first), 15)]][ctx]
+        be.put_tree(_COEF_TREE, probs, _DCT_EOB, 0)
     return 1 if nonzero else 0
 
 
 def _decode_coeff_block(
-    bd: BoolDecoder, block_type: int, ctx: int, dq_dc: int, dq_ac: int
+    bd: BoolDecoder, block_type: int, ctx: int, dq_dc: int, dq_ac: int,
+    coef_probs: list,
 ) -> tuple[list[int], int]:
     """Decode one block → DEQUANTIZED coefficients (raster order) and
     the nonzero flag for context propagation."""
+    type_probs = coef_probs[block_type]
     coefs = [0] * 16
     first = 1 if block_type == 0 else 0
     pos = first
     prev_zero = False
     nonzero = 0
     while pos < 16:
-        tok = bd.get_tree(_COEF_TREE, _COEF_PROB_FLAT, 2 if prev_zero else 0)
+        probs = type_probs[_COEF_BANDS[pos]][ctx]
+        tok = bd.get_tree(_COEF_TREE, probs, 2 if prev_zero else 0)
         if tok == _DCT_EOB:
             break
         if tok == 0:
             prev_zero = True
+            ctx = 0
             pos += 1
             continue
         if tok <= 4:
@@ -789,6 +811,7 @@ def _decode_coeff_block(
         coefs[_ZIGZAG[pos]] = v * q
         prev_zero = False
         nonzero = 1
+        ctx = 1 if abs(v) == 1 else 2
         pos += 1
     return coefs, nonzero
 
@@ -842,9 +865,15 @@ def decode_vp8_frame(data: bytes) -> dict:
     if any(deltas):
         raise ImageDecodeError("quantizer deltas not supported")
     header.get_literal(1)  # refresh entropy probs
-    for _ in range(_N_COEF_UPDATES):
-        if header.get(_COEF_UPDATE_PROB_FLAT):
-            raise ImageDecodeError("coefficient prob updates not supported")
+    # §13.4 token probability updates: walk the 4×8×3×11 flag lattice,
+    # splicing transmitted probabilities over the defaults
+    coef_probs = _default_coef_probs()
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for n in range(11):
+                    if header.get(_COEF_UPDATE_PROB_FLAT):
+                        coef_probs[t][b][c][n] = header.get_literal(8)
     mb_no_skip = header.get_literal(1)
     prob_skip_false = header.get_literal(8) if mb_no_skip else 0
 
@@ -938,7 +967,9 @@ def decode_vp8_frame(data: bytes) -> dict:
             y2_out = None
             if has_y2:
                 ctx = ctx_above["y2"][mbx] + ctx_left["y2"]
-                coefs, nz = _decode_coeff_block(tokens, 1, ctx, q["y2dc"], q["y2ac"])
+                coefs, nz = _decode_coeff_block(
+                    tokens, 1, ctx, q["y2dc"], q["y2ac"], coef_probs
+                )
                 y2_out = inverse_wht(coefs)
                 ctx_above["y2"][mbx] = ctx_left["y2"] = nz
                 pred = predict_block(planes["y"], mbx * 16, mby * 16, 16, ym)
@@ -949,7 +980,7 @@ def decode_vp8_frame(data: bytes) -> dict:
                 btype = 0 if has_y2 else 3
                 ctx = ctx_above["y"][mbx * 4 + c] + ctx_left["y"][r]
                 coefs, nz = _decode_coeff_block(
-                    tokens, btype, ctx, q["ydc"], q["yac"]
+                    tokens, btype, ctx, q["ydc"], q["yac"], coef_probs
                 )
                 ctx_above["y"][mbx * 4 + c] = ctx_left["y"][r] = nz
                 if has_y2:
@@ -977,7 +1008,7 @@ def decode_vp8_frame(data: bytes) -> dict:
                     r, c = sb // 2, sb % 2
                     ctx = ctx_above[pl][mbx * 2 + c] + ctx_left[pl][r]
                     coefs, nz = _decode_coeff_block(
-                        tokens, 2, ctx, q["uvdc"], q["uvac"]
+                        tokens, 2, ctx, q["uvdc"], q["uvac"], coef_probs
                     )
                     ctx_above[pl][mbx * 2 + c] = ctx_left[pl][r] = nz
                     res = inverse_dct4x4(coefs)
@@ -1427,6 +1458,7 @@ def encode_vp8_frame(
     filter_type: int = 0,
     sharpness: int = 0,
     use_skip: bool = False,
+    coef_prob_updates: dict | None = None,
 ) -> tuple[bytes, dict]:
     """Encode per-MB luma constants ``mb_targets[mby][mbx]`` (and
     optional chroma constants) into a VP8 key-frame payload. Returns
@@ -1445,7 +1477,12 @@ def encode_vp8_frame(
     blocks are all zero-level carry a per-MB skip flag instead of
     token data, and their entropy contexts reset to 0 (§13.1) —
     reconstruction is unchanged (zero residual either way), so the
-    planted-raster exactness is preserved."""
+    planted-raster exactness is preserved.
+
+    ``coef_prob_updates`` maps (block_type, band, ctx, node) →
+    probability 1..255; entries are transmitted through the §13.4
+    update lattice and used by both sides' token coding — an
+    entropy-layer-only change (decoded values are identical)."""
     mbw, mbh = (width + 15) // 16, (height + 15) // 16
     y_mode_fn = y_mode_fn or (lambda mbx, mby: DC_PRED)
     uv_mode_fn = uv_mode_fn or (lambda mbx, mby: DC_PRED)
@@ -1465,8 +1502,19 @@ def encode_vp8_frame(
     for _ in range(5):
         header.put_literal(0, 1)  # quantizer deltas all zero
     header.put_literal(1, 1)  # refresh entropy probs
-    for _ in range(_N_COEF_UPDATES):
-        header.put(0, _COEF_UPDATE_PROB_FLAT)
+    coef_probs = _default_coef_probs()
+    updates = coef_prob_updates or {}
+    for t in range(4):
+        for b in range(8):
+            for c in range(3):
+                for n in range(11):
+                    p = updates.get((t, b, c, n))
+                    if p is None:
+                        header.put(0, _COEF_UPDATE_PROB_FLAT)
+                    else:
+                        header.put(1, _COEF_UPDATE_PROB_FLAT)
+                        header.put_literal(p, 8)
+                        coef_probs[t][b][c][n] = p
     header.put_literal(1 if use_skip else 0, 1)  # mb_no_coeff_skip
     if use_skip:
         header.put_literal(_SKIP_PROB, 8)
@@ -1593,11 +1641,11 @@ def encode_vp8_frame(
             for pl, btype, levels, ai, li in pending:
                 if pl == "y2":
                     ctx = ctx_above["y2"][ai] + ctx_left["y2"]
-                    nz = _encode_coeff_block(tokens, levels, btype, ctx)
+                    nz = _encode_coeff_block(tokens, levels, btype, ctx, coef_probs)
                     ctx_above["y2"][ai] = ctx_left["y2"] = nz
                 else:
                     ctx = ctx_above[pl][ai] + ctx_left[pl][li]
-                    nz = _encode_coeff_block(tokens, levels, btype, ctx)
+                    nz = _encode_coeff_block(tokens, levels, btype, ctx, coef_probs)
                     ctx_above[pl][ai] = ctx_left[pl][li] = nz
 
     # mode + skip-flag writing (decoder-mirrored sub-mode context

@@ -595,8 +595,18 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _attach_webp_lossy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """doc_id → real lossy-WebP bytes (per-MB-constant raster, intra
-    modes cycling, VP8X wrap every 7th doc)."""
+    modes cycling, VP8X wrap every 7th doc, §13.4 token-probability
+    updates every 5th — entropy-layer only, values unchanged)."""
     from .codecs_vp8 import encode_webp_vp8
+
+    # deterministic update set: DC-band nodes of every block type —
+    # exercises the update lattice AND live context selection
+    prob_updates = {
+        (t, 0, c, n): 90 + 7 * t + 11 * c + n
+        for t in range(4)
+        for c in range(3)
+        for n in (0, 1, 2)
+    }
 
     for pdf in batches:
         blobs = []
@@ -615,6 +625,7 @@ def _attach_webp_lossy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
                     h,
                     extended=d % 7 == 0,
                     use_skip=d % 3 == 0,  # mb_no_coeff_skip header path
+                    coef_prob_updates=prob_updates if d % 5 == 1 else None,
                     y_mode_fn=lambda mx, my, _d=d: (_d + mx + my) % 5,
                     uv_mode_fn=lambda mx, my, _d=d: (_d + mx + 2 * my) % 4,
                 )

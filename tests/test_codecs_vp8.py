@@ -374,6 +374,28 @@ def test_query_fixture_cycles_cover_all_modes_and_container():
     assert seen_ext == {True, False}
 
 
+def test_coef_prob_updates_are_entropy_layer_only():
+    # §13.4 updates change the bitstream, never the decoded values;
+    # both sides use the spliced table so contexts are live
+    rng = random.Random(9)
+    updates = {
+        (rng.randrange(4), rng.randrange(8), rng.randrange(3), rng.randrange(11)):
+        rng.randrange(1, 256)
+        for _ in range(40)
+    }
+    t = _targets(3, 2, 7)
+    for modefn in (None, lambda x, y: [DC_PRED, V_PRED, B_PRED][(x + y) % 3]):
+        p0, f0 = encode_vp8_frame(t, 47, 29, y_mode_fn=modefn)
+        p1, f1 = encode_vp8_frame(
+            t, 47, 29, y_mode_fn=modefn, coef_prob_updates=updates
+        )
+        assert p0 != p1
+        d0, d1 = decode_vp8_frame(p0), decode_vp8_frame(p1)
+        assert np.array_equal(d0["y"], d1["y"])
+        assert np.array_equal(d1["y"], f1["y"])
+        assert np.array_equal(d0["u"], d1["u"])
+
+
 def test_alph_roundtrips_all_filters_and_compressions():
     from sparkifydb_datawarehouse_spark.llm.codecs_vp8 import decode_alph, encode_alph
 
