@@ -892,6 +892,172 @@ ORDER BY doc_id, frame_idx
 """
 
 
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (round 10): the multimodal member of the
+# dedup family — decode REAL media (PNG here; any decode_image format
+# works), reduce each raster to a 64-bit dHash (9×8 block-mean
+# downsample, horizontal gradient signs), and group exact hash
+# collisions: the image analog of q_dedup_exact's fingerprint groupBy.
+# Fixture: 48 image CLASSES (docs with equal doc_id % 48 carry
+# pixel-identical 32×32 block-pattern rasters), alternate repetitions
+# (doc_id // 48 odd) brightened by a uniform +8 — two contract
+# THEOREMS ride the planted design:
+#   hash_consistent     — all docs of a class share ONE hash (same
+#                         pixels → same hash; and dHash compares
+#                         gradient SIGNS, which a uniform brightness
+#                         shift preserves — so both parities collide);
+#   brightness_collapsed— the class's bright and dark variants landed
+#                         in the same cluster (vacuously 1 if a class
+#                         has only one parity at this SF).
+# n_docs per class is the closed form DuckDB recomputes. Cross-class
+# hash separation is reported (engine-deterministic for fixed data)
+# but not oracled — it is an empirical property of the pattern family,
+# not a theorem. At 100 TB the plan shape is the one that matters:
+# payloads die inside the first mapInPandas (only 8-byte hashes
+# shuffle), and the groupBy is a plain hash-partition on int64.
+# ---------------------------------------------------------------------------
+
+_PHASH_CLASSES = 48
+_PHASH_DIM = 32  # 8x8 blocks of 4px
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("img_class", IntegerType()),
+        StructField("n_docs", LongType()),
+        StructField("hash_consistent", IntegerType()),
+        StructField("brightness_collapsed", IntegerType()),
+    ]
+)
+
+
+def _phash_block_value(cls: int, bx: int, by: int) -> int:
+    # class-dependent gradient-SIGN pattern: bit (8·by + bx) of a
+    # golden-ratio-mixed 64-bit word per class (a LINEAR pattern in
+    # cls collapses — the first cut, (11·cls + …) % 5, gave only 5
+    # distinct dHashes across 48 classes; pytest pins 48/48 now).
+    # Values keep 8px of headroom so the +8 brightness variant cannot
+    # clip, preserving every gradient sign.
+    word = ((cls + 1) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+    return 200 if (word >> (8 * by + bx)) & 1 else 40
+
+
+def _attach_phash_png(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .codecs import encode_png
+
+    n = _PHASH_DIM
+    base = {}
+    for cls in range(_PHASH_CLASSES):
+        plane = np.zeros((n, n), dtype=np.uint8)
+        for by in range(8):
+            for bx in range(8):
+                plane[by * 4 : by * 4 + 4, bx * 4 : bx * 4 + 4] = _phash_block_value(
+                    cls, bx, by
+                )
+        base[cls] = plane
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            # brightness variant alternates along d // 48 so every
+            # class sees BOTH variants once it has ≥ 2 docs (d % 2
+            # would never vary within a class — 48 is even)
+            bright = (d // _PHASH_CLASSES) % 2
+            plane = base[d % _PHASH_CLASSES] + (8 if bright else 0)
+            rgb = np.repeat(plane[:, :, None], 3, axis=2)
+            blobs.append(encode_png(n, n, rgb.tobytes(), 3))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _dhash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """media → (doc_id, img_class, dhash): decode, luma, 9×8 block-mean
+    downsample, 64 horizontal gradient-sign bits packed into an int64.
+    Payload bytes never leave this stage."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            img = decode_image(bytes(media))
+            w, h, ch = img["width"], img["height"], img["channels"]
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, ch)
+            luma = px.mean(axis=2)
+            # 9x8 block means (row-major split as even as possible)
+            ys = np.linspace(0, h, 9, dtype=int)
+            xs = np.linspace(0, w, 10, dtype=int)
+            grid = np.array(
+                [
+                    [luma[ys[r] : ys[r + 1], xs[c] : xs[c + 1]].mean() for c in range(9)]
+                    for r in range(8)
+                ]
+            )
+            bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+            val = 0
+            for b in bits:
+                val = (val << 1) | int(b)
+            if val >= 1 << 63:
+                val -= 1 << 64
+            out.append((int(doc_id), int(doc_id) % _PHASH_CLASSES, val))
+        yield pd.DataFrame(out, columns=["doc_id", "img_class", "dhash"])
+
+
+_ORACLE_DEDUP_IMAGE_PHASH = f"""
+SELECT CAST(doc_id % {_PHASH_CLASSES} AS INTEGER) AS img_class,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(1 AS INTEGER) AS hash_consistent,
+       CAST(1 AS INTEGER) AS brightness_collapsed
+FROM documents
+GROUP BY doc_id % {_PHASH_CLASSES}
+ORDER BY img_class
+"""
+
+
+@query("q_dedup_image_phash", oracle=_ORACLE_DEDUP_IMAGE_PHASH)
+def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real PNG binary column (48 pixel-identical image
+    classes, alternate repetitions uniformly brightened) → decode →
+    64-bit dHash →
+    exact-hash dedup clusters, contract-checked per class: one hash
+    per class (including across the brightness variants — a dHash
+    theorem), closed-form class sizes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_phash_png,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    hashes = media.mapInPandas(
+        _dhash_batch,
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("img_class", IntegerType()),
+                StructField("dhash", LongType()),
+            ]
+        ),
+    )
+    return (
+        hashes.groupBy("img_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count_distinct("dhash") == 1).cast("int").alias("hash_consistent"),
+            F.when(
+                F.count_distinct(
+                    F.floor(F.col("doc_id") / _PHASH_CLASSES) % 2
+                )
+                < 2,
+                F.lit(1),
+            )  # vacuous: one brightness variant present at this SF
+            .otherwise((F.count_distinct("dhash") == 1).cast("int"))
+            .alias("brightness_collapsed"),
+        )
+        .orderBy("img_class")
+    )
+
+
 @query("q_multimodal_decode_webp_anim", oracle=_ORACLE_DECODE_WEBP_ANIM)
 def multimodal_decode_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → real animated-WebP binary column (ANMF frames

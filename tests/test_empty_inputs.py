@@ -264,6 +264,7 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_decode_webp_lossy",
     "q_multimodal_decode_webp_alpha",
     "q_multimodal_decode_webp_anim",
+    "q_dedup_image_phash",
     "q_multimodal_decode_jpeg_arith",
     "q_multimodal_decode_jpeg_prog_arith",
     # round-9 rows-only -> contract-oracle conversions
@@ -385,8 +386,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_webp_lossy",
         "q_multimodal_decode_webp_alpha",
         "q_multimodal_decode_webp_anim",
-    "q_multimodal_decode_webp_alpha",
-    "q_multimodal_decode_webp_anim",
+        "q_dedup_image_phash",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
         # round-9 rows-only -> contract-oracle conversions
@@ -491,8 +491,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_webp_lossy",
         "q_multimodal_decode_webp_alpha",
         "q_multimodal_decode_webp_anim",
-    "q_multimodal_decode_webp_alpha",
-    "q_multimodal_decode_webp_anim",
+        "q_dedup_image_phash",
         "q_multimodal_decode_jpeg_arith",
         "q_multimodal_decode_jpeg_prog_arith",
         # round-9 rows-only -> contract-oracle conversions

@@ -29,6 +29,39 @@ def test_checksum_matches_python(spark, sf_dir):
     assert feat["payload_checksum"] == sum(doc["text"].encode()) % (1 << 31)
 
 
+def test_image_phash_separates_classes_and_collapses_brightness(spark, sf_dir):
+    """The dHash dedup's two theorems (one hash per class, brightness
+    invariance) are driver-oracled; cross-class SEPARATION is the
+    empirical property pinned here: all 48 planted pattern classes
+    must land on 48 distinct hashes, and every contract flag is 1."""
+    from sparkifydb_datawarehouse_spark import registry
+    from sparkifydb_datawarehouse_spark.llm.multimodal import (
+        _PHASH_CLASSES,
+        _attach_phash_png,
+        _dhash_batch,
+    )
+
+    registry.load_all_modules()
+    rows = registry.QUERIES["q_dedup_image_phash"](spark, sf_dir).collect()
+    assert all(r["hash_consistent"] == 1 for r in rows)
+    assert all(r["brightness_collapsed"] == 1 for r in rows)
+    # separation: compute the hashes directly over one doc per class
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": list(range(_PHASH_CLASSES))})
+    media = next(_attach_phash_png(iter([pdf])))
+    hashes = next(_dhash_batch(iter([media])))
+    assert hashes["dhash"].nunique() == _PHASH_CLASSES, (
+        "planted pattern classes must have pairwise-distinct dHashes"
+    )
+    # brightness variants (d//48 = 0 vs 1) of the same class hash identically
+    pdf2 = pd.DataFrame({"doc_id": [3, 3 + _PHASH_CLASSES]})
+    media2 = next(_attach_phash_png(iter([pdf2])))
+    assert media2["media"][0] != media2["media"][1]  # pixels actually differ
+    h2 = next(_dhash_batch(iter([media2])))
+    assert h2["dhash"].nunique() == 1
+
+
 def test_decode_image_unknown_magic_raises():
     from sparkifydb_datawarehouse_spark.llm.codecs import ImageDecodeError
 

@@ -110,6 +110,7 @@ EXCHANGE_BUDGETS = {
     "q_multimodal_decode_webp_lossy": 2,  # r10: scan spread + final sort; VP8 payloads never shuffle
     "q_multimodal_decode_webp_alpha": 2,  # r10: same shape (ALPH + VP8 still)
     "q_multimodal_decode_webp_anim": 2,  # r10: same shape (ANMF frame sampling)
+    "q_dedup_image_phash": 4,  # r10: scan spread + two-phase distinct-agg rewrite (expand) + final sort; payloads die in the first mapInPandas
     "q_multimodal_decode_wav": 2,   # same shape (r8)
     "q_multimodal_decode_gif_frames": 2,  # same shape (r8)
     "q_dedup_representative": 2,
