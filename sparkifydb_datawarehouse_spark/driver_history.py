@@ -4,378 +4,59 @@ The harness driver samples ~50 queries per round from the front of
 ``queries()``. The queue tiers (``__spark_entry__._coverage_order``):
 
 1. ``RECHECK_FIRST`` — ids whose LATEST driver row is non-green
-   (VERDICT r8 #3). Empty as of round 10: all 11 r9 recheck ids went
-   green in CORRECTNESS_r09 (the three decode hash-fails fixed by the
-   BIGINT casts, plus the 8 stale no_oracle rows that gained oracles).
-2. never-driver-checked ids with a DuckDB oracle — empty as of round
-   10: the cross-round union is 345/345.
+   (VERDICT r8 #3). Empty as of round 11: every registered id's latest
+   driver row is green (cross-round union 349/349).
+2. never-driver-checked ids with a DuckDB oracle.
 3. never-checked rows-only ids — empty (registry has 0 rows-only).
 4. already-green ids, OLDEST-CHECKED-FIRST (VERDICT r9 #6): with full
    coverage reached, each round's ~50 slots rotate to the stalest
-   green rows (r1/r2 ids last verified 8+ rounds ago on code that has
-   since been reworked), ordered by ``LAST_CHECKED_ROUND`` ascending,
-   stable registry order within a round.
+   green rows, ordered by ``LAST_CHECKED_ROUND`` ascending, stable
+   registry order within a round.
 
-Round-start ritual: merge the new CORRECTNESS_r{N}.json into
-``LAST_CHECKED_ROUND`` (generated from the artifacts — see
-tests/test_driver_queue.py which cross-checks it) and clear any
-now-green ids out of ``RECHECK_FIRST``.
+VERDICT r10 #1: ``LAST_CHECKED_ROUND`` is GENERATED at import time by
+scanning the driver's own ``CORRECTNESS_r*.json`` artifacts in the
+repo root — the queue self-updates the moment the driver drops a new
+artifact, so there is no hand-frozen dict to go stale and no
+round-start regeneration ritual. ``tests/test_driver_queue.py``
+cross-checks the scan with an independent implementation.
 """
 
-# VERDICT r8 #3 tier: non-green-latest ids outrank everything. All 11
-# round-9 entries went driver-green in CORRECTNESS_r09; cleared at
-# round-10 start (VERDICT r9 #1).
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+# VERDICT r8 #3 tier: non-green-latest ids outrank everything. Empty
+# since round 10 — every id's latest driver row is green.
 RECHECK_FIRST: frozenset[str] = frozenset()
 
-# Latest driver CORRECTNESS round per id, generated from
-# CORRECTNESS_r01..r09.json (345 ids; every registered query checked
-# at least once; all latest rows green).
-LAST_CHECKED_ROUND = {
-    "q_ab_cuped": 4,
-    "q_ab_power": 4,
-    "q_abc_classification": 7,
-    "q_activity_heatmap": 3,
-    "q_agg_anova": 6,
-    "q_agg_approx_distinct": 9,
-    "q_agg_approx_distinct_calibration": 9,
-    "q_agg_approx_percentiles": 9,
-    "q_agg_arg_extrema": 9,
-    "q_agg_bitwise": 9,
-    "q_agg_boolean": 9,
-    "q_agg_chisquare": 6,
-    "q_agg_corr": 5,
-    "q_agg_count_distinct": 9,
-    "q_agg_count_min": 9,
-    "q_agg_cov_matrix": 6,
-    "q_agg_cube": 9,
-    "q_agg_decimal_exact": 9,
-    "q_agg_entropy": 5,
-    "q_agg_geomean": 6,
-    "q_agg_groupby": 9,
-    "q_agg_grouping_sets": 5,
-    "q_agg_heavy_hitters": 9,
-    "q_agg_hll_sketch": 7,
-    "q_agg_kmv_overlap": 9,
-    "q_agg_mode": 1,
-    "q_agg_percentile_disc": 6,
-    "q_agg_percentiles": 5,
-    "q_agg_robust_stats": 6,
-    "q_agg_robust_stats_approx": 9,
-    "q_agg_rollup": 9,
-    "q_agg_salted": 5,
-    "q_agg_skew_kurt": 6,
-    "q_agg_stats": 5,
-    "q_agg_string": 9,
-    "q_agg_weighted_median": 6,
-    "q_aging_report": 4,
-    "q_ann_recall": 8,
-    "q_anomaly_zscore": 5,
-    "q_array_funcs": 1,
-    "q_asof_join": 9,
-    "q_asof_join_banded": 9,
-    "q_asof_join_forward": 9,
-    "q_audience_overlap": 9,
-    "q_basket_pairs": 9,
-    "q_benford_digits": 6,
-    "q_bootstrap_ci": 6,
-    "q_case_when_nullif": 4,
-    "q_cdc_apply": 3,
-    "q_cohort_conversion": 5,
-    "q_cohort_ltv": 4,
-    "q_cohort_retention": 4,
-    "q_collation_groupby": 5,
-    "q_collect_set": 2,
-    "q_conversion_paths": 7,
-    "q_corpus_budget_alloc": 8,
-    "q_corpus_funnel": 8,
-    "q_cumulative_distinct_users": 4,
-    "q_cusum_changepoint": 6,
-    "q_date_math_funcs": 2,
-    "q_dedup_clusters": 7,
-    "q_dedup_containment": 7,
-    "q_dedup_containment_sketch": 8,
-    "q_dedup_embedding_cosine": 7,
-    "q_dedup_events": 9,
-    "q_dedup_exact": 6,
-    "q_dedup_fuzzy_minhash": 9,
-    "q_dedup_incremental": 7,
-    "q_dedup_lsh_cap_profile": 8,
-    "q_dedup_lsh_verified": 7,
-    "q_dedup_lsh_verified_stages": 8,
-    "q_dedup_minhash_calibration": 9,
-    "q_dedup_ngram_jaccard": 7,
-    "q_dedup_prefix_filter": 7,
-    "q_dedup_representative": 7,
-    "q_dedup_semantic": 7,
-    "q_dedup_simhash": 8,
-    "q_dedup_url_canonical": 7,
-    "q_diff_in_diff": 4,
-    "q_distinct": 4,
-    "q_dp_noisy_counts": 5,
-    "q_dq_constraints": 7,
-    "q_dq_freshness": 7,
-    "q_dq_rapid_repeat": 7,
-    "q_dq_referential": 7,
-    "q_dq_uniqueness": 7,
-    "q_dq_volume_anomaly": 7,
-    "q_drift_psi": 2,
-    "q_embedding_outliers": 8,
-    "q_embedding_pca": 8,
-    "q_embedding_quantize": 8,
-    "q_epoch_millis_ts": 4,
-    "q_event_transitions": 4,
-    "q_event_trigrams": 7,
-    "q_except": 5,
-    "q_explode_collect": 2,
-    "q_extract_dateparts": 4,
-    "q_feature_binning": 3,
-    "q_feature_scaling": 3,
-    "q_file_census": 9,
-    "q_filter_eq": 4,
-    "q_flagship_revenue_by_region": 2,
-    "q_forecast_eval": 4,
-    "q_fulfillment_latency": 5,
-    "q_funnel_conversion": 4,
-    "q_funnel_latency": 4,
-    "q_funnel_time_bound": 4,
-    "q_gdpr_erasure": 5,
-    "q_geo_nearest": 4,
-    "q_gini_concentration": 6,
-    "q_global_rownumber": 2,
-    "q_golden_record": 7,
-    "q_graph_degree": 4,
-    "q_graph_kcore": 9,
-    "q_graph_link_prediction": 5,
-    "q_graph_pagerank": 9,
-    "q_graph_shortest_path": 4,
-    "q_graph_triangles": 4,
-    "q_greedy_allocation": 9,
-    "q_grouped_regression": 7,
-    "q_grouped_trend": 8,
-    "q_hard_negatives": 8,
-    "q_histogram_2d": 3,
-    "q_histogram_equiwidth": 3,
-    "q_histogram_lengths": 7,
-    "q_impute_median": 3,
-    "q_intersect": 5,
-    "q_islands_consecutive": 4,
-    "q_join_anti": 1,
-    "q_join_bloom_prefilter": 9,
-    "q_join_broadcast": 1,
-    "q_join_bucketed": 9,
-    "q_join_cross": 6,
-    "q_join_full": 1,
-    "q_join_fuzzy_levenshtein": 4,
-    "q_join_inner_2key": 1,
-    "q_join_inner_multikey": 1,
-    "q_join_inner_multikey_decimal18": 4,
-    "q_join_interval_overlap": 4,
-    "q_join_jaro_winkler": 5,
-    "q_join_left": 1,
-    "q_join_linkage_stages": 7,
-    "q_join_nearest_event": 3,
-    "q_join_null_safe": 4,
-    "q_join_partition_pruned": 9,
-    "q_join_range": 1,
-    "q_join_salted": 5,
-    "q_join_semi": 1,
-    "q_join_skew_aqe": 5,
-    "q_json_extract": 2,
-    "q_k_anonymity": 5,
-    "q_kaplan_meier": 7,
-    "q_keyset_pagination": 5,
-    "q_kfold_metrics": 7,
-    "q_kmeans_embeddings": 7,
-    "q_ks_two_sample": 6,
-    "q_last_touch_attribution": 7,
-    "q_lateral_topk": 6,
-    "q_mannwhitney_u": 6,
-    "q_map_funcs": 2,
-    "q_map_in_arrow": 5,
-    "q_markov_attribution": 7,
-    "q_masked_view": 4,
-    "q_merge_upsert": 1,
-    "q_misc_funcs": 2,
-    "q_ml_inference_sql": 5,
-    "q_multimodal_audio": 8,
-    "q_multimodal_decode_gif_frames": 8,
-    "q_multimodal_decode_jpeg": 8,
-    "q_multimodal_decode_jpeg_arith": 9,
-    "q_multimodal_decode_jpeg_prog_arith": 9,
-    "q_multimodal_decode_jpeg_progressive": 8,
-    "q_multimodal_decode_png": 9,
-    "q_multimodal_decode_ppm": 9,
-    "q_multimodal_decode_wav": 8,
-    "q_multimodal_decode_webp": 9,
-    "q_multimodal_features": 8,
-    "q_multimodal_frames": 8,
-    "q_multimodal_resize": 8,
-    "q_multitouch_attribution": 7,
-    "q_new_vs_returning": 5,
-    "q_open_orders_daily": 4,
-    "q_overdue_customers": 5,
-    "q_pack_sequences": 8,
-    "q_pattern_sequence": 7,
-    "q_percent_of_total": 9,
-    "q_percentile_bands": 5,
-    "q_pit_join": 5,
-    "q_pivot": 5,
-    "q_prep_pipeline": 8,
-    "q_price_dispersion": 3,
-    "q_price_volume_mix": 3,
-    "q_profile_columns": 7,
-    "q_project_alias": 4,
-    "q_purchase_cadence": 5,
-    "q_rate_anomaly": 7,
-    "q_recursive_cte": 6,
-    "q_regression_slope": 7,
-    "q_relational_division": 7,
-    "q_rfm_segments": 7,
-    "q_rolling_distinct_users": 4,
-    "q_rollup_timebucket": 5,
-    "q_sample_domain_match": 4,
-    "q_sample_dsir": 7,
-    "q_sample_group_split": 6,
-    "q_sample_hash": 4,
-    "q_sample_k_per_group": 4,
-    "q_sample_stratified": 4,
-    "q_sample_temperature": 4,
-    "q_sample_weighted": 4,
-    "q_sample_weighted_noreplace": 4,
-    "q_scan_binaryfile": 9,
-    "q_scan_csv": 6,
-    "q_scan_json": 9,
-    "q_scan_orc": 9,
-    "q_scan_pysource": 9,
-    "q_scan_text": 9,
-    "q_scan_xml": 9,
-    "q_scd2_intervals": 4,
-    "q_search_rrf_fusion": 8,
-    "q_seasonal_index": 4,
-    "q_segment_migration": 7,
-    "q_session_window_batch": 5,
-    "q_sessionize_gap": 4,
-    "q_shuffle_deterministic": 4,
-    "q_similarity_batch_knn": 8,
-    "q_similarity_ivf": 8,
-    "q_similarity_pq": 8,
-    "q_similarity_topk": 6,
-    "q_similarity_topk_lsh": 6,
-    "q_skew_diagnostics": 7,
-    "q_skyline_pareto": 5,
-    "q_sort_limit": 5,
-    "q_sort_null_order": 5,
-    "q_sparkify_artists": 6,
-    "q_sparkify_songplays": 6,
-    "q_sparkify_songs": 6,
-    "q_sparkify_staging_events": 6,
-    "q_sparkify_staging_songs": 6,
-    "q_sparkify_time": 6,
-    "q_sparkify_users": 6,
-    "q_sql_parameterized": 5,
-    "q_sql_pipe": 5,
-    "q_sql_scripting": 5,
-    "q_sql_table_function": 5,
-    "q_sql_udf": 5,
-    "q_stateful_user_totals": 9,
-    "q_stream_enrich": 6,
-    "q_stream_session": 6,
-    "q_stream_sliding": 6,
-    "q_stream_stream_join": 6,
-    "q_stream_tumbling": 6,
-    "q_string_funcs": 2,
-    "q_subquery_exists": 6,
-    "q_subquery_scalar": 6,
-    "q_supplier_hhi": 3,
-    "q_supplier_scorecard": 3,
-    "q_surrogate_key": 9,
-    "q_table_diff": 2,
-    "q_text_bigram_logprob": 8,
-    "q_text_bm25": 8,
-    "q_text_boilerplate": 8,
-    "q_text_bpe_apply": 8,
-    "q_text_bpe_merges": 9,
-    "q_text_bpe_train_distributed": 8,
-    "q_text_cdc_chunks": 7,
-    "q_text_chunking": 7,
-    "q_text_decontaminate": 7,
-    "q_text_emerging_terms": 9,
-    "q_text_fingerprint": 8,
-    "q_text_gopher_rules": 8,
-    "q_text_heaps": 9,
-    "q_text_inverted_index": 8,
-    "q_text_keywords": 8,
-    "q_text_langid": 8,
-    "q_text_novelty": 8,
-    "q_text_pii_scrub": 8,
-    "q_text_pmi_collocations": 8,
-    "q_text_quality": 8,
-    "q_text_readability": 9,
-    "q_text_repetition": 8,
-    "q_text_segment_dedup": 8,
-    "q_text_substring_dedup": 8,
-    "q_text_substring_scrub": 8,
-    "q_text_termfreq": 6,
-    "q_text_tfidf": 8,
-    "q_text_tokens": 8,
-    "q_text_unigram_logprob": 8,
-    "q_text_vocabulary": 7,
-    "q_text_zipf": 9,
-    "q_time_in_state": 5,
-    "q_topk_per_group": 5,
-    "q_topk_with_others": 5,
-    "q_tpch_q10_returned_items": 3,
-    "q_tpch_q11_important_parts": 3,
-    "q_tpch_q12_priority_shipping": 3,
-    "q_tpch_q13_customer_distribution": 3,
-    "q_tpch_q14_promo_effect": 3,
-    "q_tpch_q15_top_supplier": 3,
-    "q_tpch_q16_supplier_diversity": 3,
-    "q_tpch_q17_small_quantity": 3,
-    "q_tpch_q18_large_customers": 3,
-    "q_tpch_q19_disjunctive_filter": 3,
-    "q_tpch_q1_pricing_summary": 3,
-    "q_tpch_q20_heavy_shippers": 2,
-    "q_tpch_q21_waiting_suppliers": 2,
-    "q_tpch_q22_dormant_customers": 2,
-    "q_tpch_q2_min_cost_supplier": 3,
-    "q_tpch_q3_shipping_priority": 3,
-    "q_tpch_q4_order_priority": 3,
-    "q_tpch_q5_local_supplier": 3,
-    "q_tpch_q6_forecast_revenue": 3,
-    "q_tpch_q7_volume_shipping": 3,
-    "q_tpch_q8_market_share": 3,
-    "q_tpch_q9_product_profit": 3,
-    "q_train_test_split": 4,
-    "q_try_funcs": 4,
-    "q_ts_acf": 7,
-    "q_ts_crosscorr": 7,
-    "q_ts_drawdown": 7,
-    "q_ts_ewma": 4,
-    "q_ts_interpolate": 5,
-    "q_ts_ohlc": 5,
-    "q_ts_resample": 5,
-    "q_udaf_trimmed_mean": 7,
-    "q_udf_arrow": 5,
-    "q_udf_pandas": 7,
-    "q_udf_scalar": 6,
-    "q_udtf_split_sentences": 7,
-    "q_union_all": 5,
-    "q_union_by_name": 5,
-    "q_unpivot": 5,
-    "q_variant_json": 1,
-    "q_welch_ttest": 6,
-    "q_window_distribution": 6,
-    "q_window_lag_lead": 6,
-    "q_window_moving_median": 6,
-    "q_window_nth_value": 6,
-    "q_window_range_frame": 6,
-    "q_window_rank": 6,
-    "q_window_running_sum": 6,
-    "q_window_time_range": 6,
-    "q_winsorized_agg": 7,
-    "q_xml_url_funcs": 1,
-    "q_yoy_revenue": 3,
-}
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _scan_artifacts(repo_root: str = _REPO_ROOT) -> dict[str, int]:
+    """Latest driver CORRECTNESS round per id, from the artifacts.
+
+    Reads every ``CORRECTNESS_r{N}.json`` the harness driver has ever
+    written into the repo root and keeps, per query id, the highest
+    round number in which the driver checked it. Unreadable files are
+    skipped (a partially-written artifact must not take the whole
+    package import down mid-round).
+    """
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base.split("_r")[1].split(".")[0])
+            with open(path) as fh:
+                ids = json.load(fh)
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for qid in ids:
+            last[qid] = max(last.get(qid, 0), rnd)
+    return last
+
+
+LAST_CHECKED_ROUND: dict[str, int] = _scan_artifacts()
 
 DRIVER_CHECKED: frozenset[str] = frozenset(LAST_CHECKED_ROUND)

@@ -1,10 +1,12 @@
-"""Driver-queue hygiene (VERDICT r9 #1/#6).
+"""Driver-queue hygiene (VERDICT r9 #1/#6, r10 #1).
 
-``driver_history.LAST_CHECKED_ROUND`` is hand-maintained at round
-start from the driver's CORRECTNESS_r{N}.json artifacts; these tests
-regenerate the same map from the artifacts and fail if the two drift,
-and assert the queue ordering contract: stale-green ids surface first
-once full coverage is reached.
+``driver_history.LAST_CHECKED_ROUND`` is GENERATED at import time from
+the driver's CORRECTNESS_r{N}.json artifacts (VERDICT r10 #1 — the
+hand-frozen dict left a red tripwire every time the driver dropped an
+artifact after the final commit). These tests regenerate the same map
+with an independent scan and fail if the two drift, and assert the
+queue ordering contract: stale-green ids surface first once full
+coverage is reached.
 """
 
 from __future__ import annotations
@@ -79,7 +81,9 @@ def test_coverage_order_rotates_stalest_first():
     checked = [i for i in order if i in DRIVER_CHECKED and i not in RECHECK_FIRST]
     rounds = [LAST_CHECKED_ROUND[i] for i in checked]
     assert rounds == sorted(rounds)
-    # VERDICT r9 #6: the front ~50 slots must be the stalest rows —
-    # with the r1-r4 tail at 103 ids, the first 50 all predate round 5.
+    # VERDICT r9 #6: the front ~50 slots must be exactly the 50
+    # stalest checked rows (data-driven — the stale tier's round
+    # boundary moves every time the driver absorbs a new artifact).
     if not any(i not in DRIVER_CHECKED for i in registry.QUERIES):
-        assert all(LAST_CHECKED_ROUND[i] <= 4 for i in order[:50])
+        stalest_50 = sorted(LAST_CHECKED_ROUND[i] for i in registry.QUERIES)[:50]
+        assert [LAST_CHECKED_ROUND[i] for i in order[:50]] == stalest_50
