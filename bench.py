@@ -197,9 +197,29 @@ def main() -> None:
         )
         return time.perf_counter() - t0
 
+    def run_mem_control() -> float:
+        # Second control axis (round 11, VERDICT r10 #2): the 1e9-row
+        # xxhash probe is pure-ALU and provably missed the r8→r10 host
+        # slowdown (a same-host worktree A/B showed the r8 CODE reading
+        # 1.17-1.46× its r8-recorded values while the xxhash control sat
+        # at the 0.43 s quiet pin in both eras — BASELINE.md r11 row).
+        # This probe is allocation/memory-bandwidth-bound (per-row string
+        # materialization), the class Spark query work actually lives
+        # in. Quiet pin on this host: ~0.71 s (min-of-5, 2026-08-16).
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 40_000_000, 1, 32)
+            .selectExpr("sum(length(repeat(cast(id as string), 8))) as s")
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        return time.perf_counter() - t0
+
     for name in HEADLINE:  # warmup: JVM, codegen compile, file index
         run(name)
-    run_control()  # warmup the control's codegen too
+    run_control()  # warmup the controls' codegen too
+    run_mem_control()
 
     # min over 3 INTERLEAVED passes (A,B,C,A,B,C — not A,A,A): a load
     # spike confined to one wall-clock interval can no longer sit on
@@ -207,12 +227,15 @@ def main() -> None:
     # the quiet cost unless contention spans the whole bench.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
     controls = [run_control()]
+    mem_controls = [run_mem_control()]
     for _ in range(3):
         for name in HEADLINE:
             samples[name].append(run(name))
         controls.append(run_control())
+        mem_controls.append(run_mem_control())
     timings = {name: round(min(ts), 3) for name, ts in samples.items()}
     ctrl = sorted(controls)[len(controls) // 2]  # median of 4
+    mem_ctrl = sorted(mem_controls)[len(mem_controls) // 2]
     host_load_index = round(ctrl / QUIET_CONTROL_SEC, 2)
 
     # Full-precision detail to stderr for humans; stdout gets ONE compact
@@ -229,6 +252,7 @@ def main() -> None:
             n: round(s / max(host_load_index, 0.01), 3) for n, s in timings.items()
         },
         "control_samples": [round(c, 3) for c in controls],
+        "mem_control_samples": [round(c, 3) for c in mem_controls],
         "host_load_index": host_load_index,
     }
     print(json.dumps(detail, sort_keys=True), file=sys.stderr)
@@ -245,6 +269,7 @@ def main() -> None:
             "sf": sf_dir,
             "host_load_index": host_load_index,
             "control_sec": round(ctrl, 3),
+            "mem_control_sec": round(mem_ctrl, 3),
             "value_normalized": round(total / max(host_load_index, 0.01), 1),
         }
         if omitted:
