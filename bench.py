@@ -146,6 +146,7 @@ HEADLINE = [
     "q_multimodal_decode_webp_alpha",  # r10: ALPH alpha chunk (RGBA still)
     "q_multimodal_decode_webp_anim",  # r10: ANMF animation frames (VP8+VP8L alternating)
     "q_dedup_image_phash",  # r10: perceptual-hash image dedup (decode -> dHash -> cluster)
+    "q_text_kneser_ney",  # r11: interpolated-KN bigram scoring (map-side pairs, no token shuffle)
     "q_text_novelty",                # cross-doc duplication rate (gram-key window)
     "q_graph_link_prediction",       # neighborhood-Jaccard, degree-capped pair volume
     "q_hard_negatives",              # closure-anchor contrastive mining (one Arrow pass)

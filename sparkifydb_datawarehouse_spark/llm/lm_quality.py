@@ -309,3 +309,116 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "gram")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram scoring (round 11): the production
+# smoothing for perplexity filters (Kneser & Ney 1995; Chen & Goodman
+# 1999, public literature), one rung above q_text_bigram_logprob's
+# add-one. Absolute discount D = 0.75 (exactly representable: 3/4):
+#
+#   P_KN(w1|w0) = max(c(w0 w1) - D, 0) / c(w0 ·)
+#               + (D · N1+(w0 ·) / c(w0 ·)) · P_cont(w1)
+#   P_cont(w1)  = N1+(· w1) / N1+(· ·)
+#
+# where c(w0 ·) is the left-context total, N1+(w0 ·) the distinct
+# continuations of w0, N1+(· w1) the distinct left contexts of w1, and
+# N1+(· ·) the number of distinct bigram types. Scoring the corpus
+# under its own model means every bigram is seen, so the max() never
+# clips — kept anyway for the formula's integrity.
+# ---------------------------------------------------------------------------
+
+_ORACLE_KNESER_NEY = """
+WITH toks AS (
+    SELECT doc_id, string_split_regex(LOWER(text), '\\s+') AS t
+    FROM documents
+), pos AS (
+    SELECT doc_id, t[i] AS w0, t[i + 1] AS w1
+    FROM toks, unnest(generate_series(1, len(t) - 1)) AS s(i)
+    WHERE t[i] <> '' AND t[i + 1] <> ''
+), big AS (
+    SELECT w0, w1, CAST(COUNT(*) AS BIGINT) AS c12 FROM pos GROUP BY w0, w1
+), ctx AS (
+    SELECT w0, CAST(SUM(c12) AS BIGINT) AS c1,
+           CAST(COUNT(*) AS BIGINT) AS n_follow
+    FROM big GROUP BY w0
+), cont AS (
+    SELECT w1, CAST(COUNT(*) AS BIGINT) AS n_left FROM big GROUP BY w1
+), tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM big
+)
+SELECT p.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(LN(
+           GREATEST(b.c12 - 0.75, 0) / x.c1
+           + (0.75 * x.n_follow / x.c1) * (co.n_left / (1.0 * t.n_types))
+       )), 4) AS mean_kn_logprob
+FROM pos p
+JOIN big b ON p.w0 = b.w0 AND p.w1 = b.w1
+JOIN ctx x ON p.w0 = x.w0
+JOIN cont co ON p.w1 = co.w1
+CROSS JOIN tot t
+GROUP BY p.doc_id
+ORDER BY p.doc_id
+"""
+
+
+@query("q_text_kneser_ney", oracle=_ORACLE_KNESER_NEY)
+def text_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean interpolated-Kneser-Ney bigram log-probability per document
+    under the corpus' own bigram distribution — the smoothing real
+    perplexity filters ship (add-one over-penalizes rare-but-real
+    continuations; KN backs off to how PROMISCUOUS a word's left
+    contexts are, not how frequent the word is).
+
+    Plan shape IMPROVES on q_text_bigram_logprob's: adjacent pairs are
+    built MAP-SIDE with an indexed transform over the token array (the
+    bigram query's posexplode + lead window shuffles every token by
+    doc_id — a corpus-sized exchange this query never pays); the model
+    side is three hash aggs over N-GRAM KEYS (vocab-bounded —
+    documents never shuffle); ctx / cont / types join back broadcast.
+    FP discipline: D = 0.75 is exactly representable, every count is
+    integer, the expression tree is parenthesized identically in both
+    engines, and the only aggregated double is ROUND(AVG(ln ...), 4) —
+    the ORACLES.md aggregated-double margin."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    pos = (
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w0, element_at(t, i + 2) AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w0", "p.w1")
+    )
+    big = pos.groupBy("w0", "w1").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = big.groupBy("w0").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n_follow")
+    )
+    cont = big.groupBy("w1").agg(F.count(F.lit(1)).alias("n_left"))
+    tot = big.agg(F.count(F.lit(1)).alias("n_types"))
+    lp = F.log(
+        F.greatest(F.col("c12") - 0.75, F.lit(0.0)) / F.col("c1")
+        + (0.75 * F.col("n_follow") / F.col("c1"))
+        * (F.col("n_left") / (1.0 * F.col("n_types")))
+    )
+    scored = (
+        pos.join(big, ["w0", "w1"])
+        .join(F.broadcast(ctx), "w0")
+        .join(F.broadcast(cont), "w1")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("mean_kn_logprob"),
+        )
+        .orderBy("doc_id")
+    )

@@ -278,6 +278,8 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_resize",
     "q_multimodal_frames",
     "q_multimodal_audio",
+    # round-11 additions
+    "q_text_kneser_ney",
 ]
 
 
@@ -395,6 +397,8 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_file_census",
         "q_multimodal_decode_wav",
         "q_multimodal_decode_gif_frames",
+        # round-11 additions
+        "q_text_kneser_ney",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -504,6 +508,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_resize",
         "q_multimodal_frames",
         "q_multimodal_audio",
+        # round-11 additions
+        "q_text_kneser_ney",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

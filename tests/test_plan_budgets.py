@@ -219,6 +219,9 @@ EXCHANGE_BUDGETS = {
     "q_ts_crosscorr": 2,
     "q_multitouch_attribution": 3,  # stack credits: one user_id window pass
     "q_text_bigram_logprob": 12,
+    # r11: KN bigram — adjacent pairs built map-side (no token-level
+    # window shuffle); the 13 are n-gram-key aggs + tiny broadcasts
+    "q_text_kneser_ney": 13,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
