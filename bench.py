@@ -147,6 +147,7 @@ HEADLINE = [
     "q_multimodal_decode_webp_anim",  # r10: ANMF animation frames (VP8+VP8L alternating)
     "q_dedup_image_phash",  # r10: perceptual-hash image dedup (decode -> dHash -> cluster)
     "q_text_kneser_ney",  # r11: interpolated-KN bigram scoring (map-side pairs, no token shuffle)
+    "q_multimodal_decode_qoi",  # r11: QOI lossless decode (interop-complete, no tuned tables)
     "q_text_novelty",                # cross-doc duplication rate (gram-key window)
     "q_graph_link_prediction",       # neighborhood-Jaccard, degree-capped pair volume
     "q_hard_negatives",              # closure-anchor contrastive mining (one Arrow pass)

@@ -272,6 +272,10 @@ def decode_image(blob: bytes) -> dict:
             "channels": 3,
             "pixels": g["frames"][0],
         }
+    if blob[:4] == b"qoif":
+        from .codecs_qoi import decode_qoi  # round 11: QOI lossless
+
+        return decode_qoi(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         if b"VP8L" in blob[12:24]:
             return decode_vp8l(blob)
@@ -283,7 +287,7 @@ def decode_image(blob: bytes) -> dict:
 
     raise ImageDecodeError(
         f"unrecognized image magic {blob[:8]!r} — supported: PPM, BMP, "
-        "PNG, JPEG (all four T.81 DCT processes), GIF, and WebP "
+        "PNG, JPEG (all four T.81 DCT processes), GIF, QOI, and WebP "
         "(VP8L lossless, VP8 lossy, VP8X still containers)"
     )
 
@@ -1809,3 +1813,147 @@ def multimodal_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# QOI decode (round 11, codecs_qoi.py): QOI is LOSSLESS, so instead of
+# the planted-constant closed forms the DCT family needs, the fixture
+# plants full per-pixel formula rasters chosen to force every chunk
+# kind — row-constant (RUN), +1 gradients (DIFF, wrapping), a 4-color
+# alternation (INDEX), and a luma-correlated gradient (LUMA) — with a
+# row-constant alpha plane on every 3rd doc (RGBA ops at row
+# boundaries, alpha-invariant ops inside rows). The decoded sums equal
+# the formulas' sums exactly, which DuckDB computes per pixel.
+# ---------------------------------------------------------------------------
+
+
+def _qoi_raster(d: int, w: int, h: int, channels: int):
+    import numpy as np
+
+    xs = np.arange(w, dtype=np.int64)[None, :]
+    ys = np.arange(h, dtype=np.int64)[:, None]
+    p = d % 4
+    if p == 0:  # row-constant -> RUN inside rows
+        r = (7 * d + 3 * ys) % 256 + 0 * xs
+        g = (11 * d + 5 * ys) % 256 + 0 * xs
+        b = (13 * d + 7 * ys) % 256 + 0 * xs
+    elif p == 1:  # +1/+1/+1 neighbor deltas -> DIFF (wrapping)
+        r = (d + xs + ys) % 256
+        g = (2 * d + xs + ys) % 256
+        b = (3 * d + xs + ys) % 256
+    elif p == 2:  # 4-color alternation -> INDEX
+        c = (xs + ys) % 4
+        r = (17 * d + 63 * c) % 256
+        g = (29 * d + 63 * c) % 256
+        b = (5 * d + 63 * c) % 256
+    else:  # luma-correlated gradient -> LUMA
+        g = (3 * d + 2 * xs + 5 * ys) % 256
+        r = (g + xs % 7) % 256
+        b = (g + ys % 5) % 256
+    planes = [r + 0 * xs, g + 0 * xs, b + 0 * xs]
+    if channels == 4:
+        planes.append((9 * d + ys) % 256 + 0 * xs)
+    return np.stack([pl.astype(np.uint8) for pl in planes], axis=-1)
+
+
+def _attach_qoi(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_qoi import encode_qoi
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = d % 20 + 8, d % 12 + 6
+            channels = 4 if d % 3 == 0 else 3
+            raster = _qoi_raster(d, w, h, channels)
+            blobs.append(encode_qoi(w, h, raster.tobytes(), channels))
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _decode_rgba_features_zero_alpha(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """_decode_rgba_features with sum_a = 0 (not NULL) for 3-channel
+    images — keeps the column non-null int64 end-to-end (the driver's
+    value-hash is dtype-sensitive; a mixed-null int column degrades to
+    float64 in pandas)."""
+    import numpy as np
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            img = decode_image(bytes(media))
+            px = np.frombuffer(img["pixels"], dtype=np.uint8).astype(np.int64)
+            chans = px.reshape(-1, img["channels"])
+            sums = [int(chans[:, i].sum()) for i in range(img["channels"])]
+            while len(sums) < 4:
+                sums.append(0)
+            out.append(
+                (int(doc_id), img["width"], img["height"], img["channels"], *sums)
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _RGBA_SCHEMA.fields])
+
+
+_ORACLE_DECODE_QOI = """
+WITH d AS (
+    SELECT doc_id,
+           doc_id % 20 + 8 AS w,
+           doc_id % 12 + 6 AS h,
+           CASE WHEN doc_id % 3 = 0 THEN 4 ELSE 3 END AS ch,
+           doc_id % 4 AS p
+    FROM documents
+),
+gx AS (SELECT d.*, UNNEST(range(0, w)) AS x FROM d),
+g AS (SELECT gx.*, UNNEST(range(0, h)) AS y FROM gx),
+px AS (
+    SELECT doc_id, w, h, ch,
+           CASE p WHEN 0 THEN (7 * doc_id + 3 * y) % 256
+                  WHEN 1 THEN (doc_id + x + y) % 256
+                  WHEN 2 THEN (17 * doc_id + 63 * ((x + y) % 4)) % 256
+                  ELSE ((3 * doc_id + 2 * x + 5 * y) % 256 + x % 7) % 256
+           END AS r,
+           CASE p WHEN 0 THEN (11 * doc_id + 5 * y) % 256
+                  WHEN 1 THEN (2 * doc_id + x + y) % 256
+                  WHEN 2 THEN (29 * doc_id + 63 * ((x + y) % 4)) % 256
+                  ELSE (3 * doc_id + 2 * x + 5 * y) % 256
+           END AS gg,
+           CASE p WHEN 0 THEN (13 * doc_id + 7 * y) % 256
+                  WHEN 1 THEN (3 * doc_id + x + y) % 256
+                  WHEN 2 THEN (5 * doc_id + 63 * ((x + y) % 4)) % 256
+                  ELSE ((3 * doc_id + 2 * x + 5 * y) % 256 + y % 5) % 256
+           END AS b,
+           CASE WHEN ch = 4 THEN (9 * doc_id + y) % 256 ELSE 0 END AS a
+    FROM g
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(gg) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(a) AS BIGINT) AS sum_a
+FROM px
+GROUP BY doc_id, w, h, ch
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_decode_qoi", oracle=_ORACLE_DECODE_QOI)
+def multimodal_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real QOI binary column (op-forcing pattern families
+    cycling by doc_id, RGBA every 3rd doc) → pure-Python decode
+    (codecs_qoi.py — interop-complete, the format has no
+    implementation-defined tables) → exact RGBA channel sums against
+    the planted per-pixel formulas. Same 100 TB shape as every decode
+    path: scan spread first (decode is per-row CPU), fixed-width
+    feature columns leave mapInPandas, payload bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_qoi,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_rgba_features_zero_alpha, _RGBA_SCHEMA).orderBy(
+        "doc_id"
+    )

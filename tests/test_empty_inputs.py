@@ -280,6 +280,7 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_audio",
     # round-11 additions
     "q_text_kneser_ney",
+    "q_multimodal_decode_qoi",
 ]
 
 
@@ -399,6 +400,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_gif_frames",
         # round-11 additions
         "q_text_kneser_ney",
+        "q_multimodal_decode_qoi",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -510,6 +512,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_audio",
         # round-11 additions
         "q_text_kneser_ney",
+        "q_multimodal_decode_qoi",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

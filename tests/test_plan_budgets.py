@@ -222,6 +222,9 @@ EXCHANGE_BUDGETS = {
     # r11: KN bigram — adjacent pairs built map-side (no token-level
     # window shuffle); the 13 are n-gram-key aggs + tiny broadcasts
     "q_text_kneser_ney": 13,
+    # r11: QOI decode — scan spread + final orderBy, the decode-family
+    # floor (payloads never shuffle)
+    "q_multimodal_decode_qoi": 2,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
