@@ -106,6 +106,7 @@ def load_all_modules() -> None:
         retrieval,
         similarity,
         textstats,
+        tokenizer_unigram,
     )
     from .sources import (  # noqa: F401
         binaryfile_source,

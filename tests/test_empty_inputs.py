@@ -281,6 +281,7 @@ _EMPTY_GATE_QUERIES = [
     # round-11 additions
     "q_text_kneser_ney",
     "q_multimodal_decode_qoi",
+    "q_tokenizer_unigram_lm",
 ]
 
 
@@ -401,6 +402,7 @@ def null_sf_dir(spark, tmp_path_factory):
         # round-11 additions
         "q_text_kneser_ney",
         "q_multimodal_decode_qoi",
+        "q_tokenizer_unigram_lm",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -513,6 +515,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         # round-11 additions
         "q_text_kneser_ney",
         "q_multimodal_decode_qoi",
+        "q_tokenizer_unigram_lm",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -225,6 +225,9 @@ EXCHANGE_BUDGETS = {
     # r11: QOI decode — scan spread + final orderBy, the decode-family
     # floor (payloads never shuffle)
     "q_multimodal_decode_qoi": 2,
+    # r11: unigram-LM tokenizer — the EM runs at build time (kmeans/BPE
+    # discipline); the visible plan is the 4-row contract tail
+    "q_tokenizer_unigram_lm": 1,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
