@@ -65,23 +65,31 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs that score high on unigrams but low on bigrams are shuffled
     boilerplate).
 
-    Plan: one posexplode + per-doc lead window produces positional
-    bigrams; bigram counts and context counts are two hash aggs whose
-    shuffle carries N-GRAM KEYS (vocab², bounded), not documents; the
-    model joins back by bigram key. V is a 1-row broadcast. FP: the
-    only double is ln of an integer ratio, averaged then ROUND(.,4) —
-    the ORACLES.md aggregated-double margin.
+    Plan: adjacent pairs are built MAP-SIDE with an indexed transform
+    over the token array (r11 — this replaced a posexplode + lead
+    window that shuffled every token by doc_id: measured 1.7× faster
+    at sf0.1 and pair-for-pair identical; the corpus.py HOF caution is
+    about 5-gram shingling, where stacked leads win); bigram counts
+    and context counts are two hash aggs whose shuffle carries N-GRAM
+    KEYS (vocab², bounded), not documents; the model joins back by
+    bigram key. V is a 1-row broadcast. FP: the only double is ln of
+    an integer ratio, averaged then ROUND(.,4) — the ORACLES.md
+    aggregated-double margin.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
-    base = docs.select("doc_id", toks.alias("t")).select(
-        "doc_id", F.posexplode("t").alias("pos", "w0")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     pos = (
-        base.withColumn("w1", F.lead("w0", 1).over(w))
-        .filter(F.col("w1").isNotNull())
-        .select("doc_id", "w0", "w1")
+        docs.select("doc_id", toks.alias("t"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w0, element_at(t, i + 2) AS w1))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w0", "p.w1")
     )
     big = pos.groupBy("w0", "w1").agg(F.count(F.lit(1)).alias("c12"))
     ctx = big.groupBy("w0").agg(F.sum("c12").alias("c1"))
@@ -265,20 +273,26 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     probabilities under the token total.
 
     Plan: bigram + unigram count aggs (n-gram-key shuffles, the
-    q_text_bigram_logprob shape), two broadcast joins of the unigram
-    model onto the bigram table, two 1-row broadcast totals, TakeOrdered
-    top-20. PMI is one double expression over exact integers, written
-    identically on both engines; ties sort by gram string.
+    q_text_bigram_logprob shape — adjacent pairs built MAP-SIDE by the
+    same r11 indexed transform, no token-level shuffle), two broadcast
+    joins of the unigram model onto the bigram table, two 1-row
+    broadcast totals, TakeOrdered top-20. PMI is one double expression
+    over exact integers, written identically on both engines; ties
+    sort by gram string.
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
-    base = docs.select("doc_id", toks.alias("t")).select(
-        "doc_id", F.posexplode("t").alias("pos", "w0")
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     pairs = (
-        base.withColumn("w1", F.lead("w0", 1).over(w))
-        .filter(F.col("w1").isNotNull())
+        docs.select(toks.alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w0, element_at(t, i + 2) AS w1))"
+                )
+            ).alias("p")
+        )
+        .select("p.w0", "p.w1")
         .groupBy("w0", "w1")
         .agg(F.count(F.lit(1)).alias("c12"))
     )

@@ -218,7 +218,9 @@ EXCHANGE_BUDGETS = {
     "q_ts_drawdown": 3,
     "q_ts_crosscorr": 2,
     "q_multitouch_attribution": 3,  # stack credits: one user_id window pass
-    "q_text_bigram_logprob": 12,
+    # r11: 12 -> 10 — adjacent pairs moved map-side (indexed transform),
+    # the token-level lead-window shuffle is gone (measured 1.7x at sf0.1)
+    "q_text_bigram_logprob": 10,
     # r11: KN bigram — adjacent pairs built map-side (no token-level
     # window shuffle); the 13 are n-gram-key aggs + tiny broadcasts
     "q_text_kneser_ney": 13,
@@ -232,7 +234,7 @@ EXCHANGE_BUDGETS = {
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
     "q_agg_anova": 2,
-    "q_text_pmi_collocations": 13,
+    "q_text_pmi_collocations": 11,  # r11: -2, same map-side pair rewrite
     "q_conversion_paths": 2,
     "q_dedup_containment_sketch": 8,
     "q_grouped_regression": 3,
