@@ -78,15 +78,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), _TOKEN_SPLIT).alias("t")
     )
-    # 5-gram shingles via posexplode + 4 leads: one doc_id shuffle,
-    # everything codegen (HOF slice-in-transform would be interpreted).
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    exploded = toks.select("doc_id", F.posexplode("t").alias("pos", "w0"))
-    for i in range(1, _NGRAM):
-        exploded = exploded.withColumn(f"w{i}", F.lead("w0", i).over(w))
-    grams = exploded.filter(F.col(f"w{_NGRAM - 1}").isNotNull()).select(
+    # 5-gram shingles map-side via an indexed element_at transform
+    # (r11: replaced posexplode + 4 window leads — no token shuffle,
+    # identical gram stream)
+    rest = ", ".join(f"element_at(t, i + {k})" for k in range(2, _NGRAM + 1))
+    grams = toks.select(
         "doc_id",
-        F.concat_ws(" ", *[f"w{i}" for i in range(_NGRAM)]).alias("gram"),
+        F.explode(
+            F.expr(
+                f"transform(slice(t, 1, greatest(size(t) - {_NGRAM - 1}, 0)),"
+                f" (x, i) -> concat_ws(' ', x, {rest}))"
+            )
+        ).alias("gram"),
     )
     eval_grams = (
         grams.filter(F.col("doc_id") % 50 == 0).select("gram").distinct()
@@ -204,28 +207,21 @@ _DSIR_B = float(SAMPLING_BUCKETS)  # add-one smoothing mass = #buckets
 
 
 def _dsir_gram_buckets(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, is_tgt, bucket) for every unigram AND bigram."""
-    toks = docs.select(
-        "doc_id",
-        "source",
-        F.posexplode(F.split(F.lower("text"), _TOKEN_SPLIT)).alias("pos", "tok"),
-    ).filter(F.col("tok") != "")
-    nxt = F.lead("tok").over(Window.partitionBy("doc_id").orderBy("pos"))
+    """(doc_id, source, is_tgt, bucket) for every unigram AND bigram —
+    both built MAP-SIDE from the filtered token array (r11: replaced
+    posexplode + lead window; no token shuffle, identical gram
+    multiset)."""
+    t = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda x: x != "")
+    grams = F.concat(
+        F.col("t"),
+        F.expr(
+            "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+            " (x, i) -> concat_ws(' ', x, element_at(t, i + 2)))"
+        ),
+    )
     return (
-        toks.withColumn("nxt", nxt)
-        .select(
-            "doc_id",
-            "source",
-            F.explode(
-                F.array(
-                    F.col("tok"),
-                    F.when(
-                        F.col("nxt").isNotNull(), F.concat_ws(" ", "tok", "nxt")
-                    ),
-                )
-            ).alias("gram"),
-        )
-        .filter(F.col("gram").isNotNull())
+        docs.select("doc_id", "source", t.alias("t"))
+        .select("doc_id", "source", F.explode(grams).alias("gram"))
         .select(
             "doc_id",
             "source",
@@ -394,21 +390,23 @@ ORDER BY doc_id
 def text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
-    n = F.size(toks)
+    # r11: trigram keys via an INDEXED element_at transform — the
+    # previous index-explode + per-gram F.slice carried the whole
+    # token array into every gram row and re-sliced it (O(n²) bytes
+    # per doc); this form emits the 60-bit key directly. Measured
+    # 4.8 → 1.07 s at sf0.1 for the gram+distinct stage, identical
+    # key stream (exceptAll both ways = 0).
     grams = (
-        docs.select(
-            "doc_id",
-            F.posexplode(
-                F.when(n >= 3, F.sequence(F.lit(1), n - 2)).otherwise(
-                    F.array().cast("array<int>")
-                )
-            ).alias("j", "i"),
-            toks.alias("t"),
-        )
+        docs.select("doc_id", toks.alias("t"))
         .select(
             "doc_id",
-            _gram_key(
-                F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), 3))
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+                    " (x, i) -> cast(conv(substring(md5(concat_ws(' ',"
+                    " x, element_at(t, i + 2), element_at(t, i + 3))),"
+                    " 1, 15), 16, 10) as bigint))"
+                )
             ).alias("gk"),
         )
         .distinct()
@@ -561,30 +559,31 @@ def _span_windows(docs: DataFrame):
     """Shared Spark-side window plumbing for the two span queries:
     returns (toks, exploded, grams) where toks = (doc_id, t array),
     exploded = (doc_id, pos, tok) and grams = (doc_id, start, h) — one
-    64-bit xxhash per _SPAN_N-token window, built with posexplode +
-    N-1 window leads (codegen, no interpreted HOF slices). grams is
-    localCheckpointed: both queries feed it to TWO consumers (the
-    cross-doc join side and the per-doc side), and without the cut the
-    heaviest stage — the token window job — executes twice."""
+    64-bit xxhash per _SPAN_N-token window, built MAP-SIDE by an
+    indexed element_at transform (r11: replaced posexplode + N−1
+    window leads — the lead form shuffles every token by doc_id; the
+    indexed form emits (start, hash) directly with no token exchange
+    and the same hash stream). grams is localCheckpointed: both
+    queries feed it to TWO consumers (the cross-doc join side and the
+    per-doc side), and without the cut the heaviest stage executes
+    twice."""
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), _TOKEN_SPLIT).alias("t")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
     exploded = toks.select("doc_id", F.posexplode("t").alias("pos", "tok"))
-    leads = exploded
-    for i in range(1, _SPAN_N):
-        leads = leads.withColumn(f"w{i}", F.lead("tok", i).over(w))
+    rest = ", ".join(f"element_at(t, i + {k})" for k in range(2, _SPAN_N + 1))
     grams = (
-        leads.filter(F.col(f"w{_SPAN_N - 1}").isNotNull())
-        .select(
+        toks.select(
             "doc_id",
-            F.col("pos").alias("start"),
-            F.xxhash64(
-                F.concat_ws(
-                    " ", "tok", *[f"w{i}" for i in range(1, _SPAN_N)]
+            F.explode(
+                F.expr(
+                    f"transform(slice(t, 1, greatest(size(t) - {_SPAN_N - 1}, 0)),"
+                    f" (x, i) -> struct(i AS start,"
+                    f" xxhash64(concat_ws(' ', x, {rest})) AS h))"
                 )
-            ).alias("h"),
+            ).alias("g"),
         )
+        .select("doc_id", "g.start", "g.h")
         .localCheckpoint(eager=True)
     )
     return toks, exploded, grams

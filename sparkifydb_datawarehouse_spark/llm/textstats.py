@@ -350,13 +350,12 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # same document. High repetition = boilerplate/spam/generation loops;
 # the standard corpus filter thresholds on exactly this ratio.
 #
-# Shape: 3-grams via posexplode + 2 window leads over (doc_id, pos) —
-# whole-stage codegen, one doc_id shuffle (same pattern as the
-# decontamination shingles, llm/corpus.py) — then
-# repetition = 1 - distinct/total per doc. Shuffles carry token
-# triples only as long as the window needs them; the agg output is
-# two counts per doc. At 100 TB: identical plan, plus the long-doc
-# token cap noted in the module docstring.
+# Shape (r11): 3-grams built MAP-SIDE by an indexed element_at
+# transform — no token shuffle at all (replaced posexplode + 2 window
+# leads, same stream; the llm/corpus.py shingle sites moved the same
+# round) — then repetition = 1 - distinct/total per doc. The only
+# exchange is the per-doc count agg. At 100 TB: identical plan, plus
+# the long-doc token cap noted in the module docstring.
 # ---------------------------------------------------------------------------
 
 _ORACLE_REPETITION = """
@@ -388,21 +387,21 @@ ORDER BY doc_id
 
 @query("q_text_repetition", oracle=_ORACLE_REPETITION)
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
-    base = (
+    grams = (
         docs.select("doc_id", toks.alias("t"))
         .filter(F.size("t") >= 3)
-        .select("doc_id", F.posexplode("t").alias("pos", "w0"))
-    )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        base.withColumn("w1", F.lead("w0", 1).over(w))
-        .withColumn("w2", F.lead("w0", 2).over(w))
-        .filter(F.col("w2").isNotNull())
-        .select("doc_id", F.concat_ws(" ", "w0", "w1", "w2").alias("gram"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 2, 0)),"
+                    " (x, i) -> concat_ws(' ', x, element_at(t, i + 2),"
+                    " element_at(t, i + 3)))"
+                )
+            ).alias("gram"),
+        )
     )
     return (
         grams.groupBy("doc_id")

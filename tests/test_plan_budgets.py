@@ -187,7 +187,12 @@ EXCHANGE_BUDGETS = {
     "q_table_diff": 3,
     "q_text_chunking": 1,
     "q_text_quality": 1,
-    "q_text_repetition": 2,
+    # r11: 2 -> 3 — the gram stream moved map-side (indexed transform;
+    # the token-level window shuffle is GONE) and the per-doc
+    # count_distinct now pays its own partial/final agg exchange over
+    # gram rows. Net measured 1.5x faster at sf0.1 (1.49 -> 0.96 s):
+    # one corpus-sized exchange traded for a smaller one.
+    "q_text_repetition": 3,
     "q_text_tfidf": 5,
     "q_text_unigram_logprob": 7,
     "q_topk_per_group": 2,
