@@ -100,7 +100,13 @@ def _capped_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(
                 F.transform(
                     F.sequence(F.lit(1), n_sh),
-                    lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, _N)),
+                    # r11: element_at reads tokens in place; the old
+                    # per-shingle F.slice copied the array per shingle
+                    # (t is a resolved column here, so re-referencing
+                    # it is free — cf. the _word_shingles let-binding)
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(F.col("t"), i + k) for k in range(_N)]
+                    ),
                 )
             ).alias("g"),
         )

@@ -73,14 +73,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _word_shingles(text_col: str | Column, n: int = 3) -> Column:
     """Distinct n-word shingles as an array<string>; empty array for
-    docs shorter than n tokens (sequence() would otherwise run
-    backwards on a negative stop)."""
+    docs shorter than n tokens.
+
+    r11 form, measured 6.3× faster at sf0.1 (4.0 → 0.64 s for the
+    explode+count of the whole fixture, identical shingle stream):
+    the token array is LET-BOUND through a one-element-array transform
+    so the filter(split(lower(text))) tree evaluates ONCE per row (a
+    naive indexed rewrite re-evaluated it per element_at and was 2×
+    SLOWER than the original), and each shingle reads tokens in place
+    via element_at instead of the original per-shingle F.slice copy
+    (O(n²) bytes per doc — the same cost the q_text_novelty rewrite
+    measured at 4.5×)."""
     toks = F.filter(F.split(F.lower(text_col), r"\s+"), lambda t: t != "")
-    shingled = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
-    return F.array_distinct(F.when(F.size(toks) >= n, shingled).otherwise(F.array()))
+
+    def _shingles_of(t: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + k) for k in range(n)]
+            ),
+        )
+        return F.array_distinct(
+            F.when(F.size(t) >= n, sh).otherwise(F.array().cast("array<string>"))
+        )
+
+    return F.element_at(F.transform(F.array(toks), _shingles_of), 1)
 
 
 _N_MINHASH = 32
