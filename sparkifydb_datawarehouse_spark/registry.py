@@ -119,5 +119,6 @@ def load_all_modules() -> None:
         xml_source,
     )
     from .streaming import joins as stream_joins  # noqa: F401
-    from .streaming import stateful, windows as stream_windows  # noqa: F401
+    from .streaming import stateful, topk as stream_topk  # noqa: F401
+    from .streaming import windows as stream_windows  # noqa: F401
     from .pipelines import sparkify  # noqa: F401

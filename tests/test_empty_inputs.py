@@ -282,6 +282,7 @@ _EMPTY_GATE_QUERIES = [
     "q_text_kneser_ney",
     "q_multimodal_decode_qoi",
     "q_tokenizer_unigram_lm",
+    "q_stream_heavy_hitters",
 ]
 
 
@@ -403,6 +404,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_text_kneser_ney",
         "q_multimodal_decode_qoi",
         "q_tokenizer_unigram_lm",
+        "q_stream_heavy_hitters",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -516,6 +518,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_text_kneser_ney",
         "q_multimodal_decode_qoi",
         "q_tokenizer_unigram_lm",
+        "q_stream_heavy_hitters",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

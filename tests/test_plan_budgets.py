@@ -235,6 +235,9 @@ EXCHANGE_BUDGETS = {
     # r11: unigram-LM tokenizer — the EM runs at build time (kmeans/BPE
     # discipline); the visible plan is the 4-row contract tail
     "q_tokenizer_unigram_lm": 1,
+    # r11: heavy-hitter ground truth — (type,user) agg + rank window
+    # over per-type aggregates + final sort; never raw events
+    "q_stream_heavy_hitters": 3,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,

@@ -1,0 +1,113 @@
+"""Streaming Space-Saving heavy hitters: the bounded summary's
+guarantees must hold against the exact batch counts after a real
+two-micro-batch run (the stateful.py test's source split)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkifydb_datawarehouse_spark.streaming import topk
+from sparkifydb_datawarehouse_spark.streaming.windows import events_raw_schema
+from sparkifydb_datawarehouse_spark.tables import load_table, normalize_event_ts
+
+
+@pytest.fixture(scope="module")
+def two_batch_dir(spark, sf_dir):
+    d = os.path.join(tempfile.gettempdir(), "sparkifydb_topk_two_batch")
+    shutil.rmtree(d, ignore_errors=True)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    half = raw.count() // 2
+    raw.filter(F.col("event_id") < half).coalesce(1).write.parquet(os.path.join(d, "a"))
+    raw.filter(F.col("event_id") >= half).coalesce(1).write.parquet(os.path.join(d, "b"))
+    for sub in ("a", "b"):
+        for f in os.listdir(os.path.join(d, sub)):
+            if f.endswith(".parquet"):
+                shutil.move(os.path.join(d, sub, f), os.path.join(d, f"{sub}.parquet"))
+        shutil.rmtree(os.path.join(d, sub))
+    return d
+
+
+def test_space_saving_guarantees_vs_batch_truth(spark, sf_dir, two_batch_dir):
+    stream = (
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_dir)
+    )
+    stream = stream.withColumn("ts", normalize_event_ts(stream))
+    q = (
+        topk.stream_heavy_hitters(stream)
+        .writeStream.format("memory")
+        .queryName("t_topk")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "expected at least two micro-batches"
+
+    # final summary = the LAST batch's emission per event_type (the
+    # update-mode sink keeps every batch's rows, and Space-Saving's
+    # bounds only hold for the latest state — a pair evicted after an
+    # early emission can end with true > its stale est)
+    final = {
+        (r["event_type"], r["user_id"]): (r["est_count"], r["err"])
+        for r in spark.sql(
+            """
+            SELECT event_type, user_id, est_count, err
+            FROM t_topk t
+            WHERE batch_seq = (
+                SELECT MAX(batch_seq) FROM t_topk m
+                WHERE m.event_type = t.event_type
+            )
+            """
+        ).collect()
+    }
+    # exact truth per (event_type, user)
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type").isNotNull())
+    truth = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    totals: dict[str, int] = {}
+    for (et, _), n in truth.items():
+        totals[et] = totals.get(et, 0) + n
+
+    assert final, "summary is empty"
+    for (et, uid), (est, err) in final.items():
+        true = truth.get((et, uid), 0)
+        # (1) est overestimates, and est - err underestimates
+        assert est >= true, (et, uid, est, true)
+        assert est - err <= true, (et, uid, est, err, true)
+
+    # (2) every user above the N/m frequency threshold is tracked in
+    # the FINAL state (= present with est >= its true count)
+    for (et, uid), n in truth.items():
+        if n > totals[et] / topk.M_COUNTERS:
+            assert (et, uid) in final and final[(et, uid)][0] >= n, (
+                et,
+                uid,
+                n,
+                totals[et],
+            )
+
+
+def test_batch_topk_is_deterministic_and_bounded(spark, sf_dir):
+    out = topk.stream_heavy_hitters_batch(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in out:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rows in by_type.items():
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= topk.TOP_K
+        # ranking is (count desc, user_id asc)
+        key = [(-r["n_events"], r["user_id"]) for r in rows]
+        assert key == sorted(key), et
