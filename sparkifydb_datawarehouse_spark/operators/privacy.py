@@ -198,3 +198,75 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dp_count"),
         F.lit(_DP_EPS).alias("epsilon"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# l-diversity (round 11; Machanavajjhala et al. 2007, public
+# literature): k-anonymity's successor check — an equivalence class
+# can be large (k-safe) yet still leak if every member shares the
+# SAME sensitive value. Distinct l-diversity requires ≥ l distinct
+# sensitive values per class. Same scale shape as the k-anonymity
+# audit: one QI groupBy whose agg adds a count_distinct of the
+# sensitive attribute; output is O(distinct QI combos).
+# ---------------------------------------------------------------------------
+
+_L = 3
+
+_ORACLE_LDIV = f"""
+WITH classes AS (
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+           COUNT(*) AS class_size,
+           COUNT(DISTINCT CASE
+               WHEN c.c_acctbal < 0 THEN 'debt'
+               WHEN c.c_acctbal < 5000 THEN 'mid'
+               ELSE 'high' END) AS n_sensitive
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY segment, nation
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) FILTER (WHERE n_sensitive < {_L}) AS BIGINT)
+           AS n_undiverse_classes,
+       CAST(SUM(CASE WHEN n_sensitive < {_L} THEN class_size ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk,
+       CAST(MIN(n_sensitive) AS BIGINT) AS l_achieved,
+       ROUND(SUM(CASE WHEN n_sensitive < {_L} THEN class_size ELSE 0 END) * 1.0
+             / SUM(class_size), 6) AS at_risk_rate
+FROM classes
+"""
+
+
+@query("q_l_diversity", oracle=_ORACLE_LDIV)
+def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct l-diversity audit over the same (segment, nation)
+    quasi-identifier as q_k_anonymity, with the banded account balance
+    as the sensitive attribute: classes where fewer than l={_L}
+    distinct sensitive bands co-occur leak the band by membership
+    alone even when k-safe. Integer counts + one integer-ratio rate —
+    cross-engine exact."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    band = (
+        F.when(F.col("c_acctbal") < 0, "debt")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+    )
+    classes = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.count_distinct(band).alias("n_sensitive"),
+        )
+    )
+    at_risk = F.when(F.col("n_sensitive") < _L, F.col("class_size")).otherwise(0)
+    return classes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.count(F.when(F.col("n_sensitive") < _L, 1)).cast("long").alias(
+            "n_undiverse_classes"
+        ),
+        F.sum(at_risk).cast("long").alias("n_rows_at_risk"),
+        F.min("n_sensitive").cast("long").alias("l_achieved"),
+        F.round(F.sum(at_risk) / F.sum("class_size"), 6).alias("at_risk_rate"),
+    )

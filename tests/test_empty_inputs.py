@@ -283,6 +283,7 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_decode_qoi",
     "q_tokenizer_unigram_lm",
     "q_stream_heavy_hitters",
+    "q_l_diversity",
 ]
 
 
@@ -405,6 +406,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_qoi",
         "q_tokenizer_unigram_lm",
         "q_stream_heavy_hitters",
+        "q_l_diversity",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -519,6 +521,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_qoi",
         "q_tokenizer_unigram_lm",
         "q_stream_heavy_hitters",
+        "q_l_diversity",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

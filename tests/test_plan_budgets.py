@@ -238,6 +238,9 @@ EXCHANGE_BUDGETS = {
     # r11: heavy-hitter ground truth — (type,user) agg + rank window
     # over per-type aggregates + final sort; never raw events
     "q_stream_heavy_hitters": 3,
+    # r11: l-diversity — QI groupBy (count_distinct expand) + scalar
+    # rollup; output O(QI combos), same shape as q_k_anonymity
+    "q_l_diversity": 4,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
