@@ -276,6 +276,10 @@ def decode_image(blob: bytes) -> dict:
         from .codecs_qoi import decode_qoi  # round 11: QOI lossless
 
         return decode_qoi(blob)
+    if blob[:2] in (b"II", b"MM") and blob[2:4] in (b"*\x00", b"\x00*"):
+        from .codecs_tiff import decode_tiff  # round 11: baseline TIFF
+
+        return decode_tiff(blob)
     if blob[:4] == b"RIFF" and blob[8:12] == b"WEBP":
         if b"VP8L" in blob[12:24]:
             return decode_vp8l(blob)
@@ -1950,6 +1954,106 @@ def multimodal_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
     media = spread.mapInPandas(
         _attach_qoi,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_rgba_features_zero_alpha, _RGBA_SCHEMA).orderBy(
+        "doc_id"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Baseline TIFF decode (round 11, codecs_tiff.py): lossless like QOI,
+# so the fixtures plant per-pixel formula rasters and the oracle sums
+# them exactly. Coverage cycles the format's real axes by doc_id:
+# byte order (II/MM), compression (none / PackBits), strip height
+# (single-strip vs 3-row strips), and photometric (8-bit gray on
+# every 3rd doc, RGB otherwise).
+# ---------------------------------------------------------------------------
+
+
+def _attach_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from .codecs_tiff import encode_tiff
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = d % 18 + 7, d % 10 + 5
+            xs = np.arange(w, dtype=np.int64)[None, :]
+            ys = np.arange(h, dtype=np.int64)[:, None]
+            if d % 3 == 0:  # 8-bit grayscale
+                raster = ((23 * d + 5 * xs + 9 * ys) % 256).astype(np.uint8)
+                px, ch = raster.tobytes(), 1
+            else:
+                r = (7 * d + xs + 0 * ys) % 256
+                g = (11 * d + ys + 0 * xs) % 256
+                b = (13 * d + xs + ys) % 256
+                px = np.stack(
+                    [r.astype(np.uint8), g.astype(np.uint8), b.astype(np.uint8)],
+                    axis=-1,
+                ).tobytes()
+                ch = 3
+            blobs.append(
+                encode_tiff(
+                    w,
+                    h,
+                    px,
+                    ch,
+                    big_endian=d % 2 == 1,
+                    packbits=d % 5 < 2,
+                    rows_per_strip=3 if d % 4 == 0 else None,
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+_ORACLE_DECODE_TIFF = """
+WITH d AS (
+    SELECT doc_id,
+           doc_id % 18 + 7 AS w,
+           doc_id % 10 + 5 AS h,
+           CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 3 END AS ch
+    FROM documents
+),
+gx AS (SELECT d.*, UNNEST(range(0, w)) AS x FROM d),
+g AS (SELECT gx.*, UNNEST(range(0, h)) AS y FROM gx),
+px AS (
+    SELECT doc_id, w, h, ch,
+           CASE WHEN ch = 1 THEN (23 * doc_id + 5 * x + 9 * y) % 256
+                ELSE (7 * doc_id + x) % 256 END AS r,
+           CASE WHEN ch = 1 THEN 0 ELSE (11 * doc_id + y) % 256 END AS gg,
+           CASE WHEN ch = 1 THEN 0 ELSE (13 * doc_id + x + y) % 256 END AS b
+    FROM g
+)
+SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+       CAST(ch AS INTEGER) AS channels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(gg) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(0 AS BIGINT) AS sum_a
+FROM px
+GROUP BY doc_id, w, h, ch
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_decode_tiff", oracle=_ORACLE_DECODE_TIFF)
+def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real baseline-TIFF binary column (byte order,
+    PackBits, strip layout, and gray/RGB photometric all cycling by
+    doc_id) → pure-Python TIFF 6.0 decode (codecs_tiff.py —
+    interop-complete within the stated subset, loud refusals outside
+    it) → exact channel sums against the planted per-pixel formulas.
+    Decode-family floor plan: scan spread, per-doc CPU in mapInPandas,
+    payloads never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_tiff,
         StructType(
             [StructField("doc_id", LongType()), StructField("media", BinaryType())]
         ),

@@ -284,6 +284,7 @@ _EMPTY_GATE_QUERIES = [
     "q_tokenizer_unigram_lm",
     "q_stream_heavy_hitters",
     "q_l_diversity",
+    "q_multimodal_decode_tiff",
 ]
 
 
@@ -407,6 +408,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_tokenizer_unigram_lm",
         "q_stream_heavy_hitters",
         "q_l_diversity",
+        "q_multimodal_decode_tiff",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -522,6 +524,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_tokenizer_unigram_lm",
         "q_stream_heavy_hitters",
         "q_l_diversity",
+        "q_multimodal_decode_tiff",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

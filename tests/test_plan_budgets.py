@@ -241,6 +241,8 @@ EXCHANGE_BUDGETS = {
     # r11: l-diversity — QI groupBy (count_distinct expand) + scalar
     # rollup; output O(QI combos), same shape as q_k_anonymity
     "q_l_diversity": 4,
+    # r11: TIFF decode — scan spread + final orderBy (decode floor)
+    "q_multimodal_decode_tiff": 2,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
