@@ -285,6 +285,7 @@ _EMPTY_GATE_QUERIES = [
     "q_stream_heavy_hitters",
     "q_l_diversity",
     "q_multimodal_decode_tiff",
+    "q_scan_avro",
 ]
 
 
@@ -409,6 +410,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_stream_heavy_hitters",
         "q_l_diversity",
         "q_multimodal_decode_tiff",
+        "q_scan_avro",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -525,6 +527,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_stream_heavy_hitters",
         "q_l_diversity",
         "q_multimodal_decode_tiff",
+        "q_scan_avro",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):
