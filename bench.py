@@ -150,6 +150,7 @@ HEADLINE = [
     "q_multimodal_decode_qoi",  # r11: QOI lossless decode (interop-complete, no tuned tables)
     "q_tokenizer_unigram_lm",  # r11: SentencePiece-style unigram-LM hard-EM training
     "q_multimodal_decode_tiff",  # r11: baseline TIFF (dual endian, PackBits, strips)
+    "q_multimodal_decode_flac",  # r11: FLAC Rice/fixed-predictor decode (compressed audio)
     "q_text_novelty",                # cross-doc duplication rate (gram-key window)
     "q_graph_link_prediction",       # neighborhood-Jaccard, degree-capped pair volume
     "q_hard_negatives",              # closure-anchor contrastive mining (one Arrow pass)

@@ -2061,3 +2061,117 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media.mapInPandas(_decode_rgba_features_zero_alpha, _RGBA_SCHEMA).orderBy(
         "doc_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC decode (round 11, codecs_flac.py): the audio family's
+# COMPRESSED member beside the WAV container — same planted
+# interleaved ramp and the same closed-form oracle family, carried
+# through real Rice-coded fixed-predictor subframes, all three stereo
+# decorrelation modes, and both CRCs. Lossless, so the decoded
+# per-channel sums equal the WAV-style formulas exactly.
+# ---------------------------------------------------------------------------
+
+
+def _flac_plant_params(d: int):
+    n_frames = d % 360 + 16
+    channels = 1 if d % 2 == 0 else 2
+    rate = 8000 + (d % 5) * 4000
+    stereo = ("independent", "left_side", "mid_side")[d % 3]
+    sub = "verbatim" if d % 4 == 3 else "fixed"
+    return n_frames, channels, rate, stereo, sub
+
+
+def _attach_flac(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_flac import encode_flac
+
+    for pdf in batches:
+        blobs = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n_frames, channels, rate, stereo, sub = _flac_plant_params(d)
+            chans = [
+                [
+                    ((_PX_A * d + _PX_B * (f * channels + c)) % 65536) - 32768
+                    for f in range(n_frames)
+                ]
+                for c in range(channels)
+            ]
+            blobs.append(
+                encode_flac(
+                    chans, rate, 16, stereo_mode=stereo, subframe_mode=sub
+                )
+            )
+        yield pd.DataFrame({"doc_id": pdf["doc_id"], "media": blobs})
+
+
+def _decode_flac_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from .codecs_flac import decode_flac
+
+    for pdf in batches:
+        out = []
+        for doc_id, media in zip(pdf["doc_id"], pdf["media"]):
+            a = decode_flac(bytes(media))
+            sums = [sum(ch) for ch in a["samples"]]
+            peak = max((abs(v) for ch in a["samples"] for v in ch), default=0)
+            out.append(
+                (
+                    int(doc_id),
+                    a["sample_rate"],
+                    a["channels"],
+                    a["bits"],
+                    a["n_frames"],
+                    sums[0] if sums else None,
+                    sums[1] if len(sums) > 1 else None,
+                    peak,
+                )
+            )
+        yield pd.DataFrame(out, columns=[f.name for f in _WAV_SCHEMA.fields])
+
+
+_ORACLE_DECODE_FLAC = f"""
+WITH p AS (
+    SELECT doc_id,
+           CAST(doc_id % 360 + 16 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER) AS channels,
+           CAST(16 AS INTEGER) AS bits,
+           CAST(8000 + (doc_id % 5) * 4000 AS INTEGER) AS sample_rate
+    FROM documents
+), s AS (
+    SELECT doc_id, n_frames, channels, bits, sample_rate,
+           UNNEST(generate_series(0, n_frames * channels - 1)) AS i
+    FROM p
+), v AS (
+    SELECT doc_id, n_frames, channels, bits, sample_rate,
+           ({_PX_A} * doc_id + {_PX_B} * i) % 65536 - 32768 AS val,
+           i % channels AS ch
+    FROM s
+)
+SELECT doc_id, sample_rate, channels, bits, n_frames,
+       CAST(SUM(CASE WHEN ch = 0 THEN val END) AS BIGINT) AS sum_ch0,
+       CAST(SUM(CASE WHEN ch = 1 THEN val END) AS BIGINT) AS sum_ch1,
+       CAST(MAX(ABS(val)) AS BIGINT) AS peak_abs
+FROM v
+GROUP BY doc_id, sample_rate, channels, bits, n_frames
+ORDER BY doc_id
+"""
+
+
+@query("q_multimodal_decode_flac", oracle=_ORACLE_DECODE_FLAC)
+def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → real FLAC binary column (Rice-coded fixed-predictor
+    subframes; stereo decorrelation and verbatim/fixed coding cycling
+    by doc_id; CRC-8 + CRC-16 validated on decode) → pure-Python
+    RFC 9639 decode → per-channel integer sums + absolute peak,
+    value-checked against the planted ramp's closed form. Same scale
+    shape as the WAV path: scan spread, per-doc CPU in mapInPandas,
+    compressed audio bytes never shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    spread = docs.repartition(spark.sparkContext.defaultParallelism)
+    media = spread.mapInPandas(
+        _attach_flac,
+        StructType(
+            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
+        ),
+    )
+    return media.mapInPandas(_decode_flac_features, _WAV_SCHEMA).orderBy("doc_id")

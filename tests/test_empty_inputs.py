@@ -286,6 +286,7 @@ _EMPTY_GATE_QUERIES = [
     "q_l_diversity",
     "q_multimodal_decode_tiff",
     "q_scan_avro",
+    "q_multimodal_decode_flac",
 ]
 
 
@@ -411,6 +412,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_l_diversity",
         "q_multimodal_decode_tiff",
         "q_scan_avro",
+        "q_multimodal_decode_flac",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -528,6 +530,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_l_diversity",
         "q_multimodal_decode_tiff",
         "q_scan_avro",
+        "q_multimodal_decode_flac",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

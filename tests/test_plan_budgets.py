@@ -245,6 +245,8 @@ EXCHANGE_BUDGETS = {
     "q_multimodal_decode_tiff": 2,
     # r11: Avro OCF estate scan — per-file decode + final sort only
     "q_scan_avro": 1,
+    # r11: FLAC decode — scan spread + final orderBy (decode floor)
+    "q_multimodal_decode_flac": 2,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
