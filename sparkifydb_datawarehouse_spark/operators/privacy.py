@@ -270,3 +270,116 @@ def l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_sensitive").cast("long").alias("l_achieved"),
         F.round(F.sum(at_risk) / F.sum("class_size"), 6).alias("at_risk_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t-closeness (round 11; Li, Li & Venkatasubramanian 2007, public
+# literature): the third rung of the release-audit ladder — an
+# l-diverse class still leaks when its sensitive DISTRIBUTION skews
+# far from the table-wide one (e.g. a class that is 90% 'debt' in a
+# 30%-debt population). For an ORDERED sensitive attribute with m
+# equally-spaced bins, the Earth Mover's Distance reduces to
+#   t = (1/(m-1)) · Σ_{i<m} | Σ_{j≤i} (p_j − q_j) |
+# (cumulative-difference form). Same scale shape as the k-anonymity /
+# l-diversity audits: one QI groupBy with per-band conditional
+# counts, a broadcast 1-row global distribution, a per-class EMD
+# projection, then a scalar rollup — output O(distinct QI combos).
+# ---------------------------------------------------------------------------
+
+_T_CLOSE = 0.2  # release threshold on EMD
+
+
+def _band_case_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} < 0 THEN 0 WHEN {col} < 5000 THEN 1 ELSE 2 END"
+    )
+
+
+_ORACLE_TCLOSE = f"""
+WITH rows_banded AS (
+    SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+           {_band_case_sql('c.c_acctbal')} AS band
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+globals AS (
+    SELECT COUNT(*) AS big_n,
+           SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS g0,
+           SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS g1
+    FROM rows_banded
+),
+classes AS (
+    SELECT segment, nation, COUNT(*) AS n,
+           SUM(CASE WHEN band = 0 THEN 1 ELSE 0 END) AS c0,
+           SUM(CASE WHEN band = 1 THEN 1 ELSE 0 END) AS c1
+    FROM rows_banded
+    GROUP BY segment, nation
+),
+emd AS (
+    SELECT segment, nation, n,
+           (ABS(c0 * 1.0 / n - g0 * 1.0 / big_n)
+            + ABS((c0 * 1.0 / n - g0 * 1.0 / big_n)
+                  + (c1 * 1.0 / n - g1 * 1.0 / big_n))) / 2 AS t
+    FROM classes CROSS JOIN globals
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+       CAST(COUNT(*) FILTER (WHERE t > {_T_CLOSE}) AS BIGINT)
+           AS n_skewed_classes,
+       CAST(SUM(CASE WHEN t > {_T_CLOSE} THEN n ELSE 0 END) AS BIGINT)
+           AS n_rows_at_risk,
+       ROUND(MAX(t), 6) AS t_worst,
+       ROUND(SUM(CASE WHEN t > {_T_CLOSE} THEN n ELSE 0 END) * 1.0
+             / SUM(n), 6) AS at_risk_rate
+FROM emd
+"""
+
+
+@query("q_t_closeness", oracle=_ORACLE_TCLOSE)
+def t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit over the (segment, nation) quasi-identifier
+    with the ordered banded balance as the sensitive attribute: EMD
+    between each class's band distribution and the global one via the
+    cumulative-difference closed form (expression trees parenthesized
+    identically to the oracle; the only doubles are the two ratio
+    differences, ROUND(.,6) at the rollup)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    band = (
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 5000, 1)
+        .otherwise(2)
+    )
+    rows = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("n_name").alias("nation"),
+        band.alias("band"),
+    )
+    globals_ = rows.agg(
+        F.count(F.lit(1)).alias("big_n"),
+        F.sum((F.col("band") == 0).cast("long")).alias("g0"),
+        F.sum((F.col("band") == 1).cast("long")).alias("g1"),
+    )
+    classes = rows.groupBy("segment", "nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("band") == 0).cast("long")).alias("c0"),
+        F.sum((F.col("band") == 1).cast("long")).alias("c1"),
+    )
+    d0 = F.col("c0") * 1.0 / F.col("n") - F.col("g0") * 1.0 / F.col("big_n")
+    d1 = F.col("c1") * 1.0 / F.col("n") - F.col("g1") * 1.0 / F.col("big_n")
+    emd = classes.crossJoin(F.broadcast(globals_)).select(
+        "segment",
+        "nation",
+        "n",
+        ((F.abs(d0) + F.abs(d0 + d1)) / 2).alias("t"),
+    )
+    risky = F.when(F.col("t") > _T_CLOSE, F.col("n")).otherwise(0)
+    return emd.agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.count(F.when(F.col("t") > _T_CLOSE, 1)).cast("long").alias(
+            "n_skewed_classes"
+        ),
+        F.sum(risky).cast("long").alias("n_rows_at_risk"),
+        F.round(F.max("t"), 6).alias("t_worst"),
+        F.round(F.sum(risky) / F.sum("n"), 6).alias("at_risk_rate"),
+    )

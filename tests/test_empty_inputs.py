@@ -287,6 +287,7 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_decode_tiff",
     "q_scan_avro",
     "q_multimodal_decode_flac",
+    "q_t_closeness",
 ]
 
 
@@ -413,6 +414,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_tiff",
         "q_scan_avro",
         "q_multimodal_decode_flac",
+        "q_t_closeness",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -531,6 +533,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_tiff",
         "q_scan_avro",
         "q_multimodal_decode_flac",
+        "q_t_closeness",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

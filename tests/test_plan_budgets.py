@@ -247,6 +247,9 @@ EXCHANGE_BUDGETS = {
     "q_scan_avro": 1,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
+    # r11: t-closeness — QI groupBy + broadcast global distribution +
+    # scalar rollup (the k-anonymity/l-diversity shape)
+    "q_t_closeness": 6,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
