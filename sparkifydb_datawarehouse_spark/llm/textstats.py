@@ -1067,3 +1067,81 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
         ).alias("fk_grade"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# MATTR — moving-average type-token ratio (round 11; Covington &
+# McFall 2010, public literature): plain TTR is length-confounded
+# (longer docs always score lower), so corpus-quality pipelines use
+# the mean TTR over a sliding token window. W = 25 here (docs are
+# 20-200 tokens). Map-side only: per-window distinct counts come from
+# one indexed transform over the projected token array (the r11
+# n-gram discipline — t is a resolved column, so the per-window slice
+# is the only copy and W bounds it); the lone exchange is the final
+# sort. Integers until one double division, ROUND(.,6).
+# ---------------------------------------------------------------------------
+
+_MATTR_W = 25
+
+_ORACLE_MATTR = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(LOWER(text), '\\s+'),
+                       x -> x <> '') AS t
+    FROM documents
+), eligible AS (
+    SELECT doc_id, t, len(t) AS n_tokens
+    FROM toks WHERE len(t) >= {_MATTR_W}
+), wins AS (
+    SELECT doc_id, n_tokens,
+           len(list_distinct(t[i : i + {_MATTR_W - 1}])) AS d
+    FROM eligible, UNNEST(generate_series(1, n_tokens - {_MATTR_W - 1})) AS s(i)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(SUM(d) AS BIGINT) AS distinct_sum,
+       ROUND(SUM(d) * 1.0 / (COUNT(*) * {_MATTR_W}), 6) AS mattr
+FROM wins
+GROUP BY doc_id, n_tokens
+ORDER BY doc_id
+"""
+
+
+@query("q_text_mattr", oracle=_ORACLE_MATTR)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average type-token ratio over a 25-token sliding window
+    per document — the length-robust lexical-diversity score corpus
+    filters threshold on (plain TTR penalizes long docs by Heaps' law;
+    MATTR compares docs of any length on the same scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), _TOKEN_SPLIT), lambda t: t != "")
+    wins = F.expr(
+        f"transform(sequence(1, size(t) - {_MATTR_W - 1}),"
+        f" i -> size(array_distinct(slice(t, i, {_MATTR_W}))))"
+    )
+    base = (
+        docs.select("doc_id", toks.alias("t"))
+        .filter(F.size("t") >= _MATTR_W)
+        .select(
+            "doc_id",
+            F.size("t").cast("long").alias("n_tokens"),
+            wins.alias("w"),
+        )
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.size("w").cast("long").alias("n_windows"),
+        F.aggregate("w", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+            "distinct_sum"
+        ),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        "distinct_sum",
+        F.round(
+            F.col("distinct_sum") * 1.0 / (F.col("n_windows") * _MATTR_W), 6
+        ).alias("mattr"),
+    ).orderBy("doc_id")

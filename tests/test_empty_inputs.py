@@ -288,6 +288,7 @@ _EMPTY_GATE_QUERIES = [
     "q_scan_avro",
     "q_multimodal_decode_flac",
     "q_t_closeness",
+    "q_text_mattr",
 ]
 
 
@@ -415,6 +416,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_scan_avro",
         "q_multimodal_decode_flac",
         "q_t_closeness",
+        "q_text_mattr",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -534,6 +536,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_scan_avro",
         "q_multimodal_decode_flac",
         "q_t_closeness",
+        "q_text_mattr",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -250,6 +250,9 @@ EXCHANGE_BUDGETS = {
     # r11: t-closeness — QI groupBy + broadcast global distribution +
     # scalar rollup (the k-anonymity/l-diversity shape)
     "q_t_closeness": 6,
+    # r11: MATTR — map-side sliding-window distinct counts; the only
+    # exchange is the final sort
+    "q_text_mattr": 1,
     "q_text_gopher_rules": 3,  # +1: deliberate scan spread (SCALING.md (f))
     "q_dedup_containment": 20,  # cap histogram adds tiny reused-exchange branches
     "q_sample_domain_match": 9,
