@@ -132,9 +132,13 @@ def decode_qoi(blob: bytes) -> dict:
         b1 = data[pos]
         pos += 1
         if b1 == 0xFE:  # QOI_OP_RGB
+            if pos + 3 > dlen:  # ADVICE r11 #3: refuse loudly, not IndexError
+                raise ImageDecodeError("QOI chunk truncated")
             r, g, b = data[pos], data[pos + 1], data[pos + 2]
             pos += 3
         elif b1 == 0xFF:  # QOI_OP_RGBA
+            if pos + 4 > dlen:
+                raise ImageDecodeError("QOI chunk truncated")
             r, g, b, a = data[pos], data[pos + 1], data[pos + 2], data[pos + 3]
             pos += 4
         else:
@@ -146,6 +150,8 @@ def decode_qoi(blob: bytes) -> dict:
                 g = (g + ((b1 >> 2) & 3) - 2) & 0xFF
                 b = (b + (b1 & 3) - 2) & 0xFF
             elif tag == 0b10:  # QOI_OP_LUMA
+                if pos + 1 > dlen:
+                    raise ImageDecodeError("QOI chunk truncated")
                 b2 = data[pos]
                 pos += 1
                 dg = (b1 & 0x3F) - 32

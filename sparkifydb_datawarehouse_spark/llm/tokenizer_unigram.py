@@ -38,8 +38,11 @@ both recomputed by DuckDB from the same substring statistics),
 covered_chars (the distributed segmentation's Σ len(piece)·count —
 Viterbi coverage is total, so it must equal the corpus'
 Σ len(word)·count, which DuckDB computes directly), and em_monotone
-(Σ c·ln θ_new ≥ Σ c·ln θ_old for the M-step's counts — the Gibbs
-inequality that a broken normalization or count pass would violate).
+(Σ c·ln(c/total) ≥ Σ c·ln θ_old with θ_new the UNSMOOTHED MLE of the
+M-step's counts — a theorem for any θ_old by the Gibbs inequality
+(ADVICE r11 #2), which a broken normalization or count pass would
+violate; the +1-smoothed probabilities are used only for the next
+E-step's log-probs).
 Piece-level detail stays in unigram_lm_detail for tests/probes.
 """
 
@@ -67,6 +70,16 @@ _MAX_PIECE = 4  # seed substring length cap
 _MIN_FREQ = 5  # seed frequency floor for multi-char pieces
 _N_ITER = 3
 _PRUNE_KEEP = 0.8  # multi-char pieces kept per iteration
+# VERDICT r11 #7: hard cap on the DRIVER-materialized multi-char seed
+# table. The freq ≥ 5 / len ≤ 4 bounds make the seed vocab-bounded on
+# natural text (Heaps' law; ~10k pieces at sf0.1), but the bound is
+# data-dependent — a pathological character-diverse corpus could grow
+# it without limit. Above the cap we keep the top-_SEED_CAP multi-char
+# pieces by (count desc, piece asc) — computed SPARK-SIDE with
+# TakeOrderedAndProject, so the driver dict never exceeds the cap —
+# and log a loud warning. Single characters are always kept (bounded
+# by the charset; Viterbi coverage stays total).
+_SEED_CAP = 500_000
 
 
 def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -98,7 +111,27 @@ def _seed_pieces(words: DataFrame) -> dict[str, int]:
         .agg(F.sum("cnt").alias("pc"))
         .filter((F.length("piece") == 1) | (F.col("pc") >= _MIN_FREQ))
     )
-    return {r["piece"]: int(r["pc"]) for r in subs.collect()}
+    subs = subs.persist()  # 3 consumers: singles collect, cap count, multi collect
+    singles = subs.filter(F.length("piece") == 1)
+    multi = subs.filter(F.length("piece") > 1)
+    n_multi = multi.count()
+    if n_multi > _SEED_CAP:
+        import warnings
+
+        warnings.warn(
+            f"unigram-LM seed table has {n_multi} multi-char pieces; "
+            f"keeping the top {_SEED_CAP} by (count desc, piece asc) "
+            "(VERDICT r11 #7 cap — character-diverse corpus)",
+            stacklevel=2,
+        )
+        # Spark-side deterministic top-K (TakeOrderedAndProject): the
+        # driver dict is cap-bounded regardless of corpus diversity.
+        multi = multi.orderBy(F.col("pc").desc(), F.col("piece").asc()).limit(
+            _SEED_CAP
+        )
+    rows = singles.collect() + multi.collect()
+    subs.unpersist()
+    return {r["piece"]: int(r["pc"]) for r in rows}
 
 
 def _viterbi_counts(words: DataFrame, logp: dict[str, float]) -> dict[str, int]:
@@ -170,11 +203,18 @@ def unigram_lm_detail(spark: SparkSession, sf_dir: str) -> dict:
         new_counts = _viterbi_counts(words, logp)
         covered = sum(len(p) * c for p, c in new_counts.items())
         new_total = sum(new_counts.values()) or 1
-        denom = new_total + len(vocab)
         ll_old = sum(c * logp[p] for p, c in new_counts.items())
+        # ADVICE r11 #2: ll_new from the UNSMOOTHED MLE θ = c/total —
+        # Σ c·ln(c/total) ≥ Σ c·ln θ_old holds for ANY distribution
+        # θ_old by the Gibbs inequality (θ_old sums to 1 over the
+        # vocab, incl. the +1 smoothing). The smoothed probabilities
+        # (computed from `counts` at the top of the next iteration)
+        # are kept only for the next E-step's logp; the smoothed
+        # Σ c·ln((c+1)/(total+|V|)) is NOT the argmax and the flag
+        # could flip on a corpus where piece-usage totals are small
+        # relative to vocab size.
         ll_new = sum(
-            c * math.log((new_counts.get(p, 0) + 1) / denom)
-            for p, c in new_counts.items()
+            c * math.log(c / new_total) for c in new_counts.values() if c > 0
         )
         iters.append(
             {

@@ -88,6 +88,8 @@ def _space_saving_update(
     seq = int(seq) + 1
     for pdf in batches:
         for uid in pdf["user_id"]:
+            if pd.isna(uid):  # ADVICE r11 #4: int(NaN) would kill the query
+                continue
             uid = int(uid)
             if uid in summary:
                 summary[uid][0] += 1
@@ -123,7 +125,12 @@ def stream_heavy_hitters(events: DataFrame) -> DataFrame:
     after every micro-batch (update semantics). State is O(M_COUNTERS)
     per key — independent of user cardinality."""
     return (
+        # ADVICE r11 #4: null user_ids arrive as NaN in the pandas
+        # batch — filter them plan-side (the batch ground truth counts
+        # per-user events, so a null uid is outside the summary's
+        # domain; the fold also skips NaN defensively).
         events.select("event_type", "user_id")
+        .filter(F.col("user_id").isNotNull())
         .groupBy("event_type")
         .applyInPandasWithState(
             _space_saving_update,

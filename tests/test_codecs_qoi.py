@@ -131,6 +131,22 @@ def test_error_paths():
         )
 
 
+def test_truncated_mid_chunk_refuses_loudly():
+    # ADVICE r11 #3: a stream with a VALID end marker but a multi-byte
+    # chunk cut short must raise ImageDecodeError, never IndexError —
+    # callers of decode_image catch the former ("refuses loudly").
+    header = b"qoif" + struct.pack(">IIBB", 4, 4, 3, 0)
+    # RGB opcode with only 2 of its 3 payload bytes
+    with pytest.raises(ImageDecodeError, match="chunk truncated"):
+        decode_qoi(header + bytes((0xFE, 1, 2)) + _END)
+    # RGBA opcode with 3 of 4 payload bytes
+    with pytest.raises(ImageDecodeError, match="chunk truncated"):
+        decode_qoi(header + bytes((0xFF, 1, 2, 3)) + _END)
+    # LUMA opcode (tag 0b10) missing its second byte
+    with pytest.raises(ImageDecodeError, match="chunk truncated"):
+        decode_qoi(header + bytes((0b1000_0000 | 5,)) + _END)
+
+
 def test_decode_image_dispatches_qoi():
     from sparkifydb_datawarehouse_spark.llm.multimodal import decode_image
 

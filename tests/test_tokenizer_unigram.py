@@ -85,3 +85,34 @@ def test_em_trace_invariants_and_prune_schedule(spark, corpus_dir):
     assert "abab" in detail["pieces"] and "cddc" in detail["pieces"]
     # single chars are never pruned, even with zero final count
     assert "z" in detail["pieces"] and "q" in detail["pieces"]
+
+
+def test_seed_cap_bounds_driver_table_deterministically(
+    spark, tmp_path, monkeypatch
+):
+    # VERDICT r11 #7: a character-diverse corpus must degrade into a
+    # deterministic top-K seed, never an unbounded driver dict. Plant
+    # a corpus with many distinct frequent bigrams, cap at 3, and
+    # check the kept multi-char pieces are exactly the top 3 by
+    # (count desc, piece asc).
+    from sparkifydb_datawarehouse_spark.llm import tokenizer_unigram as tu
+
+    # words 'aa','bb',...: each contributes one distinct bigram with
+    # corpus frequency = its repeat count (all >= MIN_FREQ 5)
+    pairs = [("aa", 9), ("bb", 9), ("cc", 8), ("dd", 7), ("ee", 6), ("ff", 5)]
+    rows = [
+        (1000 * i + j, w) for i, (w, n) in enumerate(pairs) for j in range(n)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    words = tu._word_histogram(spark, str(tmp_path))
+    monkeypatch.setattr(tu, "_SEED_CAP", 3)
+    with pytest.warns(UserWarning, match="top 3"):
+        seed = tu._seed_pieces(words)
+    multi = sorted(p for p in seed if len(p) > 1)
+    # ties broken by piece asc: 'aa' (9), 'bb' (9), then 'cc' (8)
+    assert multi == ["aa", "bb", "cc"]
+    # singles always survive the cap — coverage stays total
+    for ch in "abcdef":
+        assert ch in seed
