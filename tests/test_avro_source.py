@@ -130,3 +130,167 @@ def test_scan_avro_typed_roundtrip(spark, sf_dir):
         )
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round 12: logical types (VERDICT r11 #4) + two-phase avro_dir sink
+# (VERDICT r11 #5)
+# ---------------------------------------------------------------------------
+
+LOGICAL_FIELDS = [
+    ("id", "long", False),
+    ("amount", "decimal(18,2)", True),
+    ("day", "date", True),
+    ("at", "timestamp-micros", True),
+    ("uid", "uuid", True),
+]
+
+
+def _mk_logical(i):
+    import datetime
+    from decimal import Decimal
+
+    return {
+        "id": i,
+        "amount": None if i % 5 == 0 else Decimal(f"{(i - 3) * 7}.{i % 100:02d}"),
+        "day": None
+        if i % 7 == 0
+        else datetime.date(1970, 1, 1) + datetime.timedelta(days=i * 37 - 400),
+        "at": None
+        if i % 11 == 0
+        else datetime.datetime(1995, 1, 1) + datetime.timedelta(microseconds=i * 10**9 + i),
+        "uid": None if i % 3 == 0 else f"{i:08d}-abcd-4000-8000-{i:012d}",
+    }
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_logical_types_roundtrip(codec):
+    recs = [_mk_logical(i) for i in range(120)]
+    blob = encode_ocf(recs, LOGICAL_FIELDS, codec=codec, block_rows=50)
+    fields, out = decode_ocf(blob)
+    assert fields == [tuple(f) for f in LOGICAL_FIELDS]
+    assert out == recs
+
+
+def test_logical_schema_json_annotations():
+    # the written schema must carry real Avro logicalType annotations
+    # (what a third-party reader keys on), and the parser must map
+    # them back to the same specs
+    import json as _json
+
+    from sparkifydb_datawarehouse_spark.sources.avro_source import (
+        _parse_schema,
+        _record_schema_json,
+    )
+
+    sj = _record_schema_json("r", LOGICAL_FIELDS)
+    sch = _json.loads(sj)
+    by_name = {f["name"]: f["type"] for f in sch["fields"]}
+    assert by_name["amount"][1] == {
+        "type": "bytes",
+        "logicalType": "decimal",
+        "precision": 18,
+        "scale": 2,
+    }
+    assert by_name["day"][1] == {"type": "int", "logicalType": "date"}
+    assert by_name["at"][1] == {"type": "long", "logicalType": "timestamp-micros"}
+    assert by_name["uid"][1] == {"type": "string", "logicalType": "uuid"}
+    _, fields = _parse_schema(sj)
+    assert fields == [tuple(f) for f in LOGICAL_FIELDS]
+    # spec rule: an UNKNOWN logical annotation falls back to its base type
+    _, fb = _parse_schema(
+        '{"type": "record", "name": "r", "fields":'
+        ' [{"name": "x", "type": {"type": "long", "logicalType": "nope"}}]}'
+    )
+    assert fb == [("x", "long", False)]
+
+
+def test_logical_error_paths():
+    from decimal import Decimal
+
+    # negative + large decimals encode/decode (2's-complement bytes)
+    recs = [{"id": 1, "amount": Decimal("-9999999999999999.99"),
+             "day": None, "at": None, "uid": None}]
+    _, out = decode_ocf(encode_ocf(recs, LOGICAL_FIELDS))
+    assert out[0]["amount"] == Decimal("-9999999999999999.99")
+    # a uuid column holding a non-uuid string refuses loudly
+    with pytest.raises(AvroError, match="uuid"):
+        encode_ocf(
+            [{"id": 1, "amount": None, "day": None, "at": None, "uid": "nope"}],
+            LOGICAL_FIELDS,
+        )
+
+
+def test_avro_dir_sink_two_phase_commit(spark, sf_dir, tmp_path):
+    # VERDICT r11 #5: executor temp files + driver rename-commit —
+    # part-NNNNN.avro files, a _SUCCESS manifest, and no _tmp_
+    # leftovers (the pysink.py test pattern)
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.sources import avro_source
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    avro_source.register_sink(spark)
+    out = str(tmp_path / "avro_out")
+    sup = load_table(spark, sf_dir, "supplier")
+    (
+        sup.repartition(4, "s_suppkey")
+        .write.format("avro_dir")
+        .option("path", out)
+        .option("codec", "alternate")
+        .option("alternate_col", "s_suppkey")
+        .mode("append")
+        .save()
+    )
+    files = sorted(os.listdir(out))
+    parts = [f for f in files if f.startswith("part-") and f.endswith(".avro")]
+    # empty hash partitions write no file (commit skips them)
+    assert 2 <= len(parts) <= 4
+    assert not [f for f in files if f.startswith("_tmp_")], "uncommitted temps"
+    manifest = _json.load(open(os.path.join(out, "_SUCCESS")))
+    assert manifest == {"n_files": len(parts), "n_rows": sup.count()}
+    # both codecs present across the alternating estate
+    codecs = set()
+    total = 0
+    for p in parts:
+        blob = open(os.path.join(out, p), "rb").read()
+        _, recs = decode_ocf(blob)
+        total += len(recs)
+        codecs.add(b"deflate" in blob[:200] and "deflate" or "null")
+    assert total == sup.count() and codecs == {"null", "deflate"}
+
+
+def test_scan_avro_logical_typed_roundtrip(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from sparkifydb_datawarehouse_spark.sources.avro_source import (
+        scan_avro_logical,
+    )
+    from sparkifydb_datawarehouse_spark.tables import load_table
+
+    got = scan_avro_logical(spark, sf_dir)
+    h = F.md5(F.col("o_orderkey").cast("string"))
+    exp = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 5 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("total_cents"),
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            F.col("o_orderdate").alias("o_ts"),
+            F.concat_ws(
+                "-",
+                F.substring(h, 1, 8),
+                F.substring(h, 9, 4),
+                F.substring(h, 13, 4),
+                F.substring(h, 17, 4),
+                F.substring(h, 21, 12),
+            ).alias("o_uuid"),
+        )
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

@@ -289,6 +289,8 @@ _EMPTY_GATE_QUERIES = [
     "q_multimodal_decode_flac",
     "q_t_closeness",
     "q_text_mattr",
+    # round-12 additions
+    "q_scan_avro_logical",
 ]
 
 
@@ -417,6 +419,8 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_flac",
         "q_t_closeness",
         "q_text_mattr",
+        # round-12 additions
+        "q_scan_avro_logical",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -537,6 +541,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_multimodal_decode_flac",
         "q_t_closeness",
         "q_text_mattr",
+        # round-12 additions
+        "q_scan_avro_logical",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -245,6 +245,10 @@ EXCHANGE_BUDGETS = {
     "q_multimodal_decode_tiff": 2,
     # r11: Avro OCF estate scan — per-file decode + final sort only
     "q_scan_avro": 1,
+    # r12: logical-typed Avro estate scan — same shape (per-file
+    # decode + final sort; the estate WRITE goes through the two-phase
+    # avro_dir sink in a separate job)
+    "q_scan_avro_logical": 1,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +
