@@ -10,16 +10,19 @@ Covered surface:
 - 8-bit grayscale (PhotometricInterpretation 1) and 8-bit RGB
   (Photometric 2, SamplesPerPixel 3),
 - multiple strips (RowsPerStrip + StripOffsets/StripByteCounts),
-- Compression 1 (none) and 32773 (PackBits, spec §9: n ≥ 0 → n+1
+- Compression 1 (none), 32773 (PackBits, spec §9: n ≥ 0 → n+1
   literal bytes, −127 ≤ n ≤ −1 → repeat next byte 1−n times, −128 is
-  a no-op).
+  a no-op), and 5 (LZW, spec §13 — round 12: MSB-first code packing,
+  9→12-bit codes with the EARLY width change at 511/1023/2047,
+  ClearCode 256 / EOI 257, per-strip streams).
 
 Like QOI the format is fully normative here — no tuned tables — so
 the decoder is interop-complete for conforming streams in this
 subset, and refuses loudly outside it (bit depths ≠ 8, predictors,
-LZW/JPEG-in-TIFF, tiles, planar configuration 2). Correctness is
-pinned by roundtrips over both endians × both compressions × strip
-splits, a hand-assembled stream, and PackBits vectors
+JPEG-in-TIFF, tiles, planar configuration 2). Correctness is
+pinned by roundtrips over both endians × all three compressions ×
+strip splits, a hand-assembled stream, PackBits vectors, and LZW
+fuzz that crosses the 10/11-bit width boundaries
 (tests/test_codecs_tiff.py). The reference repo has no image codecs;
 this extends the mandated multimodal surface (SURVEY.md §2 B1).
 """
@@ -99,6 +102,149 @@ def packbits_decode(data: bytes, expected: int) -> bytes:
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# TIFF LZW (spec §13, Compression 5) — round 12 (VERDICT r11 #6).
+# Differs from the GIF flavor (llm/codecs_gif.py) in exactly two
+# normative ways: codes are packed MSB-first into the strip (GIF is
+# LSB-first in 255-byte sub-blocks), and the code width grows ONE CODE
+# EARLY — when the next table slot reaches 2^width - 1 (511/1023/2047),
+# not 2^width. Symbols are always bytes (ClearCode 256, EOI 257, first
+# dictionary code 258, 12-bit max); every strip begins with a
+# ClearCode and ends with EOI. The encoder derives its width bumps
+# from a simulated decoder table, so the two sides cannot drift.
+# ---------------------------------------------------------------------------
+
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+class _MsbBitReader:
+    """MSB-first bit reader over a whole LZW strip."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            p = self.pos
+            if p >= len(self.data) * 8:
+                raise ImageDecodeError("TIFF LZW strip truncated")
+            v = (v << 1) | ((self.data[p >> 3] >> (7 - (p & 7))) & 1)
+            self.pos += 1
+        return v
+
+
+def lzw_decode(data: bytes, expected: int) -> bytes:
+    """Decode one TIFF LZW strip to exactly ``expected`` bytes."""
+    br = _MsbBitReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+    code_size = 9
+    prev: bytes | None = None
+
+    def reset() -> None:
+        nonlocal table, code_size, prev
+        table = [bytes((i,)) for i in range(256)] + [b"", b""]
+        code_size = 9
+        prev = None
+
+    reset()
+    while len(out) < expected:
+        code = br.read(code_size)
+        if code == _LZW_CLEAR:
+            reset()
+            continue
+        if code == _LZW_EOI:
+            break
+        if code < len(table) and code not in (_LZW_CLEAR, _LZW_EOI):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ImageDecodeError(f"TIFF LZW code {code} out of range")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            # EARLY CHANGE (spec §13): bump when the NEXT slot would
+            # need the wider code, i.e. at 511/1023/2047 — one earlier
+            # than GIF
+            if len(table) == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+        prev = entry
+    if len(out) < expected:
+        raise ImageDecodeError("TIFF LZW strip ended before its rows filled")
+    if len(out) > expected:
+        raise ImageDecodeError("TIFF LZW strip overruns its rows")
+    return bytes(out)
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encode one strip as TIFF LZW. Width bumps mirror a simulated
+    decoder (table length 258 + data-codes-since-clear − 1), so the
+    early-change schedule is decoder-exact by construction."""
+    codes: list[tuple[int, int]] = []  # (code, width at emit time)
+    table: dict[bytes, int] = {}
+    next_code = 258
+    code_size = 9
+    dec_len = 258  # simulated decoder table length
+    k = 0  # data codes emitted since the last clear
+
+    def reset() -> None:
+        nonlocal table, next_code, code_size, dec_len, k
+        table = {bytes((i,)): i for i in range(256)}
+        next_code = 258
+        code_size = 9
+        dec_len = 258
+        k = 0
+
+    def emit_data(code: int) -> None:
+        # the decoder adds one table entry while processing every data
+        # code after the first since clear, and bumps its read width
+        # at 2^w - 1 BEFORE reading the next code
+        nonlocal dec_len, code_size, k
+        codes.append((code, code_size))
+        k += 1
+        if k >= 2 and dec_len < 4096:
+            dec_len += 1
+            if dec_len == (1 << code_size) - 1 and code_size < 12:
+                code_size += 1
+
+    reset()
+    codes.append((_LZW_CLEAR, code_size))
+    cur = b""
+    for byte in data:
+        cand = cur + bytes((byte,))
+        if cand in table:
+            cur = cand
+            continue
+        emit_data(table[cur])
+        table[cand] = next_code
+        next_code += 1
+        cur = cand[-1:]
+        if next_code >= 4093:  # leave room before the 12-bit ceiling
+            emit_data(table[cur])
+            codes.append((_LZW_CLEAR, code_size))
+            reset()
+            cur = b""
+    if cur:
+        emit_data(table[cur])
+    codes.append((_LZW_EOI, code_size))
+    # MSB-first bit packing
+    out = bytearray()
+    acc = nbits = 0
+    for code, width in codes:
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def encode_tiff(
     width: int,
     height: int,
@@ -107,12 +253,16 @@ def encode_tiff(
     *,
     big_endian: bool = False,
     packbits: bool = False,
+    lzw: bool = False,
     rows_per_strip: int | None = None,
 ) -> bytes:
     """Write a baseline 8-bit TIFF (gray or RGB) with the requested
-    byte order, compression, and strip height."""
+    byte order, compression (none / PackBits / LZW), and strip
+    height."""
     if channels not in (1, 3):
         raise ValueError("TIFF fixture encoder supports 1 or 3 channels")
+    if packbits and lzw:
+        raise ValueError("pick one compression")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
     bo = ">" if big_endian else "<"
@@ -121,7 +271,9 @@ def encode_tiff(
     strips = []
     for y0 in range(0, height, rps):
         raw = pixels[y0 * row_bytes : min(y0 + rps, height) * row_bytes]
-        strips.append(packbits_encode(raw) if packbits else raw)
+        strips.append(
+            packbits_encode(raw) if packbits else lzw_encode(raw) if lzw else raw
+        )
 
     entries = []  # (tag, type, count, value_or_bytes)
 
@@ -156,7 +308,7 @@ def encode_tiff(
         (_TAG_WIDTH, 3, 1, [width]),
         (_TAG_HEIGHT, 3, 1, [height]),
         (_TAG_BITS, 3, channels, [8] * channels),
-        (_TAG_COMPRESSION, 3, 1, [32773 if packbits else 1]),
+        (_TAG_COMPRESSION, 3, 1, [32773 if packbits else 5 if lzw else 1]),
         (_TAG_PHOTOMETRIC, 3, 1, [2 if channels == 3 else 1]),
         (_TAG_STRIP_OFFSETS, 4, n_strips, [0] * n_strips),  # patched below
         (_TAG_SAMPLES, 3, 1, [channels]),
@@ -265,9 +417,9 @@ def decode_tiff(blob: bytes) -> dict:
         raise ImageDecodeError("only 8-bit TIFF samples are supported")
     if planar != 1:
         raise ImageDecodeError("planar TIFF (PlanarConfiguration 2) unsupported")
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise ImageDecodeError(
-            f"TIFF compression {compression} unsupported (none/PackBits only)"
+            f"TIFF compression {compression} unsupported (none/LZW/PackBits only)"
         )
     if (photometric, channels) not in ((1, 1), (2, 3)):
         raise ImageDecodeError(
@@ -289,7 +441,12 @@ def decode_tiff(blob: bytes) -> dict:
         rows = min(rps, height - rows_done)
         expected = rows * row_bytes
         raw = blob[off : off + cnt]
-        out += packbits_decode(raw, expected) if compression == 32773 else raw[:expected]
+        if compression == 32773:
+            out += packbits_decode(raw, expected)
+        elif compression == 5:
+            out += lzw_decode(raw, expected)
+        else:
+            out += raw[:expected]
         if compression == 1 and cnt < expected:
             raise ImageDecodeError("TIFF strip shorter than its rows")
         rows_done += rows

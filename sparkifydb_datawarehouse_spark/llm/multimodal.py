@@ -2004,7 +2004,10 @@ def _attach_tiff(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                     px,
                     ch,
                     big_endian=d % 2 == 1,
+                    # all three compressions cycle through the estate:
+                    # PackBits / LZW (r12, spec §13) / none
                     packbits=d % 5 < 2,
+                    lzw=d % 5 in (2, 3),
                     rows_per_strip=3 if d % 4 == 0 else None,
                 )
             )

@@ -47,16 +47,19 @@ def test_packbits_roundtrip_fuzz(data, seed):
 
 
 @pytest.mark.parametrize("big_endian", [False, True])
-@pytest.mark.parametrize("packbits", [False, True])
+@pytest.mark.parametrize("compression", ["none", "packbits", "lzw"])
 @pytest.mark.parametrize("channels", [1, 3])
-def test_roundtrip_matrix(big_endian, packbits, channels):
+def test_roundtrip_matrix(big_endian, compression, channels):
     w, h = 21, 13
     rng = np.random.default_rng(42)
     px = rng.integers(0, 256, size=w * h * channels, dtype=np.uint8)
     px[: 5 * w * channels] = 200  # runs for PackBits
     blob = encode_tiff(
         w, h, px.tobytes(), channels,
-        big_endian=big_endian, packbits=packbits, rows_per_strip=4,
+        big_endian=big_endian,
+        packbits=compression == "packbits",
+        lzw=compression == "lzw",
+        rows_per_strip=4,
     )
     dec = decode_tiff(blob)
     assert (dec["width"], dec["height"], dec["channels"]) == (w, h, channels)
@@ -108,11 +111,11 @@ def test_refusal_paths():
     bad[at + 8 : at + 10] = struct.pack("<H", 16)
     with pytest.raises(ImageDecodeError, match="8-bit"):
         decode_tiff(bytes(bad))
-    # LZW refused
+    # JPEG-in-TIFF refused (LZW is supported since round 12)
     bad = bytearray(good)
     at = bad.find(struct.pack("<HH", 259, 3))
-    bad[at + 8 : at + 10] = struct.pack("<H", 5)
-    with pytest.raises(ImageDecodeError, match="compression 5"):
+    bad[at + 8 : at + 10] = struct.pack("<H", 7)
+    with pytest.raises(ImageDecodeError, match="compression 7"):
         decode_tiff(bytes(bad))
 
 
@@ -124,3 +127,87 @@ def test_decode_image_dispatches_tiff():
         img = decode_image(encode_tiff(7, 5, px, 3, big_endian=be, packbits=True))
         assert (img["width"], img["height"], img["channels"]) == (7, 5, 3)
         assert img["pixels"] == px
+
+
+# ---------------------------------------------------------------------------
+# round 12: TIFF LZW (spec §13 — Compression 5)
+# ---------------------------------------------------------------------------
+
+def test_lzw_hand_vector_msb_and_widths():
+    # hand-derived: b"\x07"*5 → codes CLEAR(256), 7, 258, 258, EOI(257)
+    # all 9-bit, MSB-first-packed → 8001e0502808
+    from sparkifydb_datawarehouse_spark.llm.codecs_tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    assert lzw_encode(b"\x07" * 5).hex() == "8001e0502808"
+    assert lzw_decode(bytes.fromhex("8001e0502808"), 5) == b"\x07" * 5
+
+
+def test_lzw_early_change_crosses_width_boundaries():
+    # a 4-symbol alphabet grows the table past 511 (10-bit) and 1023
+    # (11-bit): the EARLY change schedule must stay in sync end to end
+    from sparkifydb_datawarehouse_spark.llm.codecs_tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    data = bytes(rng.integers(0, 4, size=60_000, dtype=np.uint8))
+    enc = lzw_encode(data)
+    assert lzw_decode(enc, len(data)) == data
+    # fully random bytes force a mid-stream CLEAR (table ceiling)
+    data = bytes(rng.integers(0, 256, size=40_000, dtype=np.uint8))
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=1500), st.integers(0, 2**31))
+def test_lzw_roundtrip_fuzz(data, seed):
+    from sparkifydb_datawarehouse_spark.llm.codecs_tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = np.random.default_rng(seed)
+    if data and rng.integers(0, 2):
+        k = int(rng.integers(0, len(data)))
+        data = data[:k] + bytes([data[k % len(data)]]) * int(rng.integers(3, 400)) + data[k:]
+    assert lzw_decode(lzw_encode(data), len(data)) == data
+
+
+def test_lzw_error_paths():
+    from sparkifydb_datawarehouse_spark.llm.codecs_tiff import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    good = lzw_encode(b"hello world, hello world")
+    with pytest.raises(ImageDecodeError, match="truncated"):
+        lzw_decode(good[:2], 24)
+    with pytest.raises(ImageDecodeError, match="before its rows"):
+        lzw_decode(good, 25)  # EOI arrives one byte short
+    with pytest.raises(ImageDecodeError, match="out of range"):
+        # first data code references an undefined table slot: write
+        # CLEAR then code 300 (table has 258 entries, 300 > len)
+        bits = "100000000" + format(300, "09b")
+        bits += "0" * (-len(bits) % 8)
+        blob = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+        lzw_decode(blob, 4)
+
+
+def test_lzw_tiff_end_to_end_with_strips():
+    from sparkifydb_datawarehouse_spark.llm.codecs_tiff import (
+        decode_tiff,
+        encode_tiff,
+    )
+
+    w, h = 33, 17
+    rng = np.random.default_rng(9)
+    px = rng.integers(0, 256, size=w * h * 3, dtype=np.uint8).tobytes()
+    for be in (False, True):
+        blob = encode_tiff(w, h, px, 3, big_endian=be, lzw=True, rows_per_strip=5)
+        dec = decode_tiff(blob)
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+        assert dec["pixels"] == px
