@@ -258,3 +258,142 @@ def search_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality metrics (round 12): nDCG@k / MRR / recall@k over
+# the embeddings corpus with label-match relevance — the evaluation
+# half a RAG / retrieval training pipeline runs after every index or
+# encoder change (Järvelin & Kekäläinen 2002 for nDCG; public
+# literature). B19 produces the rankings; this scores them.
+#
+# Scale design (100 TB): the query set is BOUNDED (Q vectors) and
+# broadcast; the corpus scan computes Q similarities per row map-side
+# (corpus × Q rows, partial-aggregated per query by the rank window's
+# shuffle — the ONLY corpus-sized exchange). Ranks order by
+# ROUND(sim, 6) with vec_id tie-break so an ulp of dot-product
+# reassociation can't flip a rank (the q_similarity_topk rule).
+# Per-query relevant-set sizes are one broadcast label histogram.
+# ---------------------------------------------------------------------------
+
+_RANK_N_QUERIES = 20
+_RANK_K = 10
+
+_DUCK_RANK_COS = (
+    "list_dot_product(e.emb, q.q_emb)"
+    " / (SQRT(list_dot_product(e.emb, e.emb))"
+    " * SQRT(list_dot_product(q.q_emb, q.q_emb)))"
+)
+
+_ORACLE_RANK_METRICS = f"""
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (
+    SELECT vec_id AS qid, label AS q_label, emb AS q_emb
+    FROM e WHERE vec_id < {_RANK_N_QUERIES}
+),
+nrel AS (
+    SELECT q.qid, CAST(COUNT(*) - 1 AS BIGINT) AS n_rel
+    FROM q JOIN e ON e.label = q.q_label
+    GROUP BY q.qid
+),
+sims AS (
+    SELECT q.qid,
+           e.vec_id,
+           CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+           ROUND({_DUCK_RANK_COS}, 6) AS sim
+    FROM e, q
+    WHERE e.vec_id <> q.qid
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id)
+              AS rnk
+    FROM sims
+),
+m AS (
+    SELECT qid,
+           CAST(SUM(rel) AS BIGINT) AS hits,
+           MIN(CASE WHEN rel = 1 THEN rnk END) AS first_rel,
+           SUM(rel / log2(rnk + 1.0)) AS dcg
+    FROM ranked
+    WHERE rnk <= {_RANK_K}
+    GROUP BY qid
+)
+SELECT m.qid AS query_id,
+       n.n_rel AS n_rel,
+       ROUND(CAST(m.hits AS DOUBLE) / NULLIF(n.n_rel, 0), 6) AS recall_at_k,
+       ROUND(COALESCE(1.0 / m.first_rel, 0), 6) AS mrr,
+       ROUND(m.dcg / NULLIF((
+           SELECT SUM(1.0 / log2(i + 1.0))
+           FROM UNNEST(generate_series(1, LEAST({_RANK_K}, n.n_rel))) AS t(i)
+       ), 0), 6) AS ndcg_at_k
+FROM m JOIN nrel n ON m.qid = n.qid
+ORDER BY query_id
+"""
+
+
+@query("q_rank_metrics", oracle=_ORACLE_RANK_METRICS)
+def rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval evaluation: for each of the first {Q} query vectors,
+    brute-force cosine rank the corpus and score the top-k list
+    against label-match relevance — recall@k (hits over the query's
+    full relevant-set size), MRR (reciprocal rank of the first
+    relevant hit, 0 if none), and nDCG@k (binary-gain DCG over the
+    ideal DCG for min(k, n_rel) relevant items). One corpus-sized
+    exchange (the per-query rank window); query vectors and the label
+    histogram are broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _RANK_N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+    )
+    n_rel = (
+        emb.join(F.broadcast(q.select("qid", "q_label")), F.col("label") == F.col("q_label"))
+        .groupBy("qid")
+        .agg((F.count(F.lit(1)) - 1).alias("n_rel"))
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.when(F.col("label") == F.col("q_label"), 1).otherwise(0).alias("rel"),
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    top = sims.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= _RANK_K
+    )
+    m = top.groupBy("qid").agg(
+        F.sum("rel").alias("hits"),
+        F.min(F.when(F.col("rel") == 1, F.col("rnk"))).alias("first_rel"),
+        F.sum(F.col("rel") / F.log2(F.col("rnk") + 1.0)).alias("dcg"),
+    )
+    # ideal DCG for min(k, n_rel) binary-relevant items, as a codegen
+    # fold over the bounded rank sequence. Guarded for n_rel = 0:
+    # Spark's sequence(1, 0) DESCENDS ([1, 0]) where DuckDB's
+    # generate_series(1, 0) is empty — the F.when keeps both sides
+    # NULL on a relevance-free query.
+    idcg = F.when(
+        F.col("n_rel") > 0,
+        F.expr(
+            f"aggregate(sequence(1, int(least({_RANK_K}, n_rel))), "
+            "cast(0.0 as double), "
+            "(acc, i) -> acc + 1.0 / log2(cast(i as double) + 1.0))"
+        ),
+    )
+    return (
+        m.join(F.broadcast(n_rel), "qid")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_rel",
+            F.round(
+                F.col("hits").cast("double") / F.nullif(F.col("n_rel"), F.lit(0)), 6
+            ).alias("recall_at_k"),
+            F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 6).alias("mrr"),
+            F.round(F.col("dcg") / F.nullif(idcg, F.lit(0.0)), 6).alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
+    )

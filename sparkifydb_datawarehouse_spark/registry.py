@@ -109,6 +109,7 @@ def load_all_modules() -> None:
         tokenizer_unigram,
     )
     from .sources import (  # noqa: F401
+        arrow_ipc,
         avro_source,
         binaryfile_source,
         csv_source,

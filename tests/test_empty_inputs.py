@@ -291,6 +291,8 @@ _EMPTY_GATE_QUERIES = [
     "q_text_mattr",
     # round-12 additions
     "q_scan_avro_logical",
+    "q_scan_arrow_ipc",
+    "q_rank_metrics",
 ]
 
 
@@ -421,6 +423,8 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_text_mattr",
         # round-12 additions
         "q_scan_avro_logical",
+        "q_scan_arrow_ipc",
+        "q_rank_metrics",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -543,6 +547,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_text_mattr",
         # round-12 additions
         "q_scan_avro_logical",
+        "q_scan_arrow_ipc",
+        "q_rank_metrics",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

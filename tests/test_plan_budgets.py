@@ -249,6 +249,14 @@ EXCHANGE_BUDGETS = {
     # decode + final sort; the estate WRITE goes through the two-phase
     # avro_dir sink in a separate job)
     "q_scan_avro_logical": 1,
+    # r12: Arrow IPC estate scan — per-file decode + final sort
+    "q_scan_arrow_ipc": 1,
+    # r12: retrieval metrics — 6 measured: the rank-window hash
+    # shuffle (WindowGroupLimit pre-trims to <= k rows per qid per
+    # partition, so it ships O(Q*k*partitions), not the corpus), the
+    # per-query agg, the n_rel agg, the final range sort, and two
+    # BroadcastExchanges of the bounded query set
+    "q_rank_metrics": 6,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +
