@@ -107,6 +107,7 @@ def load_all_modules() -> None:
         similarity,
         textstats,
         tokenizer_unigram,
+        tokenizer_wordpiece,
     )
     from .sources import (  # noqa: F401
         arrow_ipc,

@@ -152,7 +152,7 @@ def lineitem_arrow_dir(spark: SparkSession, sf_dir: str) -> str:
     timestamps, same rule as the Avro logical estate)."""
     fp = _source_fingerprint(sf_dir, "lineitem")
     tz = spark.conf.get("spark.sql.session.timeZone", "local")
-    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|arrow-ipc".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|arrow-ipc-v2".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"sparkifydb_arrow_{tag}")
     marker = os.path.join(d, "_SUCCESS")
     if not os.path.exists(marker):
@@ -160,17 +160,20 @@ def lineitem_arrow_dir(spark: SparkSession, sf_dir: str) -> str:
 
         shutil.rmtree(d, ignore_errors=True)
         register_sink(spark)
-        df = (
-            load_table(spark, sf_dir, "lineitem")
-            .select(
-                "l_orderkey",
-                "l_linenumber",
-                "l_quantity",
-                "l_returnflag",
-                "l_shipdate",
-            )
-            .repartition(4, "l_orderkey")
+        import math
+
+        df = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            "l_shipdate",
         )
+        # files are the read-side parallelism unit: size the estate at
+        # ~500k rows/file (min 4) so a 100x corpus fans out over ~100
+        # tasks instead of 4 giant files (r12 probe note, SCALING.md)
+        n_files = max(4, math.ceil(df.count() / 500_000))
+        df = df.repartition(n_files, "l_orderkey")
         (
             df.write.format("arrow_ipc_dir")
             .option("path", d)

@@ -293,6 +293,7 @@ _EMPTY_GATE_QUERIES = [
     "q_scan_avro_logical",
     "q_scan_arrow_ipc",
     "q_rank_metrics",
+    "q_tokenizer_wordpiece",
 ]
 
 
@@ -425,6 +426,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_scan_avro_logical",
         "q_scan_arrow_ipc",
         "q_rank_metrics",
+        "q_tokenizer_wordpiece",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -549,6 +551,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_scan_avro_logical",
         "q_scan_arrow_ipc",
         "q_rank_metrics",
+        "q_tokenizer_wordpiece",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -257,6 +257,9 @@ EXCHANGE_BUDGETS = {
     # per-query agg, the n_rel agg, the final range sort, and two
     # BroadcastExchanges of the bounded query set
     "q_rank_metrics": 6,
+    # r12: wordpiece — word-histogram agg feeds a checkpointed frame;
+    # segment mapInPandas + scalar total broadcast + final TakeOrdered
+    "q_tokenizer_wordpiece": 3,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +

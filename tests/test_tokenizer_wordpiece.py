@@ -1,0 +1,68 @@
+"""WordPiece tokenizer behavioral tests (round 12): two-tier vocab
+construction, greedy longest-match preference, tier separation (a
+word-initial-only piece is not available as a continuation), and the
+registered query's corpus-total invariant — on a planted corpus with
+hand-checkable answers."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkifydb_datawarehouse_spark.llm import tokenizer_wordpiece as wp
+from sparkifydb_datawarehouse_spark.llm.tokenizer_unigram import _word_histogram
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("wordpiece_corpus")
+    # 'abcd' frequent as a whole word -> 'abcd' is an INITIAL piece;
+    # 'xabcd' puts 'abcd' at position 2 -> also a CONTINUATION piece.
+    # 'zq' occurs once -> its bigram is below the frequency floor.
+    rows = (
+        [(i, "abcd abcd") for i in range(10)]
+        + [(100 + i, "xabcd") for i in range(6)]
+        + [(200, "zq")]
+    )
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(base / "documents.parquet"))
+    return str(base)
+
+
+def test_two_tier_vocab(spark, corpus_dir):
+    words = _word_histogram(spark, corpus_dir)
+    initial, cont = wp.wordpiece_vocab(words)
+    # 'abcd' qualifies in both tiers (20 word-initial, 6 continuation)
+    assert "abcd" in initial and "abcd" in cont
+    # 'x' only ever starts a word: single chars keep tier locality
+    assert "x" in initial and "x" not in cont
+    # 'zq' is below the multi-char floor in every tier
+    assert "zq" not in initial and "zq" not in cont
+    # continuation singles exist where chars occur mid-word
+    assert "b" in cont and "d" in cont
+
+
+def test_greedy_longest_match_counts(spark, corpus_dir):
+    words = _word_histogram(spark, corpus_dir)
+    initial, cont = wp.wordpiece_vocab(words)
+    got = {
+        r["w"]: r["n_pieces"]
+        for r in wp.segment_words(words, initial, cont).collect()
+    }
+    # 'abcd' -> one initial piece
+    assert got["abcd"] == 1
+    # 'xabcd' -> 'x' + '##abcd' (continuation tier holds abcd)
+    assert got["xabcd"] == 2
+    # 'zq' -> 'z' + '##q' singles fallback
+    assert got["zq"] == 2
+
+
+def test_query_total_invariant(spark, corpus_dir):
+    rows = wp.tokenizer_wordpiece(spark, corpus_dir).collect()
+    # corpus_pieces = sum over ALL words: abcd(20x1) + xabcd(6x2) + zq(1x2)
+    assert all(r["corpus_pieces"] == 20 + 12 + 2 for r in rows)
+    by_word = {r["word"]: r for r in rows}
+    assert by_word["abcd"]["cnt"] == 20 and by_word["abcd"]["n_pieces"] == 1
+    assert by_word["xabcd"]["n_pieces"] == 2
