@@ -160,6 +160,10 @@ HEADLINE = [
     "q_text_substring_dedup",        # cross-doc exact-span coverage (Lee et al.)
     "q_text_substring_scrub",        # first-occurrence-wins span removal
     "q_sample_group_split",          # leakage-safe group-hash split
+    "q_scan_avro_logical",  # r12: logical-typed Avro estate roundtrip (two-phase sink write + per-file decode)
+    "q_scan_arrow_ipc",  # r12: Arrow IPC/Feather estate (dictionary col, lz4/zstd rotation)
+    "q_tokenizer_wordpiece",  # r12: greedy longest-match WordPiece (recursive-CTE-oracled)
+    "q_rank_metrics",  # r12: nDCG/MRR/recall@k retrieval evaluation
 ]
 
 
