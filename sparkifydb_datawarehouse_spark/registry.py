@@ -118,6 +118,7 @@ def load_all_modules() -> None:
         layout,
         orc_source,
         pysource,
+        snapshots,
         text_source,
         xml_source,
     )

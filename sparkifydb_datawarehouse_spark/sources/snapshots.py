@@ -1,0 +1,214 @@
+"""Snapshot-versioned table layout (round 12): the table-format
+mechanics an Iceberg/Delta-class lakehouse table is made of — an
+immutable-data-file + manifest-list design (both formats' specs are
+public: iceberg.apache.org/spec, the Delta PROTOCOL.md), re-expressed
+minimally over plain parquet:
+
+- data files are IMMUTABLE parquet files bucketed by key
+  (``pmod(event_id, 4)``);
+- a SNAPSHOT is a JSON manifest naming the exact data files visible
+  at that version (plus parent pointer and the operation that made
+  it); ``HEAD.json`` names the current version;
+- an UPDATE is COPY-ON-WRITE: only the bucket files containing
+  modified keys are rewritten, untouched buckets are SHARED between
+  snapshots by reference;
+- time travel = read an old manifest; diff = read only the files the
+  two manifests DON'T share.
+
+Scale shape (100 TB): manifests are metadata (file lists — KB per
+snapshot, driver-side like every table format's planning phase);
+data reads are ``spark.read.parquet(*files)`` — splittable columnar
+scans of exactly the files the snapshot names, so time travel costs
+the same as a current read, and the snapshot diff below reads 2 of 5
+files instead of both full table versions. The COW update rewrites
+1 of 4 buckets — the fraction a real partition-aligned MERGE touches.
+
+Fixture history (deterministic, so DuckDB recomputes both versions
+from the base ``events`` parquet):
+- v1: CREATE — 4 bucket files of the events table.
+- v2: MERGE — bucket 0 rewritten with ``value + 100`` for rows whose
+  ``event_id % 4 = 0`` (exactly bucket 0's non-null keys), plus an
+  appended file of new rows (``event_id < 50`` clones offset by
+  1,000,000). Null-keyed rows live in bucket 0 (coalesced) and pass
+  through unmodified.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import query
+from ..tables import load_table
+from .layout import _source_fingerprint
+
+_N_BUCKETS = 4
+_APPEND_KEY_LIMIT = 50
+_APPEND_OFFSET = 1_000_000
+
+_COLS = ("event_id", "user_id", "event_type", "value", "ts")
+
+
+def _write_one_file(df: DataFrame, table_dir: str, name: str) -> None:
+    """One deterministic parquet data file (immutable once written)."""
+    staging = os.path.join(table_dir, f"_stage_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(staging)
+    part = next(
+        f for f in os.listdir(staging) if f.endswith(".parquet")
+    )
+    os.replace(os.path.join(staging, part), os.path.join(table_dir, name))
+    shutil.rmtree(staging)
+
+
+def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once, cached by source fingerprint) the two-snapshot
+    events table described in the module docstring."""
+    fp = _source_fingerprint(sf_dir, "events")
+    tz = spark.conf.get("spark.sql.session.timeZone", "local")
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots".encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"sparkifydb_snap_{tag}")
+    head = os.path.join(d, "HEAD.json")
+    if os.path.exists(head):
+        return d
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    ev = load_table(spark, sf_dir, "events").select(*_COLS)
+    bucket = F.coalesce(F.pmod(F.col("event_id"), F.lit(_N_BUCKETS)), F.lit(0))
+    ev = ev.withColumn("_b", bucket).localCheckpoint()
+    v1_files = []
+    for b in range(_N_BUCKETS):
+        name = f"b{b}-v1.parquet"
+        _write_one_file(ev.filter(F.col("_b") == b).drop("_b"), d, name)
+        v1_files.append(name)
+    _manifest(d, version=1, files=v1_files, parent=None, op="create")
+    # v2: COW-rewrite bucket 0 (value + 100 on its non-null keys) ...
+    b0 = ev.filter(F.col("_b") == 0).drop("_b")
+    b0_new = b0.withColumn(
+        "value",
+        F.when(F.col("event_id") % _N_BUCKETS == 0, F.col("value") + 100).otherwise(
+            F.col("value")
+        ),
+    )
+    _write_one_file(b0_new, d, "b0-v2.parquet")
+    # ... plus an append file of cloned rows with offset keys
+    appended = (
+        ev.drop("_b")
+        .filter(F.col("event_id") < _APPEND_KEY_LIMIT)
+        .withColumn("event_id", F.col("event_id") + _APPEND_OFFSET)
+    )
+    _write_one_file(appended, d, "append-v2.parquet")
+    _manifest(
+        d,
+        version=2,
+        files=["b0-v2.parquet"] + v1_files[1:] + ["append-v2.parquet"],
+        parent=1,
+        op="merge",
+    )
+    with open(head, "w") as fh:
+        json.dump({"current": 2}, fh)
+    return d
+
+
+def _manifest(table_dir: str, version: int, files, parent, op: str) -> None:
+    with open(os.path.join(table_dir, f"manifest-v{version}.json"), "w") as fh:
+        json.dump(
+            {"version": version, "files": files, "parent": parent, "op": op}, fh
+        )
+
+
+def snapshot_manifest(table_dir: str, version: int | None = None) -> dict:
+    """Planning-phase metadata read (driver-side, KB-sized — the same
+    split every table format makes)."""
+    if version is None:
+        with open(os.path.join(table_dir, "HEAD.json")) as fh:
+            version = json.load(fh)["current"]
+    with open(os.path.join(table_dir, f"manifest-v{version}.json")) as fh:
+        return json.load(fh)
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Time-travel read: exactly the files the snapshot names."""
+    m = snapshot_manifest(table_dir, version)
+    paths = [os.path.join(table_dir, f) for f in m["files"]]
+    return spark.read.parquet(*paths)
+
+
+_ORACLE_SNAP_V1 = """
+SELECT event_id, user_id, event_type, value, ts
+FROM events
+ORDER BY event_id
+"""
+
+
+@query("q_snapshot_read_v1", oracle=_ORACLE_SNAP_V1)
+def snapshot_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: read snapshot v1 of the versioned events table —
+    the pre-merge state, served from the ORIGINAL immutable bucket
+    files even though HEAD has moved on. Value-identical to the base
+    table (the create snapshot)."""
+    d = events_snapshot_table(spark, sf_dir)
+    return read_snapshot(spark, d, version=1).select(*_COLS).orderBy("event_id")
+
+
+_ORACLE_SNAP_CURRENT = f"""
+SELECT event_id, user_id, event_type,
+       CASE WHEN event_id % {_N_BUCKETS} = 0 THEN value + 100 ELSE value END
+           AS value,
+       ts
+FROM events
+UNION ALL
+SELECT event_id + {_APPEND_OFFSET}, user_id, event_type, value, ts
+FROM events WHERE event_id < {_APPEND_KEY_LIMIT}
+ORDER BY event_id
+"""
+
+
+@query("q_snapshot_read_current", oracle=_ORACLE_SNAP_CURRENT)
+def snapshot_read_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HEAD read of the versioned events table: the copy-on-write
+    merge's effects (bucket-0 values bumped, appended clone rows) are
+    visible; buckets 1-3 are still served from the v1 files the two
+    snapshots share by reference."""
+    d = events_snapshot_table(spark, sf_dir)
+    return read_snapshot(spark, d).select(*_COLS).orderBy("event_id")
+
+
+_ORACLE_SNAP_DIFF = f"""
+SELECT event_id, user_id, event_type, value + 100 AS value, ts
+FROM events
+WHERE event_id % {_N_BUCKETS} = 0
+UNION ALL
+SELECT event_id + {_APPEND_OFFSET}, user_id, event_type, value, ts
+FROM events WHERE event_id < {_APPEND_KEY_LIMIT}
+ORDER BY event_id
+"""
+
+
+@query("q_snapshot_diff", oracle=_ORACLE_SNAP_DIFF)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot diff (rows in v2 that are not in v1),
+    computed the table-format way: compare the two MANIFESTS and read
+    only the files they don't share — here 2 new files against 1
+    retired file, never the two full table versions. exceptAll does
+    the multiset difference on that pruned slice (null-keyed rows,
+    which pass through the merge unmodified, cancel out exactly)."""
+    d = events_snapshot_table(spark, sf_dir)
+    m1 = snapshot_manifest(d, 1)
+    m2 = snapshot_manifest(d, 2)
+    added = [f for f in m2["files"] if f not in m1["files"]]
+    retired = [f for f in m1["files"] if f not in m2["files"]]
+    new_rows = spark.read.parquet(*[os.path.join(d, f) for f in added]).select(
+        *_COLS
+    )
+    old_rows = spark.read.parquet(*[os.path.join(d, f) for f in retired]).select(
+        *_COLS
+    )
+    return new_rows.exceptAll(old_rows).orderBy("event_id")

@@ -294,6 +294,9 @@ _EMPTY_GATE_QUERIES = [
     "q_scan_arrow_ipc",
     "q_rank_metrics",
     "q_tokenizer_wordpiece",
+    "q_snapshot_read_v1",
+    "q_snapshot_read_current",
+    "q_snapshot_diff",
 ]
 
 
@@ -427,6 +430,9 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_scan_arrow_ipc",
         "q_rank_metrics",
         "q_tokenizer_wordpiece",
+        "q_snapshot_read_v1",
+        "q_snapshot_read_current",
+        "q_snapshot_diff",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -552,6 +558,9 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_scan_arrow_ipc",
         "q_rank_metrics",
         "q_tokenizer_wordpiece",
+        "q_snapshot_read_v1",
+        "q_snapshot_read_current",
+        "q_snapshot_diff",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

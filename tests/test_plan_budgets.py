@@ -260,6 +260,12 @@ EXCHANGE_BUDGETS = {
     # r12: wordpiece — word-histogram agg feeds a checkpointed frame;
     # segment mapInPandas + scalar total broadcast + final TakeOrdered
     "q_tokenizer_wordpiece": 3,
+    # r12: snapshot reads — manifest-pruned parquet scan + final sort
+    "q_snapshot_read_v1": 1,
+    "q_snapshot_read_current": 1,
+    # r12: snapshot diff — exceptAll over the 3 non-shared files
+    # (2 hash exchanges) + final sort
+    "q_snapshot_diff": 3,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +

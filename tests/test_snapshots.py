@@ -1,0 +1,73 @@
+"""Snapshot-versioned table mechanics (round 12): immutable shared
+data files, copy-on-write scope, manifest/HEAD planning metadata,
+time-travel equality, and the file-pruned diff."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from sparkifydb_datawarehouse_spark.sources import snapshots as snap
+from sparkifydb_datawarehouse_spark.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def table_dir(spark, sf_dir):
+    return snap.events_snapshot_table(spark, sf_dir)
+
+
+def test_manifests_share_untouched_buckets(table_dir):
+    m1 = snap.snapshot_manifest(table_dir, 1)
+    m2 = snap.snapshot_manifest(table_dir, 2)
+    shared = set(m1["files"]) & set(m2["files"])
+    # COW scope: exactly buckets 1-3 are shared BY REFERENCE; bucket 0
+    # was rewritten and one append file added
+    assert shared == {"b1-v1.parquet", "b2-v1.parquet", "b3-v1.parquet"}
+    assert set(m2["files"]) - shared == {"b0-v2.parquet", "append-v2.parquet"}
+    assert m1["op"] == "create" and m1["parent"] is None
+    assert m2["op"] == "merge" and m2["parent"] == 1
+    head = json.load(open(os.path.join(table_dir, "HEAD.json")))
+    assert head == {"current": 2}
+    # every referenced file exists; no staging leftovers
+    for f in set(m1["files"]) | set(m2["files"]):
+        assert os.path.exists(os.path.join(table_dir, f))
+    assert not [f for f in os.listdir(table_dir) if f.startswith("_stage_")]
+
+
+def test_time_travel_v1_equals_base_table(spark, sf_dir, table_dir):
+    base = load_table(spark, sf_dir, "events").select(*snap._COLS)
+    v1 = snap.read_snapshot(spark, table_dir, 1).select(*snap._COLS)
+    assert v1.exceptAll(base).count() == 0 and base.exceptAll(v1).count() == 0
+
+
+def test_head_read_reflects_merge(spark, sf_dir, table_dir):
+    cur = snap.read_snapshot(spark, table_dir).select(*snap._COLS)
+    base = load_table(spark, sf_dir, "events")
+    n_base = base.count()
+    n_appended = base.filter(F.col("event_id") < snap._APPEND_KEY_LIMIT).count()
+    assert cur.count() == n_base + n_appended
+    # modified keys carry the +100; a probe key from an untouched
+    # bucket is byte-identical to v1
+    mod = cur.filter(F.col("event_id") % snap._N_BUCKETS == 0)
+    v1_mod = (
+        snap.read_snapshot(spark, table_dir, 1)
+        .filter(F.col("event_id") % snap._N_BUCKETS == 0)
+        .select(*snap._COLS)
+    )
+    joined = mod.alias("c").join(v1_mod.alias("o"), "event_id").select(
+        (F.col("c.value") - F.col("o.value")).alias("d")
+    )
+    assert joined.filter(F.abs(F.col("d") - 100) > 1e-9).count() == 0
+
+
+def test_diff_reads_only_nonshared_files(spark, sf_dir, table_dir):
+    # the diff plan must reference exactly the 3 non-shared files
+    df = snap.snapshot_diff(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "b0-v2.parquet" in plan or "b0-v2" in plan
+    for shared in ("b1-v1", "b2-v1", "b3-v1"):
+        assert shared not in plan, f"diff scanned shared file {shared}"
