@@ -31,6 +31,12 @@ from the base ``events`` parquet):
   appended file of new rows (``event_id < 50`` clones offset by
   1,000,000). Null-keyed rows live in bucket 0 (coalesced) and pass
   through unmodified.
+- v3: COMPACT — the same logical content re-CLUSTERED into 4
+  event_id RANGE files (fixed quarter boundaries off the base key
+  max; appended offset keys land in the top file, null keys in the
+  bottom), with per-file min/max key STATS in the manifest. A
+  predicate read consults the stats and scans only intersecting
+  files — Iceberg/Delta data-skipping, demonstrated by a plan test.
 """
 
 from __future__ import annotations
@@ -67,11 +73,11 @@ def _write_one_file(df: DataFrame, table_dir: str, name: str) -> None:
 
 
 def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once, cached by source fingerprint) the two-snapshot
+    """Build (once, cached by source fingerprint) the three-snapshot
     events table described in the module docstring."""
     fp = _source_fingerprint(sf_dir, "events")
     tz = spark.conf.get("spark.sql.session.timeZone", "local")
-    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots-v3".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"sparkifydb_snap_{tag}")
     head = os.path.join(d, "HEAD.json")
     if os.path.exists(head):
@@ -110,16 +116,69 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
         parent=1,
         op="merge",
     )
+    # v3: compaction — v2's logical content re-clustered into key-RANGE
+    # files with min/max stats (the data-skipping layout)
+    v2_full = b0_new.unionByName(
+        ev.filter(F.col("_b") != 0).drop("_b")
+    ).unionByName(appended)
+    base_max = ev.agg(F.max("event_id")).first()[0]
+    quarter = (int(base_max) + _N_BUCKETS) // _N_BUCKETS if base_max is not None else 1
+    v3_files = []
+    stats = {}
+    for k in range(_N_BUCKETS):
+        lo = k * quarter
+        hi = (k + 1) * quarter - 1
+        name = f"r{k}-v3.parquet"
+        if k == 0:
+            part = v2_full.filter(
+                F.col("event_id").isNull() | (F.col("event_id") <= hi)
+            )
+        elif k == _N_BUCKETS - 1:
+            part = v2_full.filter(F.col("event_id") >= lo)  # incl. appended
+        else:
+            part = v2_full.filter(F.col("event_id").between(lo, hi))
+        _write_one_file(part, d, name)
+        mm = part.agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        ).first()
+        stats[name] = {
+            "min_event_id": None if mm["lo"] is None else int(mm["lo"]),
+            "max_event_id": None if mm["hi"] is None else int(mm["hi"]),
+        }
+        v3_files.append(name)
+    _manifest(
+        d,
+        version=3,
+        files=v3_files,
+        parent=2,
+        op="compact",
+        stats=stats,
+        properties={
+            "base_max_event_id": None if base_max is None else int(base_max),
+            "quarter": quarter,
+        },
+    )
     with open(head, "w") as fh:
-        json.dump({"current": 2}, fh)
+        json.dump({"current": 3}, fh)
     return d
 
 
-def _manifest(table_dir: str, version: int, files, parent, op: str) -> None:
+def _manifest(
+    table_dir: str,
+    version: int,
+    files,
+    parent,
+    op: str,
+    stats: dict | None = None,
+    properties: dict | None = None,
+) -> None:
+    m = {"version": version, "files": files, "parent": parent, "op": op}
+    if stats is not None:
+        m["stats"] = stats
+    if properties is not None:
+        m["properties"] = properties
     with open(os.path.join(table_dir, f"manifest-v{version}.json"), "w") as fh:
-        json.dump(
-            {"version": version, "files": files, "parent": parent, "op": op}, fh
-        )
+        json.dump(m, fh)
 
 
 def snapshot_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -175,7 +234,9 @@ ORDER BY event_id
 def snapshot_read_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HEAD read of the versioned events table: the copy-on-write
     merge's effects (bucket-0 values bumped, appended clone rows) are
-    visible; buckets 1-3 are still served from the v1 files the two
+    visible through whatever layout HEAD points at (the v3 compaction
+    here — logically identical to v2, pinned by pytest); time travel
+    to v2 still serves buckets 1-3 from the v1 files the two
     snapshots share by reference."""
     d = events_snapshot_table(spark, sf_dir)
     return read_snapshot(spark, d).select(*_COLS).orderBy("event_id")
@@ -212,3 +273,54 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_COLS
     )
     return new_rows.exceptAll(old_rows).orderBy("event_id")
+
+
+_ORACLE_SNAP_PRUNED = f"""
+WITH q AS (SELECT (MAX(event_id) + {_N_BUCKETS}) // {_N_BUCKETS} AS quarter
+           FROM events)
+SELECT event_id, user_id, event_type,
+       CASE WHEN event_id % {_N_BUCKETS} = 0 THEN value + 100 ELSE value END
+           AS value,
+       ts
+FROM events, q
+WHERE event_id <= q.quarter - 1
+ORDER BY event_id
+"""
+
+
+@query("q_snapshot_pruned_read", oracle=_ORACLE_SNAP_PRUNED)
+def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping read of the compacted v3 snapshot: the predicate
+    (first key quarter) is resolved against the manifest's per-file
+    min/max stats at PLANNING time, so only the intersecting range
+    file(s) are scanned — 1 of 4 here (the plan test pins it). A file
+    whose stats are null is empty or all-null-keyed; a key predicate
+    cannot match it, so skipping is safe. The appended offset keys and
+    the untouched quarters never enter the plan."""
+    d = events_snapshot_table(spark, sf_dir)
+    m = snapshot_manifest(d, 3)
+    quarter = (m.get("properties") or {}).get("quarter")
+    if quarter is None:
+        bound = None
+        paths = []
+    else:
+        bound = int(quarter) - 1
+        paths = [
+            os.path.join(d, f)
+            for f in m["files"]
+            if (st := m["stats"].get(f, {})).get("min_event_id") is not None
+            and st["min_event_id"] <= bound
+        ]
+    if not paths:  # nothing intersects: schema-only empty frame
+        return (
+            read_snapshot(spark, d, 3)
+            .select(*_COLS)
+            .filter(F.lit(False))
+            .orderBy("event_id")
+        )
+    return (
+        spark.read.parquet(*paths)
+        .select(*_COLS)
+        .filter(F.col("event_id") <= bound)
+        .orderBy("event_id")
+    )

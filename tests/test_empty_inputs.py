@@ -297,6 +297,7 @@ _EMPTY_GATE_QUERIES = [
     "q_snapshot_read_v1",
     "q_snapshot_read_current",
     "q_snapshot_diff",
+    "q_snapshot_pruned_read",
 ]
 
 
@@ -433,6 +434,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_snapshot_read_v1",
         "q_snapshot_read_current",
         "q_snapshot_diff",
+        "q_snapshot_pruned_read",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -561,6 +563,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_snapshot_read_v1",
         "q_snapshot_read_current",
         "q_snapshot_diff",
+        "q_snapshot_pruned_read",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -266,6 +266,8 @@ EXCHANGE_BUDGETS = {
     # r12: snapshot diff — exceptAll over the 3 non-shared files
     # (2 hash exchanges) + final sort
     "q_snapshot_diff": 3,
+    # r12: stats-pruned read — single range-file scan + final sort
+    "q_snapshot_pruned_read": 1,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +

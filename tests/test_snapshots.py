@@ -31,9 +31,10 @@ def test_manifests_share_untouched_buckets(table_dir):
     assert m1["op"] == "create" and m1["parent"] is None
     assert m2["op"] == "merge" and m2["parent"] == 1
     head = json.load(open(os.path.join(table_dir, "HEAD.json")))
-    assert head == {"current": 2}
+    assert head == {"current": 3}  # v3 = the compaction snapshot
     # every referenced file exists; no staging leftovers
-    for f in set(m1["files"]) | set(m2["files"]):
+    m3 = snap.snapshot_manifest(table_dir, 3)
+    for f in set(m1["files"]) | set(m2["files"]) | set(m3["files"]):
         assert os.path.exists(os.path.join(table_dir, f))
     assert not [f for f in os.listdir(table_dir) if f.startswith("_stage_")]
 
@@ -71,3 +72,31 @@ def test_diff_reads_only_nonshared_files(spark, sf_dir, table_dir):
     assert "b0-v2.parquet" in plan or "b0-v2" in plan
     for shared in ("b1-v1", "b2-v1", "b3-v1"):
         assert shared not in plan, f"diff scanned shared file {shared}"
+
+
+def test_pruned_read_scans_only_intersecting_file(spark, sf_dir, table_dir):
+    df = snap.snapshot_pruned_read(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "r0-v3" in plan
+    for other in ("r1-v3", "r2-v3", "r3-v3", "b0-v2", "append-v2", "b1-v1"):
+        assert other not in plan, f"pruned read scanned {other}"
+    # and the compaction preserved the merge's logical content
+    cur = snap.read_snapshot(spark, table_dir, 3).select(*snap._COLS)
+    v2 = snap.read_snapshot(spark, table_dir, 2).select(*snap._COLS)
+    assert cur.exceptAll(v2).count() == 0 and v2.exceptAll(cur).count() == 0
+
+
+def test_v3_stats_cover_ranges(table_dir):
+    m = snap.snapshot_manifest(table_dir, 3)
+    assert m["op"] == "compact" and m["parent"] == 2
+    quarter = m["properties"]["quarter"]
+    st = m["stats"]
+    # range files are disjoint and ordered; the top file holds the
+    # appended offset keys
+    assert st["r0-v3.parquet"]["min_event_id"] >= 0
+    assert st["r0-v3.parquet"]["max_event_id"] <= quarter - 1
+    assert st["r3-v3.parquet"]["max_event_id"] >= snap._APPEND_OFFSET
+    for a, b in (("r0-v3.parquet", "r1-v3.parquet"),
+                 ("r1-v3.parquet", "r2-v3.parquet"),
+                 ("r2-v3.parquet", "r3-v3.parquet")):
+        assert st[a]["max_event_id"] < st[b]["min_event_id"]
