@@ -210,3 +210,112 @@ def tokenizer_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word"))
         .limit(_TOP_WORDS)
     )
+
+
+# ---------------------------------------------------------------------------
+# per-language tokenizer fertility: pieces per word under the SHARED
+# two-tier vocabulary — the coverage metric multilingual tokenizer
+# work reports (a language the vocab serves poorly fragments into
+# more pieces). Same segmentation, grouped back through the
+# per-(lang, word) histogram; excludes documents with unknown lang
+# (Spark sorts NULL first, DuckDB last — and "unknown language" is
+# outside the metric's domain anyway).
+# ---------------------------------------------------------------------------
+
+_ORACLE_FERTILITY = f"""
+WITH RECURSIVE toks AS (
+    SELECT lang,
+           UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+    WHERE lang IS NOT NULL
+), lang_words AS (
+    SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY lang, w
+), words AS (
+    SELECT w, CAST(SUM(cnt) AS BIGINT) AS cnt FROM lang_words GROUP BY w
+), subs AS (
+    SELECT CASE WHEN s = 1 THEN 0 ELSE 1 END AS tier,
+           substr(w, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
+           SUM(cnt) AS pc
+    FROM words,
+         UNNEST(generate_series(1, LENGTH(w))) AS st(s),
+         UNNEST(generate_series(1, {_MAX_PIECE})) AS ln(l)
+    WHERE s + l - 1 <= LENGTH(w)
+    GROUP BY 1, 2
+), vocab AS (
+    SELECT tier, piece FROM subs
+    WHERE LENGTH(piece) = 1 OR pc >= {_MIN_FREQ}
+), seg(w, pos, n) AS (
+    SELECT w, 1, 0 FROM words
+    UNION ALL
+    SELECT w, pos + CASE
+        WHEN LENGTH(w) - pos >= 3 AND EXISTS (SELECT 1 FROM vocab v
+             WHERE v.tier = k AND v.piece = substr(w, pos, 4)) THEN 4
+        WHEN LENGTH(w) - pos >= 2 AND EXISTS (SELECT 1 FROM vocab v
+             WHERE v.tier = k AND v.piece = substr(w, pos, 3)) THEN 3
+        WHEN LENGTH(w) - pos >= 1 AND EXISTS (SELECT 1 FROM vocab v
+             WHERE v.tier = k AND v.piece = substr(w, pos, 2)) THEN 2
+        ELSE 1 END, n + 1
+    FROM (SELECT w, pos, n,
+                 CASE WHEN pos = 1 THEN 0 ELSE 1 END AS k
+          FROM seg WHERE pos <= LENGTH(w)) s
+), done AS (
+    SELECT w, n FROM seg WHERE pos > LENGTH(w)
+)
+SELECT lw.lang AS lang,
+       CAST(SUM(lw.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(d.n * lw.cnt) AS BIGINT) AS n_pieces,
+       ROUND(CAST(SUM(d.n * lw.cnt) AS DOUBLE) / SUM(lw.cnt), 6) AS fertility,
+       ROUND(CAST(SUM(LENGTH(lw.w) * lw.cnt) AS DOUBLE)
+             / SUM(d.n * lw.cnt), 6) AS chars_per_piece
+FROM lang_words lw JOIN done d ON lw.w = d.w
+GROUP BY lw.lang
+ORDER BY lang
+"""
+
+
+@query("q_tokenizer_fertility", oracle=_ORACLE_FERTILITY)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language WordPiece fertility (pieces/word) and
+    chars-per-piece under the shared two-tier vocabulary: the corpus
+    segments ONCE over the global word-type histogram; per-language
+    aggregation joins the (lang, word) counts back on the word key
+    (both sides vocabulary-bounded). Exact integer masses until the
+    two final divisions, ROUND(., 6) in both engines."""
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    toks = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda t: t != ""
+    )
+    lang_words = (
+        docs.select("lang", F.explode(toks).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    words = lang_words.groupBy("w").agg(F.sum("cnt").alias("cnt"))
+    initial, cont = wordpiece_vocab(words)
+    segged = segment_words(words, initial, cont).select("w", "n_pieces")
+    return (
+        lang_words.join(segged, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("n_pieces").cast("long") * F.col("cnt")).alias("n_pieces"),
+            F.round(
+                F.sum(F.col("n_pieces").cast("long") * F.col("cnt")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("fertility"),
+            F.round(
+                F.sum(F.length("w").cast("long") * F.col("cnt")).cast("double")
+                / F.sum(F.col("n_pieces").cast("long") * F.col("cnt")),
+                6,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )

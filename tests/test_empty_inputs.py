@@ -298,6 +298,7 @@ _EMPTY_GATE_QUERIES = [
     "q_snapshot_read_current",
     "q_snapshot_diff",
     "q_snapshot_pruned_read",
+    "q_tokenizer_fertility",
 ]
 
 
@@ -435,6 +436,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_snapshot_read_current",
         "q_snapshot_diff",
         "q_snapshot_pruned_read",
+        "q_tokenizer_fertility",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -564,6 +566,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_snapshot_read_current",
         "q_snapshot_diff",
         "q_snapshot_pruned_read",
+        "q_tokenizer_fertility",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -268,6 +268,9 @@ EXCHANGE_BUDGETS = {
     "q_snapshot_diff": 3,
     # r12: stats-pruned read — single range-file scan + final sort
     "q_snapshot_pruned_read": 1,
+    # r12: fertility — lang-word agg + global word agg + segment join
+    # + per-lang agg + final sort (all vocab-bounded after the scan)
+    "q_tokenizer_fertility": 6,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +

@@ -66,3 +66,26 @@ def test_query_total_invariant(spark, corpus_dir):
     by_word = {r["word"]: r for r in rows}
     assert by_word["abcd"]["cnt"] == 20 and by_word["abcd"]["n_pieces"] == 1
     assert by_word["xabcd"]["n_pieces"] == 2
+
+
+def test_fertility_per_language(spark, tmp_path):
+    # two langs sharing a global vocab: 'en' words segment into single
+    # frequent pieces, 'xx' words fragment -> higher fertility
+    rows = (
+        [(i, "abcd abcd", "en") for i in range(10)]
+        + [(100 + i, "qzqz", "xx") for i in range(3)]  # 'qzqz' freq 3 < 5
+    )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        r["lang"]: r
+        for r in wp.tokenizer_fertility(spark, str(tmp_path)).collect()
+    }
+    # en: 20 words x 1 piece ('abcd' freq 20 >= 5, initial tier)
+    assert got["en"]["n_words"] == 20 and got["en"]["n_pieces"] == 20
+    assert got["en"]["fertility"] == 1.0
+    # xx: 'qzqz' below floor in every tier -> 'q','##z','##q','##z' = 4
+    assert got["xx"]["n_words"] == 3 and got["xx"]["n_pieces"] == 12
+    assert got["xx"]["fertility"] == 4.0
+    assert got["xx"]["chars_per_piece"] == 1.0
