@@ -324,3 +324,47 @@ def snapshot_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("event_id") <= bound)
         .orderBy("event_id")
     )
+
+
+_ORACLE_SNAP_CHANGES = f"""
+SELECT 'insert' AS op, event_id + {_APPEND_OFFSET} AS event_id, user_id,
+       event_type, value, ts
+FROM events WHERE event_id < {_APPEND_KEY_LIMIT}
+UNION ALL
+SELECT 'update' AS op, event_id, user_id, event_type, value + 100 AS value, ts
+FROM events
+WHERE event_id % {_N_BUCKETS} = 0 AND value IS NOT NULL
+ORDER BY op, event_id
+"""
+
+
+@query("q_snapshot_changes", oracle=_ORACLE_SNAP_CHANGES)
+def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style change feed between snapshots v1 → v2 (the Delta
+    ``table_changes`` / Iceberg incremental-read shape): op-tagged
+    post-image rows, derived the table-format way — INSERTS are the
+    append file read whole (no comparison needed: a file new to the
+    manifest with no retired counterpart is pure insert), UPDATES are
+    the multiset difference of the one rewritten bucket against its
+    retired predecessor. Null-valued modified rows cancel in the
+    difference (null + 100 is null), so the oracle carries the same
+    value IS NOT NULL guard. Never reads the 3 shared bucket files."""
+    d = events_snapshot_table(spark, sf_dir)
+    inserts = (
+        spark.read.parquet(os.path.join(d, "append-v2.parquet"))
+        .select(*_COLS)
+        .withColumn("op", F.lit("insert"))
+    )
+    updates = (
+        spark.read.parquet(os.path.join(d, "b0-v2.parquet"))
+        .select(*_COLS)
+        .exceptAll(
+            spark.read.parquet(os.path.join(d, "b0-v1.parquet")).select(*_COLS)
+        )
+        .withColumn("op", F.lit("update"))
+    )
+    return (
+        inserts.unionByName(updates)
+        .select("op", *_COLS)
+        .orderBy("op", "event_id")
+    )

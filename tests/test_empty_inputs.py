@@ -299,6 +299,7 @@ _EMPTY_GATE_QUERIES = [
     "q_snapshot_diff",
     "q_snapshot_pruned_read",
     "q_tokenizer_fertility",
+    "q_snapshot_changes",
 ]
 
 
@@ -437,6 +438,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_snapshot_diff",
         "q_snapshot_pruned_read",
         "q_tokenizer_fertility",
+        "q_snapshot_changes",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -567,6 +569,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_snapshot_diff",
         "q_snapshot_pruned_read",
         "q_tokenizer_fertility",
+        "q_snapshot_changes",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

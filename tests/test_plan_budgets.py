@@ -271,6 +271,9 @@ EXCHANGE_BUDGETS = {
     # r12: fertility — lang-word agg + global word agg + segment join
     # + per-lang agg + final sort (all vocab-bounded after the scan)
     "q_tokenizer_fertility": 6,
+    # r12: CDC change feed — exceptAll over the rewritten bucket pair
+    # (2 hash exchanges) + final sort; shared buckets never scanned
+    "q_snapshot_changes": 3,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +

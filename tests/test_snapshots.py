@@ -100,3 +100,21 @@ def test_v3_stats_cover_ranges(table_dir):
                  ("r1-v3.parquet", "r2-v3.parquet"),
                  ("r2-v3.parquet", "r3-v3.parquet")):
         assert st[a]["max_event_id"] < st[b]["min_event_id"]
+
+
+def test_changes_feed_ops_and_pruning(spark, sf_dir, table_dir):
+    df = snap.snapshot_changes(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for shared in ("b1-v1", "b2-v1", "b3-v1", "r0-v3"):
+        assert shared not in plan, f"change feed scanned {shared}"
+    ops = dict(
+        df.groupBy("op").count().collect() and
+        [(r["op"], r["count"]) for r in df.groupBy("op").count().collect()]
+    )
+    base = load_table(spark, sf_dir, "events")
+    n_ins = base.filter(F.col("event_id") < snap._APPEND_KEY_LIMIT).count()
+    n_upd = base.filter(
+        (F.col("event_id") % snap._N_BUCKETS == 0)
+        & F.col("value").isNotNull()
+    ).count()
+    assert ops.get("insert", 0) == n_ins and ops.get("update", 0) == n_upd
