@@ -164,6 +164,8 @@ HEADLINE = [
     "q_scan_arrow_ipc",  # r12: Arrow IPC/Feather estate (dictionary col, lz4/zstd rotation)
     "q_tokenizer_wordpiece",  # r12: greedy longest-match WordPiece (recursive-CTE-oracled)
     "q_rank_metrics",  # r12: nDCG/MRR/recall@k retrieval evaluation
+    "q_tokenizer_fertility",  # r12: per-language fertility under the shared vocab
+    "q_snapshot_changes",  # r12: CDC change feed off the snapshot manifests
 ]
 
 
