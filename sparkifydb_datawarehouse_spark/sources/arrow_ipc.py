@@ -72,6 +72,11 @@ def _make_arrow_dir_datasource():
                 c for c in options.get("dictionary_cols", "").split(",") if c
             ]
             self.alternate_col = options.get("alternate_col")
+            # "file" (Feather V2: ARROW1 magic + footer, random access)
+            # or "stream" (no footer — the Flight/Kafka wire framing)
+            self.ipc_format = options.get("ipc_format", "file")
+            if self.ipc_format not in ("file", "stream"):
+                raise ArrowIpcError(f"unknown ipc_format {self.ipc_format}")
             self.schema = schema
 
         def write(self, iterator):
@@ -100,10 +105,12 @@ def _make_arrow_dir_datasource():
                 ]
                 if keys:
                     codec = _CODEC_CYCLE[min(keys) % len(_CODEC_CYCLE)]
-            tmp = f"_tmp_{_uuid.uuid4().hex}.arrow"
+            ext = "arrow" if self.ipc_format == "file" else "arrows"
+            tmp = f"_tmp_{_uuid.uuid4().hex}.{ext}"
             full = os.path.join(self.path, tmp)
             opts = ipc.IpcWriteOptions(compression=codec)
-            with ipc.new_file(full, table.schema, options=opts) as w:
+            new_writer = ipc.new_file if self.ipc_format == "file" else ipc.new_stream
+            with new_writer(full, table.schema, options=opts) as w:
                 w.write_table(table)
             return ArrowCommit(
                 tmp_name=tmp, n_rows=len(records), n_bytes=os.path.getsize(full)
@@ -114,7 +121,8 @@ def _make_arrow_dir_datasource():
             for m in messages:
                 if not m.tmp_name:
                     continue
-                final = os.path.join(self.path, f"part-{n_files:05d}.arrow")
+                ext = m.tmp_name.rsplit(".", 1)[1]
+                final = os.path.join(self.path, f"part-{n_files:05d}.{ext}")
                 os.rename(os.path.join(self.path, m.tmp_name), final)
                 n_files += 1
                 total += m.n_rows
@@ -255,4 +263,131 @@ def scan_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
         files.mapInPandas(decode_files, out_schema)
         .filter(F.col("l_quantity") >= 45)
         .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC STREAM format (round 12, second half): the footer-less
+# framing Flight / Kafka-style transports put on the wire — schema
+# message, dictionary batches, record batches, EOS; no random access,
+# no ARROW1 magic. Same spec page as the file format; a connector
+# claiming Arrow interop meets both.
+# ---------------------------------------------------------------------------
+
+
+def lineitem_arrow_stream_dir(spark: SparkSession, sf_dir: str) -> str:
+    """The stream-format twin of lineitem_arrow_dir (same 5-column
+    projection, codec rotation and dictionary column; `.arrows`
+    extension, ipc.new_stream framing)."""
+    fp = _source_fingerprint(sf_dir, "lineitem")
+    tz = spark.conf.get("spark.sql.session.timeZone", "local")
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|arrow-stream-v1".encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"sparkifydb_arrows_{tag}")
+    marker = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(marker):
+        import math
+        import shutil
+
+        shutil.rmtree(d, ignore_errors=True)
+        register_sink(spark)
+        df = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_returnflag",
+            "l_shipdate",
+        )
+        n_files = max(4, math.ceil(df.count() / 500_000))
+        df = df.repartition(n_files, "l_orderkey")
+        (
+            df.write.format("arrow_ipc_dir")
+            .option("path", d)
+            .option("ipc_format", "stream")
+            .option("alternate_col", "l_orderkey")
+            .option("dictionary_cols", "l_returnflag")
+            .mode("append")
+            .save()
+        )
+    return d
+
+
+_ORACLE_ARROW_STREAM = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       CAST(MIN(l_orderkey) AS BIGINT) AS first_order
+FROM lineitem
+WHERE l_quantity <= 5
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@query("q_scan_arrow_stream", oracle=_ORACLE_ARROW_STREAM)
+def scan_arrow_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregation over the STREAM-format Arrow estate: per-file
+    ``pa.ipc.open_stream`` decode (schema + dictionary + record
+    batches, EOS-terminated, no footer) feeding a plain groupBy —
+    proving the wire framing, the dictionary decode, and that a
+    downstream agg composes with the connector. Files remain the
+    parallelism unit."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampNTZType,
+    )
+
+    d = lineitem_arrow_stream_dir(spark, sf_dir)
+    out_schema = StructType(
+        [
+            StructField("l_orderkey", LongType()),
+            StructField("l_linenumber", IntegerType()),
+            StructField("l_quantity", DoubleType()),
+            StructField("l_returnflag", StringType()),
+            StructField("l_shipdate", TimestampNTZType()),
+        ]
+    )
+    names = [f.name for f in out_schema.fields]
+
+    def decode_files(batches):
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        for pdf in batches:
+            for content in pdf["content"]:
+                blob = bytes(content)
+                if blob[:6] == b"ARROW1":
+                    raise ArrowIpcError(
+                        "estate contract violated: got FILE-format magic in "
+                        "a stream estate"
+                    )
+                table = ipc.open_stream(pa.BufferReader(blob)).read_all()
+                if not pa.types.is_dictionary(table.column("l_returnflag").type):
+                    raise ArrowIpcError(
+                        "estate contract violated: l_returnflag not "
+                        "dictionary-encoded"
+                    )
+                yield table.to_pandas()[names]
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.arrows")
+        .load(d)
+        .select("content")
+    )
+    return (
+        files.mapInPandas(decode_files, out_schema)
+        .filter(F.col("l_quantity") <= 5)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.min("l_orderkey").alias("first_order"),
+        )
+        .orderBy("l_returnflag")
     )

@@ -103,3 +103,50 @@ def test_dictionary_contract_refuses_plain_estate(spark, tmp_path, monkeypatch):
 
     with pytest.raises(PythonException, match="dictionary"):
         arrow_ipc.scan_arrow_ipc(spark, "ignored").collect()
+
+
+def test_stream_format_estate_and_framing(spark, sf_dir, tmp_path):
+    # stream files: no ARROW1 magic, open_stream reads them,
+    # open_file refuses them
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    arrow_ipc.register_sink(spark)
+    out = str(tmp_path / "arrows_out")
+    df = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    (
+        df.repartition(2, "s_suppkey")
+        .write.format("arrow_ipc_dir")
+        .option("path", out)
+        .option("ipc_format", "stream")
+        .option("dictionary_cols", "s_name")
+        .mode("append")
+        .save()
+    )
+    parts = [f for f in sorted(os.listdir(out)) if f.endswith(".arrows")]
+    assert parts, "no stream files written"
+    total = 0
+    for p in parts:
+        blob = open(os.path.join(out, p), "rb").read()
+        assert blob[:6] != b"ARROW1"
+        t = ipc.open_stream(pa.BufferReader(blob)).read_all()
+        assert pa.types.is_dictionary(t.column("s_name").type)
+        total += t.num_rows
+        with pytest.raises(pa.ArrowInvalid):
+            ipc.open_file(pa.BufferReader(blob))
+    assert total == df.count()
+
+
+def test_scan_arrow_stream_matches_parquet(spark, sf_dir):
+    got = arrow_ipc.scan_arrow_stream(spark, sf_dir)
+    exp = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") <= 5)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.min("l_orderkey").alias("first_order"),
+        )
+    )
+    assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0

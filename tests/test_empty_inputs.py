@@ -300,6 +300,7 @@ _EMPTY_GATE_QUERIES = [
     "q_snapshot_pruned_read",
     "q_tokenizer_fertility",
     "q_snapshot_changes",
+    "q_scan_arrow_stream",
 ]
 
 
@@ -439,6 +440,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_snapshot_pruned_read",
         "q_tokenizer_fertility",
         "q_snapshot_changes",
+        "q_scan_arrow_stream",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -570,6 +572,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_snapshot_pruned_read",
         "q_tokenizer_fertility",
         "q_snapshot_changes",
+        "q_scan_arrow_stream",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -274,6 +274,9 @@ EXCHANGE_BUDGETS = {
     # r12: CDC change feed — exceptAll over the rewritten bucket pair
     # (2 hash exchanges) + final sort; shared buckets never scanned
     "q_snapshot_changes": 3,
+    # r12: stream-format Arrow scan — per-file decode + one agg
+    # exchange + final sort
+    "q_scan_arrow_stream": 2,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +
