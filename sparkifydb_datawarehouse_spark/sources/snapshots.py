@@ -368,3 +368,51 @@ def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("op", *_COLS)
         .orderBy("op", "event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# lifecycle: snapshot expiration + vacuum (round 12, second half) —
+# the retention half of every table format. Expiration deletes
+# MANIFESTS only (metadata operation); vacuum then removes data files
+# no live manifest references. Two-step by design: a file shared with
+# any surviving snapshot is untouchable, and vacuum defaults to a
+# dry run listing what WOULD go.
+# ---------------------------------------------------------------------------
+
+
+def live_versions(table_dir: str) -> list[int]:
+    out = []
+    for f in os.listdir(table_dir):
+        if f.startswith("manifest-v") and f.endswith(".json"):
+            out.append(int(f[len("manifest-v") : -len(".json")]))
+    return sorted(out)
+
+
+def expire_snapshot(table_dir: str, version: int) -> None:
+    """Drop one snapshot's manifest (metadata-only; data files stay
+    until vacuum). Refuses to expire HEAD."""
+    with open(os.path.join(table_dir, "HEAD.json")) as fh:
+        current = json.load(fh)["current"]
+    if version == current:
+        raise ValueError(f"cannot expire HEAD snapshot v{version}")
+    path = os.path.join(table_dir, f"manifest-v{version}.json")
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no manifest-v{version}.json")
+    os.remove(path)
+
+
+def vacuum(table_dir: str, dry_run: bool = True) -> list[str]:
+    """Data files referenced by NO live manifest, sorted. With
+    dry_run=False they are deleted; the default only reports."""
+    referenced: set[str] = set()
+    for v in live_versions(table_dir):
+        referenced.update(snapshot_manifest(table_dir, v)["files"])
+    orphans = sorted(
+        f
+        for f in os.listdir(table_dir)
+        if f.endswith(".parquet") and f not in referenced
+    )
+    if not dry_run:
+        for f in orphans:
+            os.remove(os.path.join(table_dir, f))
+    return orphans

@@ -118,3 +118,35 @@ def test_changes_feed_ops_and_pruning(spark, sf_dir, table_dir):
         & F.col("value").isNotNull()
     ).count()
     assert ops.get("insert", 0) == n_ins and ops.get("update", 0) == n_upd
+
+
+def test_expire_and_vacuum_lifecycle(spark, sf_dir, table_dir, tmp_path):
+    # work on a throwaway COPY — the cached fixture keeps all versions
+    import shutil
+
+    d = str(tmp_path / "table_copy")
+    shutil.copytree(table_dir, d)
+    assert snap.live_versions(d) == [1, 2, 3]
+    # HEAD is protected
+    with pytest.raises(ValueError, match="HEAD"):
+        snap.expire_snapshot(d, 3)
+    # nothing is orphaned while all three manifests live
+    assert snap.vacuum(d) == []
+    # expire v1: its exclusive bucket-0 file becomes garbage, the
+    # shared b1-b3 stay referenced by v2
+    snap.expire_snapshot(d, 1)
+    assert snap.vacuum(d) == ["b0-v1.parquet"]
+    assert os.path.exists(os.path.join(d, "b0-v1.parquet")), "dry run deleted"
+    # expire v2 too: only v3's range files remain referenced
+    snap.expire_snapshot(d, 2)
+    orphans = snap.vacuum(d, dry_run=False)
+    assert orphans == sorted(
+        ["b0-v1.parquet", "b0-v2.parquet", "append-v2.parquet",
+         "b1-v1.parquet", "b2-v1.parquet", "b3-v1.parquet"]
+    )
+    for f in orphans:
+        assert not os.path.exists(os.path.join(d, f))
+    # the surviving snapshot still reads whole
+    cur = snap.read_snapshot(spark, d).select(*snap._COLS)
+    v3 = snap.read_snapshot(spark, table_dir, 3).select(*snap._COLS)
+    assert cur.exceptAll(v3).count() == 0 and v3.exceptAll(cur).count() == 0
