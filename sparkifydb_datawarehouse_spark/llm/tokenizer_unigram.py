@@ -74,12 +74,20 @@ _PRUNE_KEEP = 0.8  # multi-char pieces kept per iteration
 # table. The freq ≥ 5 / len ≤ 4 bounds make the seed vocab-bounded on
 # natural text (Heaps' law; ~10k pieces at sf0.1), but the bound is
 # data-dependent — a pathological character-diverse corpus could grow
-# it without limit. Above the cap we keep the top-_SEED_CAP multi-char
-# pieces by (count desc, piece asc) — computed SPARK-SIDE with
-# TakeOrderedAndProject, so the driver dict never exceeds the cap —
-# and log a loud warning. Single characters are always kept (bounded
-# by the charset; Viterbi coverage stays total).
+# it without limit. Above the cap the trainer REFUSES loudly
+# (VocabCapExceeded, ADVICE r12 #3): a truncated vocab the DuckDB
+# oracle doesn't share would segment differently, so the cap is a
+# declared contract limit, not a silent degradation. The cap count
+# runs Spark-side before any collect, so the driver dict is bounded
+# either way. Single characters are always kept (bounded by the
+# charset; Viterbi coverage stays total).
 _SEED_CAP = 500_000
+
+
+class VocabCapExceeded(ValueError):
+    """Seed vocab exceeds the driver-materialization cap; the trainer
+    refuses rather than silently diverging from its DuckDB oracle
+    (ADVICE r12 #3)."""
 
 
 def _word_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -116,18 +124,18 @@ def _seed_pieces(words: DataFrame) -> dict[str, int]:
     multi = subs.filter(F.length("piece") > 1)
     n_multi = multi.count()
     if n_multi > _SEED_CAP:
-        import warnings
-
-        warnings.warn(
-            f"unigram-LM seed table has {n_multi} multi-char pieces; "
-            f"keeping the top {_SEED_CAP} by (count desc, piece asc) "
-            "(VERDICT r11 #7 cap — character-diverse corpus)",
-            stacklevel=2,
-        )
-        # Spark-side deterministic top-K (TakeOrderedAndProject): the
-        # driver dict is cap-bounded regardless of corpus diversity.
-        multi = multi.orderBy(F.col("pc").desc(), F.col("piece").asc()).limit(
-            _SEED_CAP
+        # ADVICE r12 #3: refuse loudly (codec posture) instead of
+        # warn-and-truncate — a capped vocab the DuckDB oracle doesn't
+        # share would segment differently and surface as an
+        # unexplained driver red rather than a declared contract
+        # limit. The count() above runs BEFORE any collect, so the
+        # driver dict is still cap-bounded on the refuse path.
+        subs.unpersist()
+        raise VocabCapExceeded(
+            f"unigram-LM seed table has {n_multi} multi-char pieces "
+            f"(cap {_SEED_CAP}); the oracle contract covers corpora "
+            "whose freq>=5/len<=4 seed fits the cap — shrink "
+            "_MAX_PIECE or raise _MIN_FREQ for this corpus"
         )
     rows = singles.collect() + multi.collect()
     subs.unpersist()

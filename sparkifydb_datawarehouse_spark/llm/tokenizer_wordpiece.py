@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 )
 
 from ..registry import query
-from .tokenizer_unigram import _SEED_CAP, _word_histogram
+from .tokenizer_unigram import _SEED_CAP, VocabCapExceeded, _word_histogram
 
 _MAX_PIECE = 4
 _MIN_FREQ = 5
@@ -58,7 +58,8 @@ def wordpiece_vocab(words: DataFrame) -> tuple[frozenset, frozenset]:
     """(initial, continuation) piece sets from the word histogram.
     tier 0 = word-initial (substring start 1), tier 1 = continuation.
     Single chars always kept; multi-char pieces need corpus frequency
-    ≥ 5 within their tier. Capped Spark-side like the unigram seed."""
+    ≥ 5 within their tier. Refuses loudly above _SEED_CAP (shared
+    contract with the unigram seed — ADVICE r12 #3)."""
     subs = (
         words.select(
             F.explode(
@@ -81,16 +82,17 @@ def wordpiece_vocab(words: DataFrame) -> tuple[frozenset, frozenset]:
     multi = subs.filter(F.length("piece") > 1)
     n_multi = multi.count()
     if n_multi > _SEED_CAP:
-        import warnings
-
-        warnings.warn(
-            f"wordpiece vocab has {n_multi} multi-char pieces; keeping "
-            f"the top {_SEED_CAP} by (count desc, tier asc, piece asc)",
-            stacklevel=2,
+        # ADVICE r12 #3: refuse loudly — the DuckDB oracles replay
+        # greedy segmentation under the UNCAPPED vocab, so proceeding
+        # with a truncated one would be a silent oracle divergence.
+        # The count runs before any collect; the driver never
+        # materializes an over-cap vocab on either path.
+        subs.unpersist()
+        raise VocabCapExceeded(
+            f"wordpiece vocab has {n_multi} multi-char pieces "
+            f"(cap {_SEED_CAP}); oracle contract covers corpora whose "
+            "freq>=5/len<=4 piece inventory fits the cap"
         )
-        multi = multi.orderBy(
-            F.col("pc").desc(), F.col("tier").asc(), F.col("piece").asc()
-        ).limit(_SEED_CAP)
     rows = singles.collect() + multi.collect()
     subs.unpersist()
     initial = frozenset(r["piece"] for r in rows if r["tier"] == 0)

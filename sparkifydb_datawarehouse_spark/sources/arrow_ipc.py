@@ -89,7 +89,14 @@ def _make_arrow_dir_datasource():
             records = [row.asDict() for row in iterator]
             if not records:
                 return ArrowCommit(tmp_name="", n_rows=0, n_bytes=0)
-            table = pa.Table.from_pylist(records)
+            # ADVICE r12 #4: build the arrow schema from the DECLARED
+            # Spark schema instead of letting from_pylist infer per
+            # partition — an all-null column would otherwise infer
+            # null-typed, producing schema skew across estate files
+            # and a read-side failure.
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            table = pa.Table.from_pylist(records, schema=to_arrow_schema(self.schema))
             for c in self.dict_cols:
                 idx = table.schema.get_field_index(c)
                 table = table.set_column(

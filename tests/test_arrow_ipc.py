@@ -150,3 +150,34 @@ def test_scan_arrow_stream_matches_parquet(spark, sf_dir):
         )
     )
     assert got.exceptAll(exp).count() == 0 and exp.exceptAll(got).count() == 0
+
+
+def test_sink_declared_schema_survives_all_null_partitions(spark, tmp_path):
+    # ADVICE r12 #4: a partition whose column is entirely null must
+    # still write the DECLARED type, not an inferred null type —
+    # otherwise the estate's files disagree on schema and the read
+    # side fails. Partition by group so one partition is all-null.
+    arrow_ipc.register_sink(spark)
+    out = str(tmp_path / "arrow_nulls")
+    df = spark.createDataFrame(
+        [(1, "g0", "x"), (2, "g0", "y"), (3, "g1", None), (4, "g1", None)],
+        "k long, g string, payload string",
+    )
+    (
+        df.repartition(2, "g")
+        .write.format("arrow_ipc_dir")
+        .option("path", out)
+        .mode("append")
+        .save()
+    )
+    import pyarrow as pa
+    import pyarrow.ipc as ipc
+
+    schemas = set()
+    for p in sorted(os.listdir(out)):
+        if not p.endswith(".arrow"):
+            continue
+        t = ipc.open_file(os.path.join(out, p)).read_all()
+        schemas.add(str(t.schema))
+        assert pa.types.is_string(t.column("payload").type)
+    assert len(schemas) == 1, f"schema skew across estate files: {schemas}"

@@ -87,18 +87,15 @@ def test_em_trace_invariants_and_prune_schedule(spark, corpus_dir):
     assert "z" in detail["pieces"] and "q" in detail["pieces"]
 
 
-def test_seed_cap_bounds_driver_table_deterministically(
-    spark, tmp_path, monkeypatch
-):
-    # VERDICT r11 #7: a character-diverse corpus must degrade into a
-    # deterministic top-K seed, never an unbounded driver dict. Plant
-    # a corpus with many distinct frequent bigrams, cap at 3, and
-    # check the kept multi-char pieces are exactly the top 3 by
-    # (count desc, piece asc).
+def test_seed_cap_refuses_loudly(spark, tmp_path, monkeypatch):
+    # ADVICE r12 #3: over-cap seed inventories REFUSE (VocabCapExceeded)
+    # instead of warn-and-truncate — a capped vocab the DuckDB oracle
+    # doesn't share would silently diverge. Plant a corpus with 6
+    # distinct frequent bigrams, cap at 3, expect the raise; at cap 6
+    # the same corpus trains fine (the contract boundary is exact).
     from sparkifydb_datawarehouse_spark.llm import tokenizer_unigram as tu
+    from sparkifydb_datawarehouse_spark.llm import tokenizer_wordpiece as tw
 
-    # words 'aa','bb',...: each contributes one distinct bigram with
-    # corpus frequency = its repeat count (all >= MIN_FREQ 5)
     pairs = [("aa", 9), ("bb", 9), ("cc", 8), ("dd", 7), ("ee", 6), ("ff", 5)]
     rows = [
         (1000 * i + j, w) for i, (w, n) in enumerate(pairs) for j in range(n)
@@ -108,11 +105,19 @@ def test_seed_cap_bounds_driver_table_deterministically(
     ).parquet(str(tmp_path / "documents.parquet"))
     words = tu._word_histogram(spark, str(tmp_path))
     monkeypatch.setattr(tu, "_SEED_CAP", 3)
-    with pytest.warns(UserWarning, match="top 3"):
-        seed = tu._seed_pieces(words)
-    multi = sorted(p for p in seed if len(p) > 1)
-    # ties broken by piece asc: 'aa' (9), 'bb' (9), then 'cc' (8)
-    assert multi == ["aa", "bb", "cc"]
-    # singles always survive the cap — coverage stays total
+    with pytest.raises(tu.VocabCapExceeded, match="cap 3"):
+        tu._seed_pieces(words)
+    # wordpiece shares the contract (its tiered inventory here is
+    # 6 initial bigrams + 0 continuation pieces >= freq 5... the 'aa'
+    # continuation tier: 'a' at pos 2 is single-char, always kept)
+    monkeypatch.setattr(tw, "_SEED_CAP", 3)
+    with pytest.raises(tu.VocabCapExceeded, match="cap 3"):
+        tw.wordpiece_vocab(words)
+    # at-cap corpora still train: the boundary is exact
+    monkeypatch.setattr(tu, "_SEED_CAP", 6)
+    seed = tu._seed_pieces(words)
+    assert sorted(p for p in seed if len(p) > 1) == [
+        "aa", "bb", "cc", "dd", "ee", "ff"
+    ]
     for ch in "abcdef":
         assert ch in seed
