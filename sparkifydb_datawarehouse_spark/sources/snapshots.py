@@ -23,7 +23,7 @@ the same as a current read, and the snapshot diff below reads 2 of 5
 files instead of both full table versions. The COW update rewrites
 1 of 4 buckets — the fraction a real partition-aligned MERGE touches.
 
-Fixture history (deterministic, so DuckDB recomputes both versions
+Fixture history (deterministic, so DuckDB recomputes every version
 from the base ``events`` parquet):
 - v1: CREATE — 4 bucket files of the events table.
 - v2: MERGE — bucket 0 rewritten with ``value + 100`` for rows whose
@@ -37,6 +37,34 @@ from the base ``events`` parquet):
   bottom), with per-file min/max key STATS in the manifest. A
   predicate read consults the stats and scans only intersecting
   files — Iceberg/Delta data-skipping, demonstrated by a plan test.
+- v4: DELETE, merge-on-read — the data files are UNTOUCHED; the
+  manifest adds a ``deletes`` sidecar (the Iceberg positional-delete
+  / Delta deletion-vector shape) holding the deleted keys
+  (``event_id % 10 = 7`` within the first two key quarters).
+  ``read_snapshot`` applies it as a BROADCAST anti-join — the
+  sidecar is KB-MB metadata even when the table is 100 TB.
+- v5: REWRITE, copy-on-write — the same delete materialized: only
+  the two range files containing deleted keys are rewritten (r2/r3
+  stay shared by reference), and the first bucket's rewrite is
+  SPLIT INTO TWO files so the manifest genuinely exercises
+  multiple data files per logical bucket (a real bucket is k files,
+  not one). v4 and v5 reads must agree — pinned by query + pytest.
+- v6: SCHEMA EVOLUTION — an appended file carries a NEW column
+  (``source``); the manifest records the evolved table schema and
+  per-file column lists, and ``read_snapshot`` null-fills old files
+  through ``unionByName(allowMissingColumns=True)``. A real
+  estate's files NEVER share one schema.
+- v7 (HEAD): Z-ORDER COMPACT — v6's logical content re-clustered
+  along a Morton interleave of (event_id, user_id) into 4 files
+  whose manifest stats carry min/max on BOTH dimensions, so a
+  2-dim predicate skips files on either column (OPTIMIZE ZORDER BY).
+
+Exactly-once streaming commits: ``commit_stream_batch`` is a
+``foreachBatch`` sink that lands each micro-batch as an immutable
+file + an atomic manifest/HEAD swap keyed by ``batch_id`` —
+idempotent under replay and crash-safe at every interleaving
+(file-written-no-manifest → rewrite; manifest-written-no-HEAD →
+roll forward). See tests/test_snapshots.py.
 """
 
 from __future__ import annotations
@@ -57,8 +85,19 @@ from .layout import _source_fingerprint
 _N_BUCKETS = 4
 _APPEND_KEY_LIMIT = 50
 _APPEND_OFFSET = 1_000_000
+# v4/v5 delete: keys ending in _DELETE_DIGIT within the first two
+# key quarters (so exactly 2 of the 4 range files are touched — the
+# COW scope the manifests demonstrate). Ends-in-7 keys are odd, so
+# the deleted set is provably disjoint from the %4==0 merge keys.
+_DELETE_MOD = 10
+_DELETE_DIGIT = 7
+# v6 schema evolution: appended clones carrying the new column
+_EVOLVE_OFFSET = 2_000_000
+_EVOLVE_KEY_LIMIT = 20
+_EVOLVE_SOURCE = "v6-backfill"
 
 _COLS = ("event_id", "user_id", "event_type", "value", "ts")
+_COLS_V6 = _COLS + ("source",)
 
 
 def _write_one_file(df: DataFrame, table_dir: str, name: str) -> None:
@@ -73,11 +112,11 @@ def _write_one_file(df: DataFrame, table_dir: str, name: str) -> None:
 
 
 def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
-    """Build (once, cached by source fingerprint) the three-snapshot
+    """Build (once, cached by source fingerprint) the seven-snapshot
     events table described in the module docstring."""
     fp = _source_fingerprint(sf_dir, "events")
     tz = spark.conf.get("spark.sql.session.timeZone", "local")
-    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots-v3".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots-v4".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"sparkifydb_snap_{tag}")
     head = os.path.join(d, "HEAD.json")
     if os.path.exists(head):
@@ -87,6 +126,23 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     ev = load_table(spark, sf_dir, "events").select(*_COLS)
     bucket = F.coalesce(F.pmod(F.col("event_id"), F.lit(_N_BUCKETS)), F.lit(0))
     ev = ev.withColumn("_b", bucket).localCheckpoint()
+    # ADVICE r12 #1: the offsets assume they clear the base key
+    # domain. A fixture whose keys reach the append offset would
+    # collide appended clones with base keys (and, past ~4x, leak
+    # them into the pruned-read oracle) — refuse loudly instead of
+    # letting a bigger fixture produce an unexplained oracle
+    # divergence. The offsets are static because every DuckDB oracle
+    # bakes them in; deriving them per-fixture would desynchronize
+    # the two sides.
+    base_max_early = ev.agg(F.max("event_id")).first()[0]
+    if base_max_early is not None and int(base_max_early) >= _APPEND_OFFSET:
+        shutil.rmtree(d, ignore_errors=True)
+        raise ValueError(
+            f"events max key {base_max_early} >= append offset "
+            f"{_APPEND_OFFSET}: appended clone keys would collide with "
+            "base keys and diverge from the static oracles — raise "
+            "_APPEND_OFFSET/_EVOLVE_OFFSET (and the oracle SQL) together"
+        )
     v1_files = []
     for b in range(_N_BUCKETS):
         name = f"b{b}-v1.parquet"
@@ -121,7 +177,7 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     v2_full = b0_new.unionByName(
         ev.filter(F.col("_b") != 0).drop("_b")
     ).unionByName(appended)
-    base_max = ev.agg(F.max("event_id")).first()[0]
+    base_max = base_max_early
     quarter = (int(base_max) + _N_BUCKETS) // _N_BUCKETS if base_max is not None else 1
     v3_files = []
     stats = {}
@@ -158,9 +214,167 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
             "quarter": quarter,
         },
     )
-    with open(head, "w") as fh:
-        json.dump({"current": 3}, fh)
+    # v4: DELETE, merge-on-read — data files untouched; the deleted
+    # keys land in a parquet sidecar the read applies as a broadcast
+    # anti-join (deletion-vector / positional-delete shape).
+    del_bound = 2 * quarter - 1
+    del_pred = (F.col("event_id") % _DELETE_MOD == _DELETE_DIGIT) & (
+        F.col("event_id") <= del_bound
+    )
+    del_keys = v2_full.filter(del_pred).select("event_id").distinct()
+    _write_one_file(del_keys, d, "delete-v4-keys.parquet")
+    _manifest(
+        d,
+        version=4,
+        files=v3_files,
+        parent=3,
+        op="delete",
+        stats=stats,
+        deletes=["delete-v4-keys.parquet"],
+        properties={"delete_mode": "merge-on-read", "delete_key": "event_id",
+                    "quarter": quarter},
+    )
+    # v5: the same delete materialized copy-on-write. Deleted keys
+    # live only in the first two quarters, so exactly r0/r1 are
+    # rewritten and r2/r3 stay SHARED by reference; r0's rewrite is
+    # split into two files (a logical bucket is k files, not one).
+    v5_full = v2_full.filter(~F.coalesce(del_pred, F.lit(False)))
+    half = quarter // 2
+    v5_new = {
+        "r0a-v5.parquet": v5_full.filter(
+            F.col("event_id").isNull() | (F.col("event_id") <= half - 1)
+        ),
+        "r0b-v5.parquet": v5_full.filter(
+            F.col("event_id").between(half, quarter - 1)
+        ),
+        "r1-v5.parquet": v5_full.filter(
+            F.col("event_id").between(quarter, 2 * quarter - 1)
+        ),
+    }
+    v5_stats = {k: stats[k] for k in ("r2-v3.parquet", "r3-v3.parquet")}
+    for name, part in v5_new.items():
+        _write_one_file(part, d, name)
+        mm = part.agg(
+            F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+        ).first()
+        v5_stats[name] = {
+            "min_event_id": None if mm["lo"] is None else int(mm["lo"]),
+            "max_event_id": None if mm["hi"] is None else int(mm["hi"]),
+        }
+    v5_files = list(v5_new) + ["r2-v3.parquet", "r3-v3.parquet"]
+    _manifest(
+        d,
+        version=5,
+        files=v5_files,
+        parent=4,
+        op="rewrite",
+        stats=v5_stats,
+        properties={"delete_mode": "copy-on-write", "quarter": quarter},
+    )
+    # v6: SCHEMA EVOLUTION — append a file carrying a NEW column;
+    # the manifest records the evolved table schema and, for files
+    # that predate it, their own column lists (Iceberg's
+    # schema-id-per-file, minimally).
+    evolve = (
+        ev.drop("_b")
+        .filter(F.col("event_id") < _EVOLVE_KEY_LIMIT)
+        .withColumn("event_id", F.col("event_id") + _EVOLVE_OFFSET)
+        .withColumn("source", F.lit(_EVOLVE_SOURCE))
+    )
+    _write_one_file(evolve, d, "evolve-v6.parquet")
+    v6_files = v5_files + ["evolve-v6.parquet"]
+    _manifest(
+        d,
+        version=6,
+        files=v6_files,
+        parent=5,
+        op="append",
+        stats=v5_stats,
+        schema=list(_COLS_V6),
+        file_schemas={f: list(_COLS) for f in v5_files},
+        properties={"schema_change": "add column source string",
+                    "quarter": quarter},
+    )
+    # v7: Z-ORDER COMPACT — v6's content re-clustered along a Morton
+    # interleave of (event_id, user_id); per-file stats carry min/max
+    # on BOTH dims so 2-dim predicates skip files on either column.
+    v7_files, v7_stats = _write_zorder_files(spark, d, read_snapshot(spark, d, 6))
+    max_user = ev.agg(F.max("user_id")).first()[0]
+    _manifest(
+        d,
+        version=7,
+        files=v7_files,
+        parent=6,
+        op="zorder",
+        stats=v7_stats,
+        schema=list(_COLS_V6),
+        properties={
+            "zorder_by": ["event_id", "user_id"],
+            "quarter": quarter,
+            "base_max_user_id": None if max_user is None else int(max_user),
+        },
+    )
+    tmp_head = head + ".tmp"
+    with open(tmp_head, "w") as fh:
+        json.dump({"current": 7}, fh)
+    os.replace(tmp_head, head)
     return d
+
+
+def _write_zorder_files(
+    spark: SparkSession, table_dir: str, df: DataFrame, n_files: int = _N_BUCKETS
+) -> tuple[list[str], dict]:
+    """Cluster ``df`` by Morton(event_id, user_id) into ``n_files``
+    equal-count files with min/max stats on both interleaved dims.
+
+    Grid cells come from PERCENT RANK, not min/max scaling: the
+    appended offset keys (1e6/2e6) would otherwise squash the base
+    key range into a handful of cells and leave the event dimension's
+    per-file stats too wide to skip anything — exactly the skew case
+    layout.py's docstring prescribes quantile breakpoints for. The
+    deterministic fixture splits by exact ntile over the Morton code
+    (unique non-null event_id breaks ties); at estate scale the same
+    clustering is ``layout.zorder_by`` — approx-quantile grid +
+    repartitionByRange on the code — and the stats collection is the
+    writer's footer scan.
+    """
+    from pyspark.sql import Window
+
+    from .layout import morton_interleave
+
+    cells = (1 << 16) - 1
+    ce = F.floor(F.percent_rank().over(Window.orderBy("event_id")) * cells).cast(
+        "long"
+    )
+    cu = F.floor(F.percent_rank().over(Window.orderBy("user_id")) * cells).cast(
+        "long"
+    )
+    # bind the ranked cells as columns BEFORE the interleave: the bit
+    # extracts reference each cell 16 times, and a bound attribute
+    # keeps that one window evaluation, not sixteen
+    ranked = df.withColumn("__ce", ce).withColumn("__cu", cu)
+    z = morton_interleave([F.col("__ce"), F.col("__cu")], 16)
+    tiled = ranked.withColumn("__z", z).withColumn(
+        "__t", F.ntile(n_files).over(Window.orderBy("__z", "event_id"))
+    )
+    tiled = tiled.localCheckpoint()
+    files, stats = [], {}
+    for t in range(1, n_files + 1):
+        name = f"z{t - 1}-v7.parquet"
+        part = tiled.filter(F.col("__t") == t).drop("__ce", "__cu", "__z", "__t")
+        _write_one_file(part, table_dir, name)
+        mm = part.agg(
+            F.min("event_id").alias("e_lo"), F.max("event_id").alias("e_hi"),
+            F.min("user_id").alias("u_lo"), F.max("user_id").alias("u_hi"),
+        ).first()
+        stats[name] = {
+            "min_event_id": None if mm["e_lo"] is None else int(mm["e_lo"]),
+            "max_event_id": None if mm["e_hi"] is None else int(mm["e_hi"]),
+            "min_user_id": None if mm["u_lo"] is None else int(mm["u_lo"]),
+            "max_user_id": None if mm["u_hi"] is None else int(mm["u_hi"]),
+        }
+        files.append(name)
+    return files, stats
 
 
 def _manifest(
@@ -171,14 +385,25 @@ def _manifest(
     op: str,
     stats: dict | None = None,
     properties: dict | None = None,
+    deletes: list | None = None,
+    schema: list | None = None,
+    file_schemas: dict | None = None,
 ) -> None:
     m = {"version": version, "files": files, "parent": parent, "op": op}
     if stats is not None:
         m["stats"] = stats
     if properties is not None:
         m["properties"] = properties
-    with open(os.path.join(table_dir, f"manifest-v{version}.json"), "w") as fh:
+    if deletes is not None:
+        m["deletes"] = deletes
+    if schema is not None:
+        m["schema"] = schema
+    if file_schemas is not None:
+        m["file_schemas"] = file_schemas
+    tmp = os.path.join(table_dir, f"_manifest-v{version}.json.tmp")
+    with open(tmp, "w") as fh:
         json.dump(m, fh)
+    os.replace(tmp, os.path.join(table_dir, f"manifest-v{version}.json"))
 
 
 def snapshot_manifest(table_dir: str, version: int | None = None) -> dict:
@@ -194,10 +419,41 @@ def snapshot_manifest(table_dir: str, version: int | None = None) -> dict:
 def read_snapshot(
     spark: SparkSession, table_dir: str, version: int | None = None
 ) -> DataFrame:
-    """Time-travel read: exactly the files the snapshot names."""
+    """Time-travel read: exactly the files the snapshot names.
+
+    Format semantics applied at read, all manifest-driven:
+    - mixed-schema estates (``file_schemas``): files are grouped by
+      their recorded column list — ONE scan per schema group, not
+      per file — and null-filled into the table schema via
+      ``unionByName(allowMissingColumns=True)``;
+    - merge-on-read deletes (``deletes``): each sidecar's keys are
+      applied as a BROADCAST anti-join (the sidecar is KB-MB
+      metadata regardless of table size, the deletion-vector scale).
+    """
     m = snapshot_manifest(table_dir, version)
-    paths = [os.path.join(table_dir, f) for f in m["files"]]
-    return spark.read.parquet(*paths)
+    if not m["files"]:
+        raise ValueError(
+            f"snapshot v{m['version']} of {table_dir} names no data files"
+        )
+    file_schemas = m.get("file_schemas") or {}
+    groups: dict[tuple, list[str]] = {}
+    for f in m["files"]:
+        key = tuple(file_schemas.get(f) or ())
+        groups.setdefault(key, []).append(os.path.join(table_dir, f))
+    frames = []
+    for cols, paths in groups.items():
+        g = spark.read.parquet(*paths)
+        frames.append(g.select(*cols) if cols else g)
+    df = frames[0]
+    for g in frames[1:]:
+        df = df.unionByName(g, allowMissingColumns=True)
+    if m.get("schema"):
+        df = df.select(*m["schema"])
+    for sidecar in m.get("deletes", []):
+        keys = spark.read.parquet(os.path.join(table_dir, sidecar))
+        key_col = (m.get("properties") or {}).get("delete_key", keys.columns[0])
+        df = df.join(F.broadcast(keys), on=key_col, how="left_anti")
+    return df
 
 
 _ORACLE_SNAP_V1 = """
@@ -217,35 +473,59 @@ def snapshot_read_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_snapshot(spark, d, version=1).select(*_COLS).orderBy("event_id")
 
 
+# the merged-then-deleted five-column content every post-v2 snapshot
+# agrees on logically (shared CTE body of the v4+ oracles)
+_SQL_V5_CONTENT = f"""
+q AS (SELECT (MAX(event_id) + {_N_BUCKETS}) // {_N_BUCKETS} AS quarter
+      FROM events),
+v2 AS (
+  SELECT event_id, user_id, event_type,
+         CASE WHEN event_id % {_N_BUCKETS} = 0 THEN value + 100 ELSE value END
+             AS value,
+         ts
+  FROM events
+  UNION ALL
+  SELECT event_id + {_APPEND_OFFSET}, user_id, event_type, value, ts
+  FROM events WHERE event_id < {_APPEND_KEY_LIMIT}
+),
+v5 AS (
+  SELECT v2.event_id, v2.user_id, v2.event_type, v2.value, v2.ts
+  FROM v2, q
+  WHERE NOT (v2.event_id % {_DELETE_MOD} = {_DELETE_DIGIT}
+             AND v2.event_id <= 2 * q.quarter - 1)
+)
+"""
+
 _ORACLE_SNAP_CURRENT = f"""
-SELECT event_id, user_id, event_type,
-       CASE WHEN event_id % {_N_BUCKETS} = 0 THEN value + 100 ELSE value END
-           AS value,
-       ts
-FROM events
+WITH {_SQL_V5_CONTENT}
+SELECT event_id, user_id, event_type, value, ts,
+       CAST(NULL AS VARCHAR) AS source
+FROM v5
 UNION ALL
-SELECT event_id + {_APPEND_OFFSET}, user_id, event_type, value, ts
-FROM events WHERE event_id < {_APPEND_KEY_LIMIT}
+SELECT event_id + {_EVOLVE_OFFSET}, user_id, event_type, value, ts,
+       '{_EVOLVE_SOURCE}' AS source
+FROM events WHERE event_id < {_EVOLVE_KEY_LIMIT}
 ORDER BY event_id
 """
 
 
 @query("q_snapshot_read_current", oracle=_ORACLE_SNAP_CURRENT)
 def snapshot_read_current(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HEAD read of the versioned events table: the copy-on-write
-    merge's effects (bucket-0 values bumped, appended clone rows) are
-    visible through whatever layout HEAD points at (the v3 compaction
-    here — logically identical to v2, pinned by pytest); time travel
-    to v2 still serves buckets 1-3 from the v1 files the two
-    snapshots share by reference."""
+    """HEAD read of the versioned events table: the full lifecycle's
+    effects — copy-on-write merge (bucket-0 values bumped, appended
+    clones), the v4/v5 delete, and the v6 schema evolution (old rows
+    null-filled on ``source``) — are visible through whatever layout
+    HEAD points at (the v7 z-order compaction here, logically
+    identical to v6 — pinned by pytest). Time travel to any older
+    version still serves untouched files shared by reference."""
     d = events_snapshot_table(spark, sf_dir)
-    return read_snapshot(spark, d).select(*_COLS).orderBy("event_id")
+    return read_snapshot(spark, d).select(*_COLS_V6).orderBy("event_id")
 
 
 _ORACLE_SNAP_DIFF = f"""
 SELECT event_id, user_id, event_type, value + 100 AS value, ts
 FROM events
-WHERE event_id % {_N_BUCKETS} = 0
+WHERE event_id % {_N_BUCKETS} = 0 AND value IS NOT NULL
 UNION ALL
 SELECT event_id + {_APPEND_OFFSET}, user_id, event_type, value, ts
 FROM events WHERE event_id < {_APPEND_KEY_LIMIT}
@@ -259,8 +539,11 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed the table-format way: compare the two MANIFESTS and read
     only the files they don't share — here 2 new files against 1
     retired file, never the two full table versions. exceptAll does
-    the multiset difference on that pruned slice (null-keyed rows,
-    which pass through the merge unmodified, cancel out exactly)."""
+    the multiset difference on that pruned slice. Null-keyed rows
+    pass through the merge unmodified and cancel out exactly; so do
+    null-VALUED modified keys (null + 100 is null), which is why the
+    oracle's update branch carries the same ``value IS NOT NULL``
+    guard as the change feed's (ADVICE r12 #2)."""
     d = events_snapshot_table(spark, sf_dir)
     m1 = snapshot_manifest(d, 1)
     m2 = snapshot_manifest(d, 2)
@@ -406,7 +689,9 @@ def vacuum(table_dir: str, dry_run: bool = True) -> list[str]:
     dry_run=False they are deleted; the default only reports."""
     referenced: set[str] = set()
     for v in live_versions(table_dir):
-        referenced.update(snapshot_manifest(table_dir, v)["files"])
+        m = snapshot_manifest(table_dir, v)
+        referenced.update(m["files"])
+        referenced.update(m.get("deletes", []))  # sidecars are data too
     orphans = sorted(
         f
         for f in os.listdir(table_dir)
@@ -416,3 +701,206 @@ def vacuum(table_dir: str, dry_run: bool = True) -> list[str]:
         for f in orphans:
             os.remove(os.path.join(table_dir, f))
     return orphans
+
+
+# ---------------------------------------------------------------------------
+# round 13: DELETE both ways (merge-on-read sidecar vs copy-on-write
+# rewrite), schema evolution, and the z-order-compacted 2-dim pruned
+# read — the manifest protocol's remaining lifecycle ops.
+# ---------------------------------------------------------------------------
+
+
+_ORACLE_SNAP_DELETE = f"""
+WITH {_SQL_V5_CONTENT}
+SELECT event_id, user_id, event_type, value, ts
+FROM v5
+ORDER BY event_id
+"""
+
+
+@query("q_snapshot_delete_mor", oracle=_ORACLE_SNAP_DELETE)
+def snapshot_delete_mor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE (snapshot v4): the data files are the
+    UNCHANGED v3 range files — the delete exists only as a key
+    sidecar in the manifest (Iceberg positional-delete / Delta
+    deletion-vector shape), applied by ``read_snapshot`` as a
+    broadcast anti-join. This is the lakehouse form of GDPR erasure
+    (`q_gdpr_erasure`): O(KB) write cost now, reconciled at the next
+    copy-on-write rewrite (v5 — same oracle, different physical
+    plan). At 100 TB the sidecar broadcasts to every executor while
+    the 4-file scan never reshuffles."""
+    d = events_snapshot_table(spark, sf_dir)
+    return read_snapshot(spark, d, 4).select(*_COLS).orderBy("event_id")
+
+
+@query("q_snapshot_delete_cow", oracle=_ORACLE_SNAP_DELETE)
+def snapshot_delete_cow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Copy-on-write DELETE materialization (snapshot v5): the same
+    logical delete as v4, now baked into rewritten data files — only
+    the 2 range files containing deleted keys were rewritten (r0
+    split into two files: a logical bucket is k files, not one), r2
+    and r3 are SHARED with v3/v4 by reference. Reads are
+    sidecar-free; a pytest pins v4 == v5 row-for-row."""
+    d = events_snapshot_table(spark, sf_dir)
+    return read_snapshot(spark, d, 5).select(*_COLS).orderBy("event_id")
+
+
+_ORACLE_SNAP_EVOLVE = f"""
+WITH {_SQL_V5_CONTENT},
+v6 AS (
+  SELECT event_id, CAST(NULL AS VARCHAR) AS source FROM v5
+  UNION ALL
+  SELECT event_id + {_EVOLVE_OFFSET}, '{_EVOLVE_SOURCE}'
+  FROM events WHERE event_id < {_EVOLVE_KEY_LIMIT}
+)
+SELECT COALESCE(source, '<pre-evolution>') AS source,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(event_id) AS min_key,
+       MAX(event_id) AS max_key
+FROM v6
+GROUP BY COALESCE(source, '<pre-evolution>')
+ORDER BY source
+"""
+
+
+@query("q_snapshot_schema_evolution", oracle=_ORACLE_SNAP_EVOLVE)
+def snapshot_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution (snapshot v6): an appended file carries the
+    NEW ``source`` column; the five older data files do not. The
+    manifest records the evolved table schema plus per-file column
+    lists, and the read groups files BY SCHEMA (one scan per schema
+    group, not per file) then null-fills through
+    ``unionByName(allowMissingColumns=True)``. The aggregate pins
+    the null-fill: every pre-evolution row lands in the
+    '<pre-evolution>' bucket, every evolved row carries its source
+    tag, and the key ranges prove neither group leaked into the
+    other."""
+    d = events_snapshot_table(spark, sf_dir)
+    v6 = read_snapshot(spark, d, 6)
+    return (
+        v6.groupBy(
+            F.coalesce(F.col("source"), F.lit("<pre-evolution>")).alias("source")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("event_id").alias("min_key"),
+            F.max("event_id").alias("max_key"),
+        )
+        .orderBy("source")
+    )
+
+
+_ORACLE_SNAP_ZORDER = f"""
+WITH {_SQL_V5_CONTENT},
+u AS (SELECT MAX(user_id) // 4 AS u_hi FROM events)
+SELECT v5.event_id, v5.user_id, v5.event_type, v5.value, v5.ts
+FROM v5, q, u
+WHERE v5.event_id <= q.quarter - 1 AND v5.user_id <= u.u_hi
+ORDER BY v5.event_id
+"""
+
+
+@query("q_snapshot_zorder_read", oracle=_ORACLE_SNAP_ZORDER)
+def snapshot_zorder_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-dimensional data-skipping read of the z-order-compacted v7
+    snapshot (OPTIMIZE ZORDER BY (event_id, user_id)): the Morton
+    clustering makes every file a rough rectangle in (event, user)
+    space, so its manifest min/max stats are TIGHT ON BOTH columns
+    and a conjunctive 2-dim predicate skips files on either one — a
+    single-column sort could only ever skip on its own column. The
+    pytest pins that both dimensions individually skip at least one
+    file. Files whose stats are null are empty or all-null-keyed; a
+    key predicate cannot match them, so skipping is safe."""
+    d = events_snapshot_table(spark, sf_dir)
+    m = snapshot_manifest(d, 7)
+    props = m.get("properties") or {}
+    quarter, max_user = props.get("quarter"), props.get("base_max_user_id")
+    if quarter is None or max_user is None:
+        paths, e_hi, u_hi = [], None, None
+    else:
+        e_hi, u_hi = int(quarter) - 1, int(max_user) // 4
+        paths = [
+            os.path.join(d, f)
+            for f in m["files"]
+            if (st := m["stats"].get(f, {})).get("min_event_id") is not None
+            and st["min_event_id"] <= e_hi
+            and st.get("min_user_id") is not None
+            and st["min_user_id"] <= u_hi
+        ]
+    if not paths:  # nothing intersects: schema-only empty frame
+        return (
+            read_snapshot(spark, d, 7)
+            .select(*_COLS)
+            .filter(F.lit(False))
+            .orderBy("event_id")
+        )
+    return (
+        spark.read.parquet(*paths)
+        .select(*_COLS)
+        .filter((F.col("event_id") <= e_hi) & (F.col("user_id") <= u_hi))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exactly-once streaming commits INTO the snapshot table: foreachBatch
+# lands each micro-batch as an immutable data file, then commits an
+# atomic manifest + HEAD swap KEYED BY batch_id. Replays are detected
+# by key and reduced to at most a HEAD roll-forward, so every crash
+# interleaving converges to the uninterrupted history:
+#   - crash after file write, before manifest: the replay rewrites the
+#     same file name via staging + os.replace (Spark's source-replay
+#     contract guarantees the same batch content) and commits;
+#   - crash after manifest, before HEAD: the replay finds the batch's
+#     manifest and only rolls HEAD forward;
+#   - replay after full commit: pure no-op.
+# Single-writer by design (one streaming query owns the table), which
+# is Structured Streaming's own sink model. tests/test_snapshots.py
+# drives the kill-and-restart matrix.
+# ---------------------------------------------------------------------------
+
+
+def commit_stream_batch(batch_df: DataFrame, batch_id: int, table_dir: str) -> int:
+    """``foreachBatch(lambda df, bid: commit_stream_batch(df, bid, d))``
+    sink body. Returns the snapshot version serving the batch."""
+    os.makedirs(table_dir, exist_ok=True)
+    versions = live_versions(table_dir)
+    for v in versions:
+        m = snapshot_manifest(table_dir, v)
+        if (m.get("properties") or {}).get("batch_id") == batch_id:
+            # replayed batch whose manifest already committed: the only
+            # possibly-missing piece is the HEAD swap — roll forward
+            _set_head_at_least(table_dir, v)
+            return v
+    name = f"batch-{int(batch_id):010d}.parquet"
+    _write_one_file(batch_df, table_dir, name)
+    parent = versions[-1] if versions else None
+    prev_files = (
+        snapshot_manifest(table_dir, parent)["files"] if parent is not None else []
+    )
+    version = (parent or 0) + 1
+    _manifest(
+        table_dir,
+        version=version,
+        files=prev_files + [name],
+        parent=parent,
+        op="stream-append",
+        properties={"batch_id": int(batch_id)},
+    )
+    _set_head_at_least(table_dir, version)
+    return version
+
+
+def _set_head_at_least(table_dir: str, version: int) -> None:
+    """Atomic HEAD swap that only ever moves forward (idempotent under
+    replay; a stale replay can never rewind a newer commit)."""
+    head_path = os.path.join(table_dir, "HEAD.json")
+    current = None
+    if os.path.exists(head_path):
+        with open(head_path) as fh:
+            current = json.load(fh)["current"]
+    if current is None or current < version:
+        tmp = head_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"current": version}, fh)
+        os.replace(tmp, head_path)

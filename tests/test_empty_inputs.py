@@ -301,6 +301,11 @@ _EMPTY_GATE_QUERIES = [
     "q_tokenizer_fertility",
     "q_snapshot_changes",
     "q_scan_arrow_stream",
+    # round-13 additions
+    "q_snapshot_delete_mor",
+    "q_snapshot_delete_cow",
+    "q_snapshot_schema_evolution",
+    "q_snapshot_zorder_read",
 ]
 
 
@@ -441,6 +446,11 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_tokenizer_fertility",
         "q_snapshot_changes",
         "q_scan_arrow_stream",
+        # round-13 additions
+        "q_snapshot_delete_mor",
+        "q_snapshot_delete_cow",
+        "q_snapshot_schema_evolution",
+        "q_snapshot_zorder_read",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -573,6 +583,11 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_tokenizer_fertility",
         "q_snapshot_changes",
         "q_scan_arrow_stream",
+        # round-13 additions
+        "q_snapshot_delete_mor",
+        "q_snapshot_delete_cow",
+        "q_snapshot_schema_evolution",
+        "q_snapshot_zorder_read",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -277,6 +277,18 @@ EXCHANGE_BUDGETS = {
     # r12: stream-format Arrow scan — per-file decode + one agg
     # exchange + final sort
     "q_scan_arrow_stream": 2,
+    # r13: merge-on-read delete — BroadcastExchange of the key
+    # sidecar (anti-join) + final range sort; the 4-file scan itself
+    # never shuffles
+    "q_snapshot_delete_mor": 2,
+    # r13: copy-on-write delete read — plain pruned scan + final sort
+    "q_snapshot_delete_cow": 1,
+    # r13: schema-evolution aggregate — union of the two schema-group
+    # scans is shuffle-free; one agg exchange + final sort
+    "q_snapshot_schema_evolution": 2,
+    # r13: 2-dim z-order pruned read — single intersecting-file scan
+    # + final sort
+    "q_snapshot_zorder_read": 1,
     # r11: FLAC decode — scan spread + final orderBy (decode floor)
     "q_multimodal_decode_flac": 2,
     # r11: t-closeness — QI groupBy + broadcast global distribution +
