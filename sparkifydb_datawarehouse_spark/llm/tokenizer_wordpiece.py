@@ -321,3 +321,170 @@ def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV / [UNK] rate (VERDICT r12 #7): fertility measures pieces/word
+# for words the vocab CAN segment; production multilingual reports
+# also need the share of word occurrences the vocab CANNOT segment at
+# all. In-corpus training makes that share trivially zero (every
+# character occurs in its own tier), so the metric uses the honest
+# apply-time setup: the vocab trains on a 5% slice of
+# the corpus (doc_id % 20 == 0), applies to all of it, and a word becomes [UNK] the
+# BERT way — greedy longest-match-first fails when no piece, not
+# even the single character, matches at some position.
+# ---------------------------------------------------------------------------
+
+
+def segment_words_strict(
+    words: DataFrame, initial: frozenset, cont: frozenset
+) -> DataFrame:
+    """Greedy longest-match-first that FAILS to [UNK]: unlike
+    ``segment_words`` (whose in-corpus vocab always holds every
+    single character), the match loop runs down to length 1 and a
+    miss marks the whole word unsegmentable. Returns (w, unk)."""
+    import pandas as pd
+
+    def seg(batches):
+        for pdf in batches:
+            unks = []
+            for w in pdf["w"]:
+                n_chars = len(w)
+                pos = 0
+                unk = 0
+                while pos < n_chars:
+                    vocab = initial if pos == 0 else cont
+                    step = 0
+                    for L in range(min(_MAX_PIECE, n_chars - pos), 0, -1):
+                        if w[pos : pos + L] in vocab:
+                            step = L
+                            break
+                    if step == 0:
+                        unk = 1
+                        break
+                    pos += step
+                unks.append(unk)
+            yield pd.DataFrame({"w": pdf["w"], "unk": unks})
+
+    out_schema = StructType(
+        [StructField("w", StringType()), StructField("unk", IntegerType())]
+    )
+    return words.select("w").mapInPandas(seg, out_schema)
+
+
+_ORACLE_OOV = f"""
+WITH RECURSIVE toks AS (
+    SELECT doc_id, lang,
+           UNNEST(list_filter(string_split_regex(LOWER(text), '\\s+'),
+                              t -> t <> '')) AS w
+    FROM documents
+    WHERE lang IS NOT NULL
+), lang_words AS (
+    SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks GROUP BY lang, w
+), train_words AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM toks WHERE doc_id % 20 = 0 GROUP BY w
+), subs AS (
+    SELECT CASE WHEN s = 1 THEN 0 ELSE 1 END AS tier,
+           substr(w, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS piece,
+           SUM(cnt) AS pc
+    FROM train_words,
+         UNNEST(generate_series(1, LENGTH(w))) AS st(s),
+         UNNEST(generate_series(1, {_MAX_PIECE})) AS ln(l)
+    WHERE s + l - 1 <= LENGTH(w)
+    GROUP BY 1, 2
+), vocab AS (
+    SELECT tier, piece FROM subs
+    WHERE LENGTH(piece) = 1 OR pc >= {_MIN_FREQ}
+), apply_words AS (
+    SELECT DISTINCT w FROM lang_words
+), seg(w, pos, unk) AS (
+    SELECT w, 1, 0 FROM apply_words
+    UNION ALL
+    SELECT w, CASE
+        WHEN LENGTH(w) - pos >= 3 AND EXISTS (SELECT 1 FROM vocab v
+             WHERE v.tier = k AND v.piece = substr(w, pos, 4)) THEN pos + 4
+        WHEN LENGTH(w) - pos >= 2 AND EXISTS (SELECT 1 FROM vocab v
+             WHERE v.tier = k AND v.piece = substr(w, pos, 3)) THEN pos + 3
+        WHEN LENGTH(w) - pos >= 1 AND EXISTS (SELECT 1 FROM vocab v
+             WHERE v.tier = k AND v.piece = substr(w, pos, 2)) THEN pos + 2
+        WHEN EXISTS (SELECT 1 FROM vocab v
+             WHERE v.tier = k AND v.piece = substr(w, pos, 1)) THEN pos + 1
+        ELSE LENGTH(w) + 1 END,
+      CASE
+        WHEN (LENGTH(w) - pos >= 3 AND EXISTS (SELECT 1 FROM vocab v
+              WHERE v.tier = k AND v.piece = substr(w, pos, 4)))
+          OR (LENGTH(w) - pos >= 2 AND EXISTS (SELECT 1 FROM vocab v
+              WHERE v.tier = k AND v.piece = substr(w, pos, 3)))
+          OR (LENGTH(w) - pos >= 1 AND EXISTS (SELECT 1 FROM vocab v
+              WHERE v.tier = k AND v.piece = substr(w, pos, 2)))
+          OR EXISTS (SELECT 1 FROM vocab v
+              WHERE v.tier = k AND v.piece = substr(w, pos, 1))
+        THEN 0 ELSE 1 END
+    FROM (SELECT w, pos, unk,
+                 CASE WHEN pos = 1 THEN 0 ELSE 1 END AS k
+          FROM seg WHERE pos <= LENGTH(w)) s
+), done AS (
+    SELECT w, MAX(unk) AS unk FROM seg WHERE pos > LENGTH(w) GROUP BY w
+)
+SELECT lw.lang AS lang,
+       CAST(SUM(lw.cnt) AS BIGINT) AS n_words,
+       CAST(SUM(d.unk * lw.cnt) AS BIGINT) AS n_unk,
+       ROUND(CAST(SUM(d.unk * lw.cnt) AS DOUBLE) / SUM(lw.cnt), 6) AS unk_rate,
+       CAST(SUM(d.unk) AS BIGINT) AS n_unk_types
+FROM lang_words lw JOIN done d ON lw.w = d.w
+GROUP BY lw.lang
+ORDER BY lang
+"""
+
+
+@query("q_tokenizer_oov", oracle=_ORACLE_OOV)
+def tokenizer_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language [UNK] rate of a WordPiece vocab trained on a 5%
+    slice of the corpus (doc_id % 20 == 0) and applied to all of it: word
+    occurrences whose greedy longest-match segmentation fails (no
+    piece, not even the single character, matches at some position —
+    BERT's [UNK] condition), as a share of all word occurrences, plus
+    the distinct unsegmentable word types. The DuckDB oracle replays
+    the strict greedy EXACTLY via a recursive CTE, so the whole
+    apply-time segmentation is value-checked. Scale shape: both the
+    train histogram and the apply set collapse to word TYPES map-side
+    before any segmentation; only vocab-bounded frames shuffle."""
+    from ..tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isNotNull()
+    )
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
+    lang_words = (
+        docs.select("lang", F.explode(toks).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
+    )
+    train_words = (
+        docs.filter(F.col("doc_id") % 20 == 0)
+        .select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    initial, cont = wordpiece_vocab(train_words)
+    flags = segment_words_strict(
+        lang_words.select("w").distinct(), initial, cont
+    )
+    return (
+        lang_words.join(flags, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("cnt").alias("n_words"),
+            F.sum(F.col("unk").cast("long") * F.col("cnt")).alias("n_unk"),
+            F.round(
+                F.sum(F.col("unk").cast("long") * F.col("cnt")).cast("double")
+                / F.sum("cnt"),
+                6,
+            ).alias("unk_rate"),
+            F.sum(F.col("unk").cast("long")).alias("n_unk_types"),
+        )
+        .orderBy("lang")
+    )

@@ -306,6 +306,7 @@ _EMPTY_GATE_QUERIES = [
     "q_snapshot_delete_cow",
     "q_snapshot_schema_evolution",
     "q_snapshot_zorder_read",
+    "q_tokenizer_oov",
 ]
 
 
@@ -451,6 +452,7 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_snapshot_delete_cow",
         "q_snapshot_schema_evolution",
         "q_snapshot_zorder_read",
+        "q_tokenizer_oov",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -588,6 +590,7 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_snapshot_delete_cow",
         "q_snapshot_schema_evolution",
         "q_snapshot_zorder_read",
+        "q_tokenizer_oov",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -89,3 +89,54 @@ def test_fertility_per_language(spark, tmp_path):
     assert got["xx"]["n_words"] == 3 and got["xx"]["n_pieces"] == 12
     assert got["xx"]["fertility"] == 4.0
     assert got["xx"]["chars_per_piece"] == 1.0
+
+
+def test_oov_detects_unk_on_domain_shift(spark, tmp_path):
+    """The registered corpus never produces [UNK] (its 24-char
+    inventory saturates every vocab tier even in the 5% train slice),
+    so the all-zero driver row only proves the two engines agree on
+    zero. This planted corpus makes the miss condition BIND — a
+    character absent from the train slice ('x', word-initially AND as
+    a continuation) — and checks Spark and the DuckDB oracle agree on
+    the nonzero answer."""
+    import duckdb
+
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    rows = [
+        # doc_id 0 is the only train-slice doc (doc_id % 20 == 0)
+        (0, "aa aa aa aa aa bb bb bb bb bb", "en"),
+        # apply-only: 'xa' fails word-initially, 'ax' fails at the
+        # continuation position, 'aa' segments fine
+        (1, "xa ax aa", "de"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        r["lang"]: r.asDict()
+        for r in registry.QUERIES["q_tokenizer_oov"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got["de"]["n_words"] == 3
+    assert got["de"]["n_unk"] == 2 and got["de"]["n_unk_types"] == 2
+    assert abs(got["de"]["unk_rate"] - round(2 / 3, 6)) < 1e-12
+    assert got["en"]["n_unk"] == 0 and got["en"]["n_unk_types"] == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    duck = {
+        r[0]: r for r in con.execute(registry.ORACLE["q_tokenizer_oov"]).fetchall()
+    }
+    assert duck["de"][1:] == (
+        got["de"]["n_words"], got["de"]["n_unk"],
+        got["de"]["unk_rate"], got["de"]["n_unk_types"],
+    )
+    assert duck["en"][2] == 0
