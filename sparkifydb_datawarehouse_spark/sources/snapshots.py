@@ -29,7 +29,8 @@ from the base ``events`` parquet):
 - v2: MERGE — bucket 0 rewritten with ``value + 100`` for rows whose
   ``event_id % 4 = 0`` (exactly bucket 0's non-null keys), plus an
   appended file of new rows (``event_id < 50`` clones offset by
-  1,000,000). Null-keyed rows live in bucket 0 (coalesced) and pass
+  1e9 — clear of any fixture's key domain up to a billion keys,
+  guarded loudly in the builder). Null-keyed rows live in bucket 0 (coalesced) and pass
   through unmodified.
 - v3: COMPACT — the same logical content re-CLUSTERED into 4
   event_id RANGE files (fixed quarter boundaries off the base key
@@ -84,7 +85,7 @@ from .layout import _source_fingerprint
 
 _N_BUCKETS = 4
 _APPEND_KEY_LIMIT = 50
-_APPEND_OFFSET = 1_000_000
+_APPEND_OFFSET = 1_000_000_000
 # v4/v5 delete: keys ending in _DELETE_DIGIT within the first two
 # key quarters (so exactly 2 of the 4 range files are touched — the
 # COW scope the manifests demonstrate). Ends-in-7 keys are odd, so
@@ -92,7 +93,7 @@ _APPEND_OFFSET = 1_000_000
 _DELETE_MOD = 10
 _DELETE_DIGIT = 7
 # v6 schema evolution: appended clones carrying the new column
-_EVOLVE_OFFSET = 2_000_000
+_EVOLVE_OFFSET = 2_000_000_000
 _EVOLVE_KEY_LIMIT = 20
 _EVOLVE_SOURCE = "v6-backfill"
 
@@ -116,7 +117,7 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     events table described in the module docstring."""
     fp = _source_fingerprint(sf_dir, "events")
     tz = spark.conf.get("spark.sql.session.timeZone", "local")
-    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots-v4".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots-v5".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"sparkifydb_snap_{tag}")
     head = os.path.join(d, "HEAD.json")
     if os.path.exists(head):
