@@ -66,6 +66,15 @@ file + an atomic manifest/HEAD swap keyed by ``batch_id`` —
 idempotent under replay and crash-safe at every interleaving
 (file-written-no-manifest → rewrite; manifest-written-no-HEAD →
 roll forward). See tests/test_snapshots.py.
+
+Concurrent writers: ``commit_optimistic`` is the multi-writer story —
+an Iceberg-style optimistic commit whose CAS is an exclusive atomic
+hardlink onto the next manifest name. Losers rebase pure appends onto
+the new head automatically; operations that read or rewrote files
+(deletes, compactions) declare them required and refuse with
+``CommitConflict`` when a concurrent commit retired them. The
+streaming sink rides the same CAS, so streams and maintenance ops
+interleave safely (thread-pool and injected-race pytests).
 """
 
 from __future__ import annotations
@@ -875,33 +884,150 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int, table_dir: str) -> i
             return v
     name = f"batch-{int(batch_id):010d}.parquet"
     _write_one_file(batch_df, table_dir, name)
-    parent = versions[-1] if versions else None
-    prev_files = (
-        snapshot_manifest(table_dir, parent)["files"] if parent is not None else []
-    )
-    version = (parent or 0) + 1
-    _manifest(
+    # the append itself rides the optimistic-concurrency commit, so a
+    # concurrent maintenance op (compaction, delete rewrite) racing
+    # the stream costs the loser a rebase, never a lost snapshot
+    return commit_optimistic(
         table_dir,
-        version=version,
-        files=prev_files + [name],
-        parent=parent,
+        add_files=[name],
         op="stream-append",
         properties={"batch_id": int(batch_id)},
     )
-    _set_head_at_least(table_dir, version)
-    return version
 
 
 def _set_head_at_least(table_dir: str, version: int) -> None:
     """Atomic HEAD swap that only ever moves forward (idempotent under
-    replay; a stale replay can never rewind a newer commit)."""
+    replay; a stale replay can never rewind a newer commit). HEAD is a
+    read-side convenience pointer — the manifests themselves are the
+    committed truth (multi-writer races resolve on the manifest claim,
+    and a reader that needs the absolute latest uses live_versions)."""
+    import uuid as _uuid
+
     head_path = os.path.join(table_dir, "HEAD.json")
     current = None
     if os.path.exists(head_path):
         with open(head_path) as fh:
             current = json.load(fh)["current"]
     if current is None or current < version:
-        tmp = head_path + ".tmp"
+        tmp = f"{head_path}.{_uuid.uuid4().hex}.tmp"
         with open(tmp, "w") as fh:
             json.dump({"current": version}, fh)
         os.replace(tmp, head_path)
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency (round 13): the multi-writer story. Iceberg
+# commits through an atomic CAS on the catalog pointer; on a plain
+# filesystem the equivalent arbiter is an EXCLUSIVE atomic create of
+# the next manifest — os.link of a fully-written temp file onto
+# manifest-v{N+1}.json either claims version N+1 or fails with
+# FileExistsError because another writer already did. Losers re-read
+# the new head and REBASE: pure appends always rebase; an operation
+# that read or rewrote existing files (a delete, a compaction)
+# declares them as required_files and refuses with CommitConflict if
+# any left the table — the Iceberg validation rule, minimally.
+# ---------------------------------------------------------------------------
+
+
+class CommitConflict(RuntimeError):
+    """An optimistic commit could not be rebased: a file the operation
+    read or rewrote is no longer live at the current head (or the
+    writer lost every retry)."""
+
+
+def current_head(table_dir: str) -> int:
+    with open(os.path.join(table_dir, "HEAD.json")) as fh:
+        return int(json.load(fh)["current"])
+
+
+def _commit_exclusive(table_dir: str, version: int, manifest: dict) -> None:
+    """Claim ``manifest-v{version}.json`` atomically and exclusively:
+    the manifest is fully written to a temp name first (readers never
+    see a partial file), then hardlinked into place — os.link fails
+    with FileExistsError if another writer claimed the version."""
+    import uuid as _uuid
+
+    final = os.path.join(table_dir, f"manifest-v{version}.json")
+    tmp = os.path.join(table_dir, f"_claim-{_uuid.uuid4().hex}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    try:
+        os.link(tmp, final)
+    finally:
+        os.unlink(tmp)
+
+
+def commit_optimistic(
+    table_dir: str,
+    add_files: list | tuple = (),
+    remove_files: list | tuple = (),
+    op: str = "append",
+    required_files: list | tuple = (),
+    properties: dict | None = None,
+    stats: dict | None = None,
+    schema: list | None = None,
+    file_schemas: dict | None = None,
+    max_attempts: int = 10,
+) -> int:
+    """Commit ``add_files``/``remove_files`` against whatever the head
+    is WHEN THE CLAIM LANDS. Data files must already be fully written
+    (immutable-file-first, commit-last — same order as the streaming
+    protocol). Files in ``remove_files`` are implicitly required: you
+    cannot retire content another writer already rewrote. Returns the
+    committed version; raises CommitConflict when rebase is unsound
+    or every attempt lost its race."""
+    if not os.path.exists(os.path.join(table_dir, "HEAD.json")):
+        # bootstrap: claim v1 of an empty table
+        try:
+            _commit_exclusive(
+                table_dir, 1,
+                {"version": 1, "files": list(add_files), "parent": None,
+                 "op": op,
+                 **({"properties": properties} if properties else {}),
+                 **({"stats": stats} if stats else {}),
+                 **({"schema": schema} if schema else {}),
+                 **({"file_schemas": file_schemas} if file_schemas else {})},
+            )
+            _set_head_at_least(table_dir, 1)
+            return 1
+        except FileExistsError:
+            pass  # someone else bootstrapped; fall through to CAS loop
+    required = set(required_files) | set(remove_files)
+    for _ in range(max_attempts):
+        head = max(live_versions(table_dir))
+        base = snapshot_manifest(table_dir, head)
+        missing = sorted(required - set(base["files"]))
+        if missing:
+            raise CommitConflict(
+                f"files {missing} are no longer live at v{head}: a "
+                "concurrent commit rewrote or retired them — re-plan "
+                "the operation against the current snapshot"
+            )
+        files = [f for f in base["files"] if f not in set(remove_files)]
+        files += [f for f in add_files if f not in files]
+        m = {"version": head + 1, "files": files, "parent": head, "op": op}
+        if properties is not None:
+            m["properties"] = properties
+        if stats is not None:
+            m["stats"] = stats
+        # schema / file_schemas / deletes carry over from the base so
+        # a rebased append never silently drops evolution metadata
+        if schema is not None:
+            m["schema"] = schema
+        elif base.get("schema"):
+            m["schema"] = base["schema"]
+        if file_schemas is not None:
+            m["file_schemas"] = file_schemas
+        elif base.get("file_schemas"):
+            m["file_schemas"] = {
+                f: c for f, c in base["file_schemas"].items() if f in files
+            }
+        if base.get("deletes"):
+            m["deletes"] = base["deletes"]
+        try:
+            _commit_exclusive(table_dir, head + 1, m)
+        except FileExistsError:
+            continue  # lost the race — rebase onto the new head
+        _set_head_at_least(table_dir, head + 1)
+        return head + 1
+    raise CommitConflict(f"lost {max_attempts} commit races on {table_dir}")

@@ -465,3 +465,122 @@ def test_stream_exactly_once_crash_restart_into_snapshot_table(
     ]
     assert sorted(bids) == bids and len(set(bids)) == len(bids)
     assert snap.vacuum(table) == []
+
+
+def test_optimistic_commit_rebase_and_conflict(spark, tmp_path, monkeypatch):
+    """Iceberg-style optimistic concurrency on the manifest claim:
+    a writer that loses the race to the next version REBASES a pure
+    append onto the new head automatically, but an operation whose
+    required files were rewritten by the winner refuses with
+    CommitConflict instead of silently resurrecting retired data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "occ_table")
+    os.makedirs(d)
+    for name in ("a.parquet", "b.parquet", "c.parquet", "comp.parquet"):
+        pq.write_table(pa.table({"k": [1]}), os.path.join(d, name))
+    assert snap.commit_optimistic(d, add_files=["a.parquet"], op="create") == 1
+
+    # inject a competitor that claims the SAME version between the
+    # writer's head read and its claim — the loser must rebase
+    orig = snap._commit_exclusive
+    raced = {"n": 0}
+
+    def racy(table_dir, version, manifest):
+        if raced["n"] == 0:
+            raced["n"] += 1
+            base = snap.snapshot_manifest(table_dir, version - 1)
+            orig(
+                table_dir, version,
+                {"version": version, "files": base["files"] + ["comp.parquet"],
+                 "parent": version - 1, "op": "append"},
+            )
+        return orig(table_dir, version, manifest)
+
+    monkeypatch.setattr(snap, "_commit_exclusive", racy)
+    v = snap.commit_optimistic(d, add_files=["b.parquet"])
+    monkeypatch.setattr(snap, "_commit_exclusive", orig)
+    assert v == 3, "loser should land one version after the competitor"
+    files = snap.snapshot_manifest(d, 3)["files"]
+    assert set(files) == {"a.parquet", "comp.parquet", "b.parquet"}
+    assert raced["n"] == 1
+
+    # conflict: a remove of a file another commit already retired
+    snap.commit_optimistic(d, remove_files=["comp.parquet"], op="delete")
+    with pytest.raises(snap.CommitConflict, match="comp.parquet"):
+        snap.commit_optimistic(d, remove_files=["comp.parquet"], op="delete")
+    # and required_files guards reads the same way (a compaction that
+    # planned against comp.parquet must re-plan)
+    with pytest.raises(snap.CommitConflict, match="comp.parquet"):
+        snap.commit_optimistic(
+            d, add_files=["c.parquet"], required_files=["comp.parquet"],
+            op="compact",
+        )
+    # version numbering stayed linear throughout
+    assert snap.live_versions(d) == [1, 2, 3, 4]
+
+
+def test_optimistic_commit_many_concurrent_writers(tmp_path):
+    """N genuinely concurrent threads appending through the CAS loop:
+    every commit lands, versions come out contiguous, the final
+    manifest carries all files, and no claim temp files leak."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = str(tmp_path / "mw_table")
+    os.makedirs(d)
+    n = 12
+    for i in range(n):
+        pq.write_table(pa.table({"k": [i]}), os.path.join(d, f"w{i}.parquet"))
+    snap.commit_optimistic(d, add_files=["w0.parquet"], op="create")
+
+    def writer(i):
+        return snap.commit_optimistic(
+            d, add_files=[f"w{i}.parquet"], max_attempts=100
+        )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        versions = list(ex.map(writer, range(1, n)))
+    assert sorted(versions) == list(range(2, n + 1)), versions
+    assert snap.live_versions(d) == list(range(1, n + 1))
+    final = snap.snapshot_manifest(d, n)["files"]
+    assert set(final) == {f"w{i}.parquet" for i in range(n)}
+    assert not [f for f in os.listdir(d) if f.endswith(".tmp")]
+    # HEAD converged to the maximum committed version
+    assert json.load(open(os.path.join(d, "HEAD.json")))["current"] == n
+
+
+def test_stream_commit_survives_concurrent_maintenance(spark, tmp_path):
+    """The streaming append rides the same CAS, so a maintenance
+    commit landing between two micro-batches costs the stream a
+    rebase, never a lost snapshot — and vice versa."""
+    mk = lambda *rows: spark.createDataFrame(list(rows), "k long, v string")
+    d = str(tmp_path / "sm_table")
+    snap.commit_stream_batch(mk((1, "a")), 0, d)
+    snap.commit_stream_batch(mk((2, "b")), 1, d)
+    # maintenance: compact the two batch files into one (rewrite),
+    # claiming the next version through the same protocol
+    merged = snap.read_snapshot(spark, d)
+    snap._write_one_file(merged, d, "compact-1.parquet")
+    old = snap.snapshot_manifest(d, 2)["files"]
+    v = snap.commit_optimistic(
+        d, add_files=["compact-1.parquet"], remove_files=old,
+        required_files=old, op="compact",
+    )
+    assert v == 3
+    # the stream keeps appending on top of the compaction
+    snap.commit_stream_batch(mk((3, "c")), 2, d)
+    rows = {(r["k"], r["v"]) for r in snap.read_snapshot(spark, d).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    assert snap.snapshot_manifest(d, 4)["files"] == [
+        "compact-1.parquet", "batch-0000000002.parquet"
+    ]
+    # the replaced batch files are vacuumable once v1/v2 expire
+    snap.expire_snapshot(d, 1)
+    snap.expire_snapshot(d, 2)
+    assert snap.vacuum(d) == [
+        "batch-0000000000.parquet", "batch-0000000001.parquet"
+    ]
