@@ -166,6 +166,9 @@ HEADLINE = [
     "q_rank_metrics",  # r12: nDCG/MRR/recall@k retrieval evaluation
     "q_tokenizer_fertility",  # r12: per-language fertility under the shared vocab
     "q_snapshot_changes",  # r12: CDC change feed off the snapshot manifests
+    "q_snapshot_delete_mor",  # r13: merge-on-read delete (broadcast sidecar anti-join)
+    "q_snapshot_zorder_read",  # r13: 2-dim z-order stats-pruned read
+    "q_tokenizer_oov",  # r13: apply-time [UNK] rate under a 5% train slice
 ]
 
 

@@ -126,7 +126,7 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
     events table described in the module docstring."""
     fp = _source_fingerprint(sf_dir, "events")
     tz = spark.conf.get("spark.sql.session.timeZone", "local")
-    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots-v5".encode()).hexdigest()[:8]
+    tag = hashlib.md5(f"{sf_dir}|{fp}|{tz}|snapshots-v6".encode()).hexdigest()[:8]
     d = os.path.join(tempfile.gettempdir(), f"sparkifydb_snap_{tag}")
     head = os.path.join(d, "HEAD.json")
     if os.path.exists(head):
@@ -324,6 +324,20 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
             "base_max_user_id": None if max_user is None else int(max_user),
         },
     )
+    # deterministic commit timestamps (one synthetic day per version)
+    # for TIMESTAMP-AS-OF time travel; real tables would stamp wall
+    # time at commit, the fixture must stay reproducible
+    for v in live_versions(d):
+        mp = os.path.join(d, f"manifest-v{v}.json")
+        with open(mp) as fh:
+            m = json.load(fh)
+        m.setdefault("properties", {})["committed_at"] = (
+            f"2024-01-{v:02d}T00:00:00Z"
+        )
+        tmp_m = mp + ".tmp"
+        with open(tmp_m, "w") as fh:
+            json.dump(m, fh)
+        os.replace(tmp_m, mp)
     tmp_head = head + ".tmp"
     with open(tmp_head, "w") as fh:
         json.dump({"current": 7}, fh)
@@ -332,13 +346,17 @@ def events_snapshot_table(spark: SparkSession, sf_dir: str) -> str:
 
 
 def _write_zorder_files(
-    spark: SparkSession, table_dir: str, df: DataFrame, n_files: int = _N_BUCKETS
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    n_files: int = _N_BUCKETS,
+    name_fmt: str = "z{i}-v7.parquet",
 ) -> tuple[list[str], dict]:
     """Cluster ``df`` by Morton(event_id, user_id) into ``n_files``
     equal-count files with min/max stats on both interleaved dims.
 
     Grid cells come from PERCENT RANK, not min/max scaling: the
-    appended offset keys (1e6/2e6) would otherwise squash the base
+    appended offset keys (1e9/2e9) would otherwise squash the base
     key range into a handful of cells and leave the event dimension's
     per-file stats too wide to skip anything — exactly the skew case
     layout.py's docstring prescribes quantile breakpoints for. The
@@ -370,7 +388,7 @@ def _write_zorder_files(
     tiled = tiled.localCheckpoint()
     files, stats = [], {}
     for t in range(1, n_files + 1):
-        name = f"z{t - 1}-v7.parquet"
+        name = name_fmt.format(i=t - 1)
         part = tiled.filter(F.col("__t") == t).drop("__ce", "__cu", "__z", "__t")
         _write_one_file(part, table_dir, name)
         mm = part.agg(
@@ -967,6 +985,7 @@ def commit_optimistic(
     stats: dict | None = None,
     schema: list | None = None,
     file_schemas: dict | None = None,
+    deletes: list | None = None,
     max_attempts: int = 10,
 ) -> int:
     """Commit ``add_files``/``remove_files`` against whatever the head
@@ -1022,7 +1041,10 @@ def commit_optimistic(
             m["file_schemas"] = {
                 f: c for f, c in base["file_schemas"].items() if f in files
             }
-        if base.get("deletes"):
+        if deletes is not None:
+            if deletes:  # empty list = clear (a rewrite materialized them)
+                m["deletes"] = list(deletes)
+        elif base.get("deletes"):
             m["deletes"] = base["deletes"]
         try:
             _commit_exclusive(table_dir, head + 1, m)
@@ -1031,3 +1053,58 @@ def commit_optimistic(
         _set_head_at_least(table_dir, head + 1)
         return head + 1
     raise CommitConflict(f"lost {max_attempts} commit races on {table_dir}")
+
+
+def zorder_compact(spark: SparkSession, table_dir: str, n_files: int = _N_BUCKETS) -> int:
+    """OPTIMIZE ZORDER as a first-class maintenance op on a LIVE
+    events-schema snapshot table (VERDICT r12 #5): recluster the
+    current snapshot's content along Morton(event_id, user_id) into
+    ``n_files`` files with min/max stats on both dims, committed
+    through the optimistic protocol — every file the op read is
+    ``required``, so a concurrent rewrite of any of them turns this
+    commit into a CommitConflict instead of silently resurrecting
+    retired rows. Returns the committed version."""
+    head = max(live_versions(table_dir))
+    base = snapshot_manifest(table_dir, head)
+    df = read_snapshot(spark, table_dir, head)
+    files, stats = _write_zorder_files(
+        spark, table_dir, df, n_files, name_fmt=f"zopt{head}-{{i}}.parquet"
+    )
+    props = dict(base.get("properties") or {})
+    props["zorder_by"] = ["event_id", "user_id"]
+    # a maintenance commit gets its own stamp (or none): inheriting
+    # the base's committed_at would alias two versions in AS-OF reads
+    props.pop("committed_at", None)
+    return commit_optimistic(
+        table_dir,
+        add_files=files,
+        remove_files=base["files"],
+        required_files=base["files"],
+        op="zorder",
+        stats=stats,
+        properties=props,
+        # compaction materializes the base's MOR deletes and null-fills
+        # its schema groups into one layout: the child carries neither
+        schema=base.get("schema"),
+        file_schemas={},
+        deletes=[],
+    )
+
+
+def read_snapshot_as_of(
+    spark: SparkSession, table_dir: str, ts: str
+) -> DataFrame:
+    """Timestamp time travel (Delta ``TIMESTAMP AS OF``): serve the
+    LATEST snapshot whose ``committed_at`` property is <= ``ts``
+    (ISO-8601 strings compare lexicographically). Versions without a
+    stamp are invisible to timestamp travel (still reachable by
+    version); raises when nothing was committed by ``ts``."""
+    best = None
+    for v in live_versions(table_dir):
+        m = snapshot_manifest(table_dir, v)
+        committed = (m.get("properties") or {}).get("committed_at")
+        if committed is not None and committed <= ts:
+            best = v
+    if best is None:
+        raise ValueError(f"no snapshot of {table_dir} committed at or before {ts}")
+    return read_snapshot(spark, table_dir, best)

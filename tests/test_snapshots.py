@@ -584,3 +584,52 @@ def test_stream_commit_survives_concurrent_maintenance(spark, tmp_path):
     assert snap.vacuum(d) == [
         "batch-0000000000.parquet", "batch-0000000001.parquet"
     ]
+
+
+def test_zorder_compact_live_op_and_as_of_travel(spark, sf_dir, table_dir, tmp_path):
+    """OPTIMIZE ZORDER as a maintenance op on a live table: commits
+    v8 through the optimistic protocol with 2-dim stats, preserves
+    content exactly, and retires the old layout; TIMESTAMP AS OF
+    resolves the deterministic per-version stamps."""
+    import shutil
+
+    d = str(tmp_path / "opt_table")
+    shutil.copytree(table_dir, d)
+    v = snap.zorder_compact(spark, d)
+    assert v == 8
+    m = snap.snapshot_manifest(d, 8)
+    assert m["op"] == "zorder" and len(m["files"]) == 4
+    assert m.get("schema") == list(snap._COLS_V6)
+    assert "deletes" not in m and not m.get("file_schemas")
+    for f in m["files"]:
+        assert {
+            "min_event_id", "max_event_id", "min_user_id", "max_user_id"
+        } <= set(m["stats"][f])
+    v8 = snap.read_snapshot(spark, d, 8)
+    v7 = snap.read_snapshot(spark, table_dir, 7)
+    assert v8.exceptAll(v7).count() == 0 and v7.exceptAll(v8).count() == 0
+    # a commit that still depends on the retired layout conflicts
+    with pytest.raises(snap.CommitConflict, match="z0-v7"):
+        snap.commit_optimistic(d, remove_files=["z0-v7.parquet"], op="delete")
+    # the unstamped v8 maintenance commit is invisible to AS-OF
+    # (reachable by version only) while stamped history resolves
+    latest = snap.read_snapshot_as_of(spark, d, "2030-01-01T00:00:00Z")
+    assert latest.exceptAll(v7).count() == 0, "unstamped v8 leaked into AS-OF"
+    # old z files become vacuumable once their snapshots expire
+    for old_v in range(1, 8):
+        snap.expire_snapshot(d, old_v)
+    orphans = snap.vacuum(d)
+    assert {"z0-v7.parquet", "delete-v4-keys.parquet"} <= set(orphans)
+    assert not set(m["files"]) & set(orphans)
+
+    # AS-OF: between the v3 and v4 stamps resolves v3 (pre-delete);
+    # at the v7 stamp resolves v7; before v1 raises; the unstamped v8
+    # maintenance commit is invisible to timestamp travel
+    asof3 = snap.read_snapshot_as_of(spark, table_dir, "2024-01-03T12:00:00Z")
+    want3 = snap.read_snapshot(spark, table_dir, 3)
+    assert asof3.exceptAll(want3).count() == 0
+    assert want3.exceptAll(asof3).count() == 0
+    asof7 = snap.read_snapshot_as_of(spark, table_dir, "2024-01-07T00:00:00Z")
+    assert asof7.exceptAll(v7).count() == 0
+    with pytest.raises(ValueError, match="committed at or before"):
+        snap.read_snapshot_as_of(spark, table_dir, "2023-12-31T00:00:00Z")
