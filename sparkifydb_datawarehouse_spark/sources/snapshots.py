@@ -1108,3 +1108,55 @@ def read_snapshot_as_of(
     if best is None:
         raise ValueError(f"no snapshot of {table_dir} committed at or before {ts}")
     return read_snapshot(spark, table_dir, best)
+
+
+_ORACLE_SNAP_HISTORY = """
+SELECT CAST(version AS BIGINT) AS version, op,
+       CAST(parent AS BIGINT) AS parent,
+       CAST(n_files AS BIGINT) AS n_files,
+       CAST(n_deletes AS BIGINT) AS n_deletes,
+       committed_at
+FROM (VALUES
+  (1, 'create',  0, 4, 0, '2024-01-01T00:00:00Z'),
+  (2, 'merge',   1, 5, 0, '2024-01-02T00:00:00Z'),
+  (3, 'compact', 2, 4, 0, '2024-01-03T00:00:00Z'),
+  (4, 'delete',  3, 4, 1, '2024-01-04T00:00:00Z'),
+  (5, 'rewrite', 4, 5, 0, '2024-01-05T00:00:00Z'),
+  (6, 'append',  5, 6, 0, '2024-01-06T00:00:00Z'),
+  (7, 'zorder',  6, 4, 0, '2024-01-07T00:00:00Z')
+) AS t(version, op, parent, n_files, n_deletes, committed_at)
+ORDER BY version
+"""
+
+
+@query("q_snapshot_history", oracle=_ORACLE_SNAP_HISTORY)
+def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-history METADATA TABLE (the Iceberg ``table.snapshots``
+    / Delta ``DESCRIBE HISTORY`` shape): one row per live snapshot
+    with its operation, parent, file/delete-sidecar counts, and commit
+    timestamp — served entirely from the KB-sized manifests on the
+    driver, the same planning-phase split every table format makes
+    (no data file is opened). The history is a fixed contract of the
+    builder protocol, independent of data scale, so the oracle pins
+    it as constants: any drift in the protocol (an op renamed, a
+    bucket count changed, a sidecar dropped) breaks the value-hash.
+    ``parent`` 0 = none (the create snapshot)."""
+    d = events_snapshot_table(spark, sf_dir)
+    rows = []
+    for v in live_versions(d):
+        m = snapshot_manifest(d, v)
+        rows.append(
+            (
+                v,
+                m["op"],
+                m["parent"] or 0,
+                len(m["files"]),
+                len(m.get("deletes", [])),
+                (m.get("properties") or {}).get("committed_at"),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "version long, op string, parent long, n_files long,"
+        " n_deletes long, committed_at string",
+    ).orderBy("version")

@@ -307,6 +307,7 @@ _EMPTY_GATE_QUERIES = [
     "q_snapshot_schema_evolution",
     "q_snapshot_zorder_read",
     "q_tokenizer_oov",
+    "q_snapshot_history",
 ]
 
 
@@ -453,6 +454,8 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_snapshot_schema_evolution",
         "q_snapshot_zorder_read",
         "q_tokenizer_oov",
+        "q_snapshot_history",
+    "q_snapshot_history",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -591,6 +594,8 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_snapshot_schema_evolution",
         "q_snapshot_zorder_read",
         "q_tokenizer_oov",
+        "q_snapshot_history",
+    "q_snapshot_history",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

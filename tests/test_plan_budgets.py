@@ -289,6 +289,9 @@ EXCHANGE_BUDGETS = {
     # r13: 2-dim z-order pruned read — single intersecting-file scan
     # + final sort
     "q_snapshot_zorder_read": 1,
+    # r13: snapshot-history metadata table — driver-side manifest
+    # rows, one tiny sort exchange
+    "q_snapshot_history": 1,
     # r13: OOV rate — lang-word agg + train-word agg + distinct-types
     # exchange + final per-lang agg; all vocab-bounded after the scans
     "q_tokenizer_oov": 4,
