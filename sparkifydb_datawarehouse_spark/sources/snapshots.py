@@ -463,9 +463,28 @@ def read_snapshot(
         raise ValueError(
             f"snapshot v{m['version']} of {table_dir} names no data files"
         )
-    file_schemas = m.get("file_schemas") or {}
+    df = _read_files(
+        spark, table_dir, m["files"], m.get("file_schemas") or {}, m.get("schema")
+    )
+    for sidecar in m.get("deletes", []):
+        keys = spark.read.parquet(os.path.join(table_dir, sidecar))
+        key_col = (m.get("properties") or {}).get("delete_key", keys.columns[0])
+        df = df.join(F.broadcast(keys), on=key_col, how="left_anti")
+    return df
+
+
+def _read_files(
+    spark: SparkSession,
+    table_dir: str,
+    files: list,
+    file_schemas: dict,
+    schema: list | None,
+) -> DataFrame:
+    """Schema-grouped estate read: one scan PER SCHEMA GROUP (not per
+    file), null-filled into the table schema via
+    ``unionByName(allowMissingColumns=True)``."""
     groups: dict[tuple, list[str]] = {}
-    for f in m["files"]:
+    for f in files:
         key = tuple(file_schemas.get(f) or ())
         groups.setdefault(key, []).append(os.path.join(table_dir, f))
     frames = []
@@ -475,12 +494,8 @@ def read_snapshot(
     df = frames[0]
     for g in frames[1:]:
         df = df.unionByName(g, allowMissingColumns=True)
-    if m.get("schema"):
-        df = df.select(*m["schema"])
-    for sidecar in m.get("deletes", []):
-        keys = spark.read.parquet(os.path.join(table_dir, sidecar))
-        key_col = (m.get("properties") or {}).get("delete_key", keys.columns[0])
-        df = df.join(F.broadcast(keys), on=key_col, how="left_anti")
+    if schema:
+        df = df.select(*schema)
     return df
 
 
@@ -1160,3 +1175,165 @@ def snapshot_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "version long, op string, parent long, n_files long,"
         " n_deletes long, committed_at string",
     ).orderBy("version")
+
+
+# ---------------------------------------------------------------------------
+# MERGE INTO (upsert) as a live op: the write-path companion to
+# zorder_compact. COW scope is STATS-PRUNED — only data files whose
+# key-range stats overlap the update keys are rewritten (each
+# preserving its own clustering and schema), unmatched update rows
+# land in one append file, and the commit rides the optimistic
+# protocol with the touched files required. This is the
+# partition/file-pruned MERGE every lakehouse engine plans; at 100 TB
+# the rewrite cost is the overlapping fraction, never the table.
+# ---------------------------------------------------------------------------
+
+
+def merge_upsert(
+    spark: SparkSession, table_dir: str, updates: DataFrame, key: str = "event_id"
+) -> int:
+    """Upsert ``updates`` (matched keys replaced, new keys inserted)
+    into the current snapshot. Update rows must carry the table
+    schema. Returns the committed version."""
+    head = max(live_versions(table_dir))
+    base = snapshot_manifest(table_dir, head)
+    if base.get("deletes"):
+        raise ValueError(
+            "merge_upsert requires materialized deletes — run a "
+            "rewrite/compact of the MOR snapshot first"
+        )
+    stats = base.get("stats") or {}
+    updates = updates.localCheckpoint()
+    kr = updates.agg(F.min(key).alias("lo"), F.max(key).alias("hi")).first()
+    if kr["lo"] is None:
+        raise ValueError("updates carry no non-null keys")
+    kmin, kmax = kr["lo"], kr["hi"]
+
+    def may_overlap(f: str) -> bool:
+        st = stats.get(f) or {}
+        lo, hi = st.get(f"min_{key}"), st.get(f"max_{key}")
+        if lo is None or hi is None:
+            return True  # no stats: must assume the file may match
+        return not (hi < kmin or lo > kmax)
+
+    touched = [f for f in base["files"] if may_overlap(f)]
+    file_schemas = dict(base.get("file_schemas") or {})
+    upd_keys = updates.select(key).distinct()
+    # which stat columns the base tracks, so new files stay prunable
+    stat_cols = sorted(
+        {
+            c[len("min_") :]
+            for st in stats.values()
+            for c in st
+            if c.startswith("min_")
+        }
+    )
+
+    def file_stats(df: DataFrame) -> dict:
+        if not stat_cols:
+            return {}
+        aggs = []
+        for c in stat_cols:
+            aggs += [F.min(c).alias(f"lo_{c}"), F.max(c).alias(f"hi_{c}")]
+        row = df.agg(*aggs).first()
+        return {
+            k: (None if row[f"{p}_{c}"] is None else int(row[f"{p}_{c}"]))
+            for c in stat_cols
+            for k, p in ((f"min_{c}", "lo"), (f"max_{c}", "hi"))
+        }
+
+    new_stats = {f: st for f, st in stats.items() if f not in touched}
+    add_files = []
+    # rewrite each touched file in place-shape: its own clustering and
+    # column list survive, only matched keys leave
+    for f in touched:
+        cols = file_schemas.pop(f, None)
+        kept = _read_files(spark, table_dir, [f], {}, cols)
+        kept = kept.join(F.broadcast(upd_keys), on=key, how="left_anti")
+        name = f"merge{head + 1}-{f}"
+        _write_one_file(kept, table_dir, name)
+        if cols:
+            file_schemas[name] = cols
+        if stats:
+            new_stats[name] = file_stats(kept)
+        add_files.append(name)
+    upsert_name = f"merge{head + 1}-upserts.parquet"
+    target_schema = base.get("schema")
+    ups = updates.select(*target_schema) if target_schema else updates
+    _write_one_file(ups, table_dir, upsert_name)
+    if stats:
+        new_stats[upsert_name] = file_stats(ups)
+    add_files.append(upsert_name)
+    props = dict(base.get("properties") or {})
+    props.pop("committed_at", None)
+    props["merge_key"] = key
+    return commit_optimistic(
+        table_dir,
+        add_files=add_files,
+        remove_files=touched,
+        required_files=touched,
+        op="merge",
+        stats=new_stats if stats else None,
+        properties=props,
+        schema=target_schema,
+        file_schemas=file_schemas,
+    )
+
+
+_MERGE_KEY_LIMIT = 10
+_MERGE_BUMP = 1000
+_MERGE_SOURCE = "upsert"
+
+_ORACLE_SNAP_MERGE = f"""
+WITH {_SQL_V5_CONTENT},
+v6 AS (
+  SELECT event_id, user_id, event_type, value, ts,
+         CAST(NULL AS VARCHAR) AS source
+  FROM v5
+  UNION ALL
+  SELECT event_id + {_EVOLVE_OFFSET}, user_id, event_type, value, ts,
+         '{_EVOLVE_SOURCE}'
+  FROM events WHERE event_id < {_EVOLVE_KEY_LIMIT}
+),
+upd AS (
+  SELECT event_id, user_id, event_type, value + {_MERGE_BUMP} AS value, ts,
+         '{_MERGE_SOURCE}' AS source
+  FROM events WHERE event_id < {_MERGE_KEY_LIMIT}
+)
+SELECT event_id, user_id, event_type, value, ts, source FROM (
+  SELECT * FROM v6
+  WHERE event_id NOT IN (SELECT event_id FROM upd)
+  UNION ALL
+  SELECT * FROM upd
+)
+ORDER BY event_id
+"""
+
+
+@query("q_snapshot_merge_upsert", oracle=_ORACLE_SNAP_MERGE)
+def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) on the live snapshot table: base keys < 10
+    get value + 1000 and an 'upsert' source tag — key 7 was DELETED in
+    v5, so the same statement exercises the UPDATE path (keys present
+    in v7) and the INSERT path (key 7 re-inserted) at once. The op
+    runs on a cached COPY of the fixture table (a registered query
+    must never mutate shared state); only the z-order files whose
+    key-range stats overlap [0, 10) are rewritten, each preserving
+    its own clustering — the plan pytest pins the untouched files.
+    Read back through the ordinary HEAD read."""
+    src = events_snapshot_table(spark, sf_dir)
+    tag = os.path.basename(src.rstrip("/")) + "-merged-v1"
+    d = os.path.join(tempfile.gettempdir(), tag)
+    if not os.path.exists(os.path.join(d, "HEAD.json")):
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.copytree(src, d)
+        updates = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_id") < _MERGE_KEY_LIMIT)
+            .select(*_COLS)
+            .withColumn("value", F.col("value") + _MERGE_BUMP)
+            .withColumn("source", F.lit(_MERGE_SOURCE))
+        )
+        if updates.limit(1).count():  # degenerate fixtures: no keys, no-op
+            merge_upsert(spark, d, updates)
+    return read_snapshot(spark, d).select(*_COLS_V6).orderBy("event_id")

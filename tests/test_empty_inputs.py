@@ -308,6 +308,7 @@ _EMPTY_GATE_QUERIES = [
     "q_snapshot_zorder_read",
     "q_tokenizer_oov",
     "q_snapshot_history",
+    "q_snapshot_merge_upsert",
 ]
 
 
@@ -455,7 +456,10 @@ def null_sf_dir(spark, tmp_path_factory):
         "q_snapshot_zorder_read",
         "q_tokenizer_oov",
         "q_snapshot_history",
+        "q_snapshot_merge_upsert",
+    "q_snapshot_merge_upsert",
     "q_snapshot_history",
+    "q_snapshot_merge_upsert",
     ],
 )
 def test_query_survives_null_slices(spark, null_sf_dir, qid):
@@ -595,7 +599,10 @@ def one_row_sf_dir(spark, tmp_path_factory):
         "q_snapshot_zorder_read",
         "q_tokenizer_oov",
         "q_snapshot_history",
+        "q_snapshot_merge_upsert",
+    "q_snapshot_merge_upsert",
     "q_snapshot_history",
+    "q_snapshot_merge_upsert",
     ],
 )
 def test_query_survives_single_row(spark, one_row_sf_dir, qid):

@@ -292,6 +292,10 @@ EXCHANGE_BUDGETS = {
     # r13: snapshot-history metadata table — driver-side manifest
     # rows, one tiny sort exchange
     "q_snapshot_history": 1,
+    # r13: MERGE read-back — ordinary HEAD read of the merged copy
+    # (2 schema-group scans union + final sort; the merge itself runs
+    # at fixture-build time through the optimistic protocol)
+    "q_snapshot_merge_upsert": 1,
     # r13: OOV rate — lang-word agg + train-word agg + distinct-types
     # exchange + final per-lang agg; all vocab-bounded after the scans
     "q_tokenizer_oov": 4,

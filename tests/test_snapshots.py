@@ -633,3 +633,55 @@ def test_zorder_compact_live_op_and_as_of_travel(spark, sf_dir, table_dir, tmp_p
     assert asof7.exceptAll(v7).count() == 0
     with pytest.raises(ValueError, match="committed at or before"):
         snap.read_snapshot_as_of(spark, table_dir, "2023-12-31T00:00:00Z")
+
+
+def test_merge_upsert_stats_pruned_cow_scope(spark, sf_dir):
+    """MERGE INTO on the live table: only the z-order files whose
+    key-range stats overlap the update keys are rewritten (each
+    keeping its own clustering), unmatched rows land in one append
+    file, untouched files stay shared by reference, and the new
+    files carry recomputed 2-dim stats so later reads keep pruning."""
+    from sparkifydb_datawarehouse_spark import registry
+
+    registry.load_all_modules()
+    df = registry.QUERIES["q_snapshot_merge_upsert"](spark, sf_dir)
+    rows = {r["event_id"]: r for r in df.collect()}
+    # UPDATE path: key 8 existed in v7 (merged value +100) — the
+    # upsert REPLACES it with base value + 1000 and the source tag
+    base = load_table(spark, sf_dir, "events")
+    b8 = base.filter(F.col("event_id") == 8).first()
+    assert abs(rows[8]["value"] - (b8["value"] + 1000)) < 1e-9
+    assert rows[8]["source"] == snap._MERGE_SOURCE
+    # INSERT path: key 7 was deleted in v5 and comes back via upsert
+    assert rows[7]["source"] == snap._MERGE_SOURCE
+    # untouched rows keep their v7 state: key 13 (odd, not %4==0, not
+    # in the update range) is byte-identical to base with null source
+    b13 = base.filter(F.col("event_id") == 13).first()
+    assert rows[13]["source"] is None and rows[13]["value"] == b13["value"]
+    # and key 12 (%4==0, outside the update range) keeps its v2 merge
+    b12 = base.filter(F.col("event_id") == 12).first()
+    assert rows[12]["source"] is None
+    assert abs(rows[12]["value"] - (b12["value"] + 100)) < 1e-9
+
+    src = snap.events_snapshot_table(spark, sf_dir)
+    d = os.path.join(
+        os.path.dirname(src), os.path.basename(src.rstrip("/")) + "-merged-v1"
+    )
+    m7 = snap.snapshot_manifest(d, 7)
+    m8 = snap.snapshot_manifest(d, 8)
+    assert m8["op"] == "merge"
+    touched = [f for f in m7["files"] if f not in m8["files"]]
+    shared = [f for f in m7["files"] if f in m8["files"]]
+    assert touched and shared, (touched, shared)
+    # stats-pruned scope: every untouched file's key range excludes
+    # the update keys; every touched file's range overlaps them
+    for f in shared:
+        assert m7["stats"][f]["min_event_id"] > snap._MERGE_KEY_LIMIT - 1
+    for f in touched:
+        assert m7["stats"][f]["min_event_id"] <= snap._MERGE_KEY_LIMIT - 1
+    # rewritten + upsert files carry recomputed stats on BOTH dims
+    for f in m8["files"]:
+        assert {"min_event_id", "min_user_id"} <= set(m8["stats"][f])
+    assert f"merge8-upserts.parquet" in m8["files"]
+    # matched keys are gone from every rewritten file (no duplicates)
+    assert df.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
