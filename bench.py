@@ -169,6 +169,7 @@ HEADLINE = [
     "q_snapshot_delete_mor",  # r13: merge-on-read delete (broadcast sidecar anti-join)
     "q_snapshot_zorder_read",  # r13: 2-dim z-order stats-pruned read
     "q_tokenizer_oov",  # r13: apply-time [UNK] rate under a 5% train slice
+    "q_snapshot_merge_upsert",  # r13: stats-pruned COW MERGE read-back
 ]
 
 
