@@ -439,7 +439,17 @@ def snapshot_manifest(table_dir: str, version: int | None = None) -> dict:
     split every table format makes)."""
     if version is None:
         with open(os.path.join(table_dir, "HEAD.json")) as fh:
-            version = json.load(fh)["current"]
+            doc = json.load(fh)
+        version = (doc.get("refs") or {}).get("main", doc.get("current", 0))
+        if not version:
+            raise ValueError(
+                f"{table_dir} has no published main snapshot (unpublished "
+                "branch commits are read via read_ref)"
+            )
+    if os.path.exists(
+        os.path.join(table_dir, f"manifest-v{version}.json.expired")
+    ):
+        raise ValueError(f"snapshot v{version} is expired")
     with open(os.path.join(table_dir, f"manifest-v{version}.json")) as fh:
         return json.load(fh)
 
@@ -706,7 +716,9 @@ def snapshot_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def live_versions(table_dir: str) -> list[int]:
+def _all_versions(table_dir: str) -> list[int]:
+    """Every version number ever claimed, expired or not — the
+    append-only number space optimistic commits allocate from."""
     out = []
     for f in os.listdir(table_dir):
         if f.startswith("manifest-v") and f.endswith(".json"):
@@ -714,17 +726,34 @@ def live_versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
+def live_versions(table_dir: str) -> list[int]:
+    """Non-expired versions (expiry leaves a ``.expired`` marker and
+    keeps the manifest file, so the number is never reused)."""
+    return [
+        v
+        for v in _all_versions(table_dir)
+        if not os.path.exists(
+            os.path.join(table_dir, f"manifest-v{v}.json.expired")
+        )
+    ]
+
+
 def expire_snapshot(table_dir: str, version: int) -> None:
     """Drop one snapshot's manifest (metadata-only; data files stay
     until vacuum). Refuses to expire HEAD."""
-    with open(os.path.join(table_dir, "HEAD.json")) as fh:
-        current = json.load(fh)["current"]
-    if version == current:
-        raise ValueError(f"cannot expire HEAD snapshot v{version}")
+    doc = _head_doc(table_dir)
+    holders = sorted(r for r, v in doc["refs"].items() if v == version)
+    if version == doc.get("current") or holders:
+        label = ",".join(holders) or "HEAD"
+        raise ValueError(f"cannot expire snapshot v{version}: ref {label}")
     path = os.path.join(table_dir, f"manifest-v{version}.json")
     if not os.path.exists(path):
         raise FileNotFoundError(f"no manifest-v{version}.json")
-    os.remove(path)
+    # tombstone, don't delete: the manifest file keeps its version
+    # number claimed forever, so optimistic commits can never hand the
+    # number to a new history (stale readers + time travel stay sane)
+    with open(path + ".expired", "w") as fh:
+        fh.write("")
 
 
 def vacuum(table_dir: str, dry_run: bool = True) -> list[str]:
@@ -928,24 +957,47 @@ def commit_stream_batch(batch_df: DataFrame, batch_id: int, table_dir: str) -> i
     )
 
 
-def _set_head_at_least(table_dir: str, version: int) -> None:
-    """Atomic HEAD swap that only ever moves forward (idempotent under
-    replay; a stale replay can never rewind a newer commit). HEAD is a
-    read-side convenience pointer — the manifests themselves are the
-    committed truth (multi-writer races resolve on the manifest claim,
-    and a reader that needs the absolute latest uses live_versions)."""
+def _head_doc(table_dir: str) -> dict:
+    """HEAD.json as a refs document. Back-compat: a bare
+    ``{"current": N}`` (pre-branch format) reads as refs {main: N};
+    ``current`` always mirrors the main ref for old readers."""
+    head_path = os.path.join(table_dir, "HEAD.json")
+    if not os.path.exists(head_path):
+        return {"current": 0, "refs": {}}
+    with open(head_path) as fh:
+        doc = json.load(fh)
+    doc.setdefault("refs", {})
+    if "main" not in doc["refs"] and doc.get("current"):
+        doc["refs"]["main"] = doc["current"]
+    return doc
+
+
+def _write_head_doc(table_dir: str, doc: dict) -> None:
     import uuid as _uuid
 
+    doc = dict(doc)
+    doc["current"] = doc.get("refs", {}).get("main", doc.get("current", 0))
     head_path = os.path.join(table_dir, "HEAD.json")
-    current = None
-    if os.path.exists(head_path):
-        with open(head_path) as fh:
-            current = json.load(fh)["current"]
-    if current is None or current < version:
-        tmp = f"{head_path}.{_uuid.uuid4().hex}.tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"current": version}, fh)
-        os.replace(tmp, head_path)
+    tmp = f"{head_path}.{_uuid.uuid4().hex}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(doc, fh)
+    os.replace(tmp, head_path)
+
+
+def _advance_ref(table_dir: str, name: str, version: int) -> None:
+    """Forward-only ref move (idempotent under replay; a stale replay
+    can never rewind a newer commit). Refs are read-side convenience
+    pointers — the manifests themselves are the committed truth
+    (multi-writer races resolve on the manifest claim, and a reader
+    that needs the absolute latest uses live_versions)."""
+    doc = _head_doc(table_dir)
+    if doc["refs"].get(name, 0) < version:
+        doc["refs"][name] = version
+        _write_head_doc(table_dir, doc)
+
+
+def _set_head_at_least(table_dir: str, version: int) -> None:
+    _advance_ref(table_dir, "main", version)
 
 
 # ---------------------------------------------------------------------------
@@ -1002,6 +1054,7 @@ def commit_optimistic(
     file_schemas: dict | None = None,
     deletes: list | None = None,
     max_attempts: int = 10,
+    ref: str = "main",
 ) -> int:
     """Commit ``add_files``/``remove_files`` against whatever the head
     is WHEN THE CLAIM LANDS. Data files must already be fully written
@@ -1022,13 +1075,30 @@ def commit_optimistic(
                  **({"schema": schema} if schema else {}),
                  **({"file_schemas": file_schemas} if file_schemas else {})},
             )
-            _set_head_at_least(table_dir, 1)
+            _advance_ref(table_dir, ref, 1)
             return 1
         except FileExistsError:
             pass  # someone else bootstrapped; fall through to CAS loop
     required = set(required_files) | set(remove_files)
     for _ in range(max_attempts):
-        head = max(live_versions(table_dir))
+        # ONE directory snapshot per attempt: numbering consumes from
+        # ALL versions ever claimed (expiry tombstones a manifest but
+        # never frees its number), and the base is the latest LIVE
+        # version of the SAME listing. That pairing is what keeps the
+        # CAS sound — my claim of nxt succeeding proves no live commit
+        # landed after the base I read; a second listing (or a freed
+        # number) would let a racing writer land between base and
+        # claim and be silently dropped from my file list.
+        all_vs = _all_versions(table_dir)
+        live = [
+            v
+            for v in all_vs
+            if not os.path.exists(
+                os.path.join(table_dir, f"manifest-v{v}.json.expired")
+            )
+        ]
+        head = max(live)
+        nxt = max(all_vs) + 1
         base = snapshot_manifest(table_dir, head)
         missing = sorted(required - set(base["files"]))
         if missing:
@@ -1039,7 +1109,7 @@ def commit_optimistic(
             )
         files = [f for f in base["files"] if f not in set(remove_files)]
         files += [f for f in add_files if f not in files]
-        m = {"version": head + 1, "files": files, "parent": head, "op": op}
+        m = {"version": nxt, "files": files, "parent": head, "op": op}
         if properties is not None:
             m["properties"] = properties
         if stats is not None:
@@ -1062,11 +1132,11 @@ def commit_optimistic(
         elif base.get("deletes"):
             m["deletes"] = base["deletes"]
         try:
-            _commit_exclusive(table_dir, head + 1, m)
+            _commit_exclusive(table_dir, nxt, m)
         except FileExistsError:
             continue  # lost the race — rebase onto the new head
-        _set_head_at_least(table_dir, head + 1)
-        return head + 1
+        _advance_ref(table_dir, ref, nxt)
+        return nxt
     raise CommitConflict(f"lost {max_attempts} commit races on {table_dir}")
 
 
@@ -1337,3 +1407,71 @@ def snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         if updates.limit(1).count():  # degenerate fixtures: no keys, no-op
             merge_upsert(spark, d, updates)
     return read_snapshot(spark, d).select(*_COLS_V6).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Branch refs + write-audit-publish (round 13): the production guard
+# for training-data drops. A new batch commits to an AUDIT ref (main
+# never moves), validation queries run against read_ref("audit"), and
+# only a passing drop is PUBLISHED — a fast-forward of main to the
+# audited snapshot, pure metadata. A failing drop is dropped + expired
+# + vacuumed without main ever having exposed it. Iceberg branches /
+# the WAP pattern, minimally.
+# ---------------------------------------------------------------------------
+
+
+def table_refs(table_dir: str) -> dict:
+    """Name → snapshot version for every ref (main included)."""
+    return dict(_head_doc(table_dir)["refs"])
+
+
+def create_ref(table_dir: str, name: str, version: int | None = None) -> None:
+    """Point a new ref at ``version`` (default: main's snapshot)."""
+    doc = _head_doc(table_dir)
+    if name in doc["refs"]:
+        raise ValueError(f"ref {name!r} already exists")
+    if version is None:
+        version = doc["refs"].get("main")
+    if not version or version not in live_versions(table_dir):
+        raise ValueError(f"no live snapshot v{version} to point {name!r} at")
+    doc["refs"][name] = version
+    _write_head_doc(table_dir, doc)
+
+
+def drop_ref(table_dir: str, name: str) -> None:
+    """Remove a ref (its snapshots become expirable). main is
+    protected — a table always has a published line."""
+    if name == "main":
+        raise ValueError("cannot drop the main ref")
+    doc = _head_doc(table_dir)
+    if name not in doc["refs"]:
+        raise ValueError(f"no ref {name!r}")
+    del doc["refs"][name]
+    _write_head_doc(table_dir, doc)
+
+
+def publish_ref(table_dir: str, from_ref: str, to_ref: str = "main") -> int:
+    """Fast-forward ``to_ref`` to ``from_ref``'s snapshot (the WAP
+    publish step — pure metadata, no data file moves). Refuses a
+    backward move: publishing can only expose NEWER audited state."""
+    doc = _head_doc(table_dir)
+    src = doc["refs"].get(from_ref)
+    if src is None:
+        raise ValueError(f"no ref {from_ref!r}")
+    dst = doc["refs"].get(to_ref, 0)
+    if src < dst:
+        raise ValueError(
+            f"cannot fast-forward {to_ref!r} backward (v{dst} -> v{src})"
+        )
+    doc["refs"][to_ref] = src
+    _write_head_doc(table_dir, doc)
+    return src
+
+
+def read_ref(spark: SparkSession, table_dir: str, name: str) -> DataFrame:
+    """Read the snapshot a ref points at (audit-side validation reads
+    run here while main stays untouched)."""
+    version = _head_doc(table_dir)["refs"].get(name)
+    if version is None:
+        raise ValueError(f"no ref {name!r}")
+    return read_snapshot(spark, table_dir, version)

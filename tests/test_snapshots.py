@@ -139,8 +139,8 @@ def test_expire_and_vacuum_lifecycle(spark, sf_dir, table_dir, tmp_path):
     d = str(tmp_path / "table_copy")
     shutil.copytree(table_dir, d)
     assert snap.live_versions(d) == [1, 2, 3, 4, 5, 6, 7]
-    # HEAD is protected
-    with pytest.raises(ValueError, match="HEAD"):
+    # the main ref (HEAD) is protected
+    with pytest.raises(ValueError, match="main"):
         snap.expire_snapshot(d, 7)
     # nothing is orphaned while all manifests live — including the
     # v4 delete SIDECAR, which vacuum must treat as referenced data
@@ -685,3 +685,54 @@ def test_merge_upsert_stats_pruned_cow_scope(spark, sf_dir):
     assert f"merge8-upserts.parquet" in m8["files"]
     # matched keys are gone from every rewritten file (no duplicates)
     assert df.groupBy("event_id").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_write_audit_publish_flow(spark, tmp_path):
+    """WAP: a data drop commits to an audit ref (main never moves),
+    validation reads the audit branch, a FAILING drop is dropped +
+    expired + vacuumed without main ever exposing it, and a passing
+    drop publishes as a pure-metadata fast-forward of main."""
+    mk = lambda *rows: spark.createDataFrame(list(rows), "k long, v string")
+    d = str(tmp_path / "wap_table")
+    snap.commit_stream_batch(mk((1, "a")), 0, d)
+    snap.commit_stream_batch(mk((2, "b")), 1, d)
+    assert snap.table_refs(d) == {"main": 2}
+
+    # stage a BAD drop on the audit ref: main must not move
+    snap._write_one_file(mk((None, "bad")), d, "drop-bad.parquet")
+    v_bad = snap.commit_optimistic(
+        d, add_files=["drop-bad.parquet"], op="stage", ref="audit"
+    )
+    assert v_bad == 3
+    assert snap.table_refs(d) == {"main": 2, "audit": 3}
+    assert snap.read_snapshot(spark, d).count() == 2, "main leaked the drop"
+    audit = snap.read_ref(spark, d, "audit")
+    # validation: null keys → refuse to publish
+    assert audit.filter(F.col("k").isNull()).count() == 1
+    # a ref'd snapshot cannot be expired out from under the audit
+    with pytest.raises(ValueError, match="audit"):
+        snap.expire_snapshot(d, 3)
+    snap.drop_ref(d, "audit")
+    snap.expire_snapshot(d, 3)
+    assert snap.vacuum(d, dry_run=False) == ["drop-bad.parquet"]
+
+    # stage a GOOD drop and publish
+    snap._write_one_file(mk((3, "c")), d, "drop-good.parquet")
+    snap.commit_optimistic(
+        d, add_files=["drop-good.parquet"], op="stage", ref="audit"
+    )
+    audit = snap.read_ref(spark, d, "audit")
+    assert audit.filter(F.col("k").isNull()).count() == 0
+    published = snap.publish_ref(d, "audit")
+    assert published == 4 and snap.table_refs(d)["main"] == 4
+    rows = {(r["k"], r["v"]) for r in snap.read_snapshot(spark, d).collect()}
+    assert rows == {(1, "a"), (2, "b"), (3, "c")}
+    # publish is fast-forward-only
+    snap.create_ref(d, "old", version=1)
+    with pytest.raises(ValueError, match="backward"):
+        snap.publish_ref(d, "old")
+    # main is protected; unknown refs error loudly
+    with pytest.raises(ValueError, match="main"):
+        snap.drop_ref(d, "main")
+    with pytest.raises(ValueError, match="nope"):
+        snap.read_ref(spark, d, "nope")
