@@ -74,7 +74,18 @@ the new head automatically; operations that read or rewrote files
 (deletes, compactions) declare them required and refuse with
 ``CommitConflict`` when a concurrent commit retired them. The
 streaming sink rides the same CAS, so streams and maintenance ops
-interleave safely (thread-pool and injected-race pytests).
+interleave safely (thread-pool and injected-race pytests). Expiry
+TOMBSTONES manifests rather than deleting them — version numbers are
+never reused, which is load-bearing for the CAS (see expire_snapshot).
+
+Branch refs + write-audit-publish: HEAD.json carries named refs;
+``commit_optimistic(..., ref="audit")`` stages a drop without moving
+main, validation reads ``read_ref``, ``publish_ref`` fast-forwards
+main as pure metadata — the WAP guard a training-data pipeline puts
+in front of every corpus drop. Ref moves are advisory read-modify-
+write (forward-only, manifests stay the truth); data commits race
+safely through the manifest CAS, ref ADMINISTRATION (create/drop/
+publish) assumes one coordinator, as catalog-level operations do.
 """
 
 from __future__ import annotations
