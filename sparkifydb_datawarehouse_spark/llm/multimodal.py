@@ -296,6 +296,46 @@ def decode_image(blob: bytes) -> dict:
     )
 
 
+def _codec_query(
+    docs: DataFrame,
+    attach_fn,
+    decode_fn,
+    schema: StructType,
+    order_cols: tuple = ("doc_id",),
+) -> DataFrame:
+    """Shared plan for every decode-family query (optimization round
+    13, guide §2.4/§4.1). Two changes vs the round-10 shape
+    (round-robin spread → attach mapInPandas → decode mapInPandas →
+    global orderBy), results byte-identical including row order:
+
+    - ``repartitionByRange`` on the OUTPUT order key BEFORE the codec
+      work. The old final ``orderBy`` put a range exchange ABOVE the
+      codec chain, and the range partitioner's bound-sampling pass
+      re-executes its child — so every encode+decode ran TWICE per
+      action. Ranging the bare doc_id scan instead makes the sampling
+      pass re-read only doc_ids, and the partitions come out already
+      globally ordered by the key (measured on
+      q_multimodal_decode_webp_anim at sf0.1: 5.63 → 2.38 s min-of-3
+      interleaved, rows + order equal).
+    - ONE fused mapInPandas: attach and decode compose as batch
+      iterators, so media payloads are born and die inside a single
+      Python worker pass instead of crossing the JVM↔Python Arrow
+      boundary between two ArrowEval nodes (2 → 1 in the plan).
+    - ``sortWithinPartitions`` keeps the declared per-key order
+      (frame_idx etc.); cross-partition order is the range
+      partitioning's.
+    """
+    spark = docs.sparkSession
+    spread = docs.repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+
+    def fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        return decode_fn(attach_fn(batches))
+
+    return spread.mapInPandas(fused, schema).sortWithinPartitions(*order_cols)
+
+
 # ---------------------------------------------------------------------------
 # REAL decode path, oracle-checked end-to-end: plant genuine P6 PPM
 # bytes (deterministic gradient from doc_id), decode them with the
@@ -394,14 +434,7 @@ def multimodal_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     features that leave mapInPandas are seven fixed-width columns,
     payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_ppm,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_ppm_features, _DECODE_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_ppm, _decode_ppm_features, _DECODE_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -507,14 +540,7 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     (encode+inflate+unfilter is real per-row CPU), fixed-width feature
     columns leave mapInPandas, payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_png,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_png_features, _PNG_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_png, _decode_png_features, _PNG_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -575,14 +601,7 @@ def multimodal_decode_webp(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan spread first, fixed-width feature columns leave mapInPandas,
     payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_webp,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_png_features, _PNG_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_webp, _decode_png_features, _PNG_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -678,14 +697,7 @@ def multimodal_decode_webp_lossy(spark: SparkSession, sf_dir: str) -> DataFrame:
     real per-row CPU), fixed-width feature columns leave mapInPandas,
     payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_webp_lossy,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_webp_lossy, _decode_jpeg_features, _JPEG_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -802,14 +814,7 @@ def multimodal_decode_webp_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     every decode path: scan spread, per-doc CPU in mapInPandas,
     payloads never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_webp_alpha,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_rgba_features, _RGBA_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_webp_alpha, _decode_rgba_features, _RGBA_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1031,14 +1036,12 @@ def dedup_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     theorem), closed-form class sizes."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_phash_png,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    hashes = media.mapInPandas(
-        _dhash_batch,
+    # fused encode→decode→dHash (optimization round 13, guide §4.1):
+    # PNG payloads are born and die inside ONE Python worker pass —
+    # they no longer cross the JVM↔Python Arrow boundary between two
+    # ArrowEval nodes; only (doc_id, img_class, dhash) returns
+    hashes = spread.mapInPandas(
+        lambda batches: _dhash_batch(_attach_phash_png(batches)),
         StructType(
             [
                 StructField("doc_id", LongType()),
@@ -1075,15 +1078,12 @@ def multimodal_decode_webp_anim(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the planted constants' closed form. Frame payloads never
     shuffle; only fixed-width per-frame rows leave mapInPandas."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
+    return _codec_query(
+        docs,
         _attach_webp_anim,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_webp_anim_sampled, _GIF_FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
+        _decode_webp_anim_sampled,
+        _GIF_FRAME_SCHEMA,
+        ("doc_id", "frame_idx"),
     )
 
 
@@ -1465,15 +1465,12 @@ def multimodal_decode_gif_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted raster's closed form. Frame payloads never shuffle; only
     fixed-width per-frame rows leave mapInPandas."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
+    return _codec_query(
+        docs,
         _attach_gif,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_gif_sampled, _GIF_FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_idx"
+        _decode_gif_sampled,
+        _GIF_FRAME_SCHEMA,
+        ("doc_id", "frame_idx"),
     )
 
 
@@ -1513,14 +1510,7 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     image decode paths: scan spread first, fixed-width features leave
     mapInPandas, PCM bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_wav,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_wav_features, _WAV_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_wav, _decode_wav_features, _WAV_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1652,14 +1642,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan spread first (entropy decode is real per-row CPU), fixed-width
     feature columns leave mapInPandas, payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_jpeg,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_jpeg, _decode_jpeg_features, _JPEG_SCHEMA)
 
 
 def _attach_jpeg_progressive(
@@ -1705,14 +1688,9 @@ def multimodal_decode_jpeg_progressive(
     tests/test_codecs_jpeg.py's progressive==baseline pixel-equality
     fuzz over random coefficient grids."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_jpeg_progressive,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
+    return _codec_query(
+        docs, _attach_jpeg_progressive, _decode_jpeg_features, _JPEG_SCHEMA
     )
-    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
 
 
 def _attach_jpeg_arith(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1785,14 +1763,9 @@ def multimodal_decode_jpeg_prog_arith(
     layer on arbitrary coefficients is pinned by
     tests/test_codecs_jpeg_arith.py's SOF10==baseline pixel fuzz."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_jpeg_prog_arith,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
+    return _codec_query(
+        docs, _attach_jpeg_prog_arith, _decode_jpeg_features, _JPEG_SCHEMA
     )
-    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
 
 
 @query("q_multimodal_decode_jpeg_arith", oracle=_ORACLE_DECODE_JPEG)
@@ -1809,14 +1782,7 @@ def multimodal_decode_jpeg_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan spread first, fixed-width features leave mapInPandas, payload
     bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_jpeg_arith,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_jpeg_features, _JPEG_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_jpeg_arith, _decode_jpeg_features, _JPEG_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -1951,15 +1917,8 @@ def multimodal_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
     path: scan spread first (decode is per-row CPU), fixed-width
     feature columns leave mapInPandas, payload bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_qoi,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_rgba_features_zero_alpha, _RGBA_SCHEMA).orderBy(
-        "doc_id"
+    return _codec_query(
+        docs, _attach_qoi, _decode_rgba_features_zero_alpha, _RGBA_SCHEMA
     )
 
 
@@ -2054,15 +2013,8 @@ def multimodal_decode_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decode-family floor plan: scan spread, per-doc CPU in mapInPandas,
     payloads never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_tiff,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_rgba_features_zero_alpha, _RGBA_SCHEMA).orderBy(
-        "doc_id"
+    return _codec_query(
+        docs, _attach_tiff, _decode_rgba_features_zero_alpha, _RGBA_SCHEMA
     )
 
 
@@ -2170,11 +2122,4 @@ def multimodal_decode_flac(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape as the WAV path: scan spread, per-doc CPU in mapInPandas,
     compressed audio bytes never shuffle."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    spread = docs.repartition(spark.sparkContext.defaultParallelism)
-    media = spread.mapInPandas(
-        _attach_flac,
-        StructType(
-            [StructField("doc_id", LongType()), StructField("media", BinaryType())]
-        ),
-    )
-    return media.mapInPandas(_decode_flac_features, _WAV_SCHEMA).orderBy("doc_id")
+    return _codec_query(docs, _attach_flac, _decode_flac_features, _WAV_SCHEMA)
