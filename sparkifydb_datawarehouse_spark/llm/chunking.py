@@ -62,7 +62,13 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document (overlap = CHUNK_TOKENS - STRIDE), with per-chunk
     token counts. chunk_idx is dense per doc; the final chunk may be
     short but always contributes at least one new token."""
-    docs = load_table(spark, sf_dir, "documents")
+    # range-partition by the output key BEFORE the tokenize+explode
+    # (optimization r13, guide §2.4): the old final orderBy's bound
+    # sampling re-executed the whole chunking chain a second time,
+    # and the single-file scan ran it on one task
+    docs = load_table(spark, sf_dir, "documents").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: t != "")
     base = docs.select("doc_id", toks.alias("toks")).filter(F.size("toks") > 0)
     return (
@@ -82,7 +88,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ", F.slice("toks", F.col("start") + 1, CHUNK_TOKENS)
             ).alias("chunk_text"),
         )
-        .orderBy("doc_id", "chunk_idx")
+        .sortWithinPartitions("doc_id", "chunk_idx")
     )
 
 

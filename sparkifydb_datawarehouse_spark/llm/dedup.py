@@ -787,6 +787,10 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_a", "vec_b", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") > _COS_THRESHOLD)
+        # compute the Arrow dot exactly once (optimization r13, guide
+        # §2.4): the final sort's range sampling re-ran the in-band
+        # join + cosine a second time; the surviving pairs are tiny
+        .localCheckpoint(eager=False)
         .orderBy("vec_a", "vec_b")
     )
 

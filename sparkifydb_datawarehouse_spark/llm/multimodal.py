@@ -228,12 +228,17 @@ ORDER BY doc_id
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → fake media binary column → Arrow-batched feature
     extraction via mapInPandas."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = attach_fake_media(docs)
-    return (
-        media.mapInPandas(_extract_features, schema=_FEATURE_SCHEMA)
-        .orderBy("doc_id")
+    # range-partition by the output key BEFORE the Python work
+    # (optimization r13, guide §2.4): the old final orderBy's bound
+    # sampling re-executed the whole media+feature chain a second
+    # time, and the single-file scan ran it on one task
+    docs = load_table(spark, sf_dir, "documents").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    media = attach_fake_media(docs)
+    return media.mapInPandas(
+        _extract_features, schema=_FEATURE_SCHEMA
+    ).sortWithinPartitions("doc_id")
 
 
 def decode_image(blob: bytes) -> dict:
@@ -1136,10 +1141,16 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary plus its new metadata (payload bytes stay in the row only
     until the next projection — callers selecting metadata columns
     never shuffle the blobs)."""
-    docs = load_table(spark, sf_dir, "documents")
+    # same range-first + sortWithinPartitions shape as
+    # multimodal_features (r13: no sampling re-execution, spread scan)
+    docs = load_table(spark, sf_dir, "documents").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     media = attach_fake_media(docs)
     resized = media.mapInPandas(_resize_batch, schema=_RESIZED_SCHEMA)
-    return resized.select("doc_id", "width", "height", "n_bytes").orderBy("doc_id")
+    return resized.select(
+        "doc_id", "width", "height", "n_bytes"
+    ).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1179,11 +1190,15 @@ def _sample_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample every 4th 32-byte 'frame' of each fake video payload —
     one output row per sampled frame."""
-    docs = load_table(spark, sf_dir, "documents")
-    media = attach_fake_media(docs)
-    return media.mapInPandas(_sample_frames, schema=_FRAME_SCHEMA).orderBy(
-        "doc_id", "frame_no"
+    # same range-first + sortWithinPartitions shape as
+    # multimodal_features (r13: no sampling re-execution, spread scan)
+    docs = load_table(spark, sf_dir, "documents").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    media = attach_fake_media(docs)
+    return media.mapInPandas(
+        _sample_frames, schema=_FRAME_SCHEMA
+    ).sortWithinPartitions("doc_id", "frame_no")
 
 
 # ---------------------------------------------------------------------------
@@ -1257,12 +1272,15 @@ def multimodal_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio feature extraction over mapInPandas: payloads stay inside
     their partition (features out, PCM never shuffles) — identical
     batch shape to the image/video paths."""
-    docs = load_table(spark, sf_dir, "documents")
-    with_audio = attach_fake_audio(docs)
-    return (
-        with_audio.mapInPandas(_audio_features, _AUDIO_FEATURE_SCHEMA)
-        .orderBy("doc_id")
+    # same range-first + sortWithinPartitions shape as
+    # multimodal_features (r13: no sampling re-execution, spread scan)
+    docs = load_table(spark, sf_dir, "documents").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
     )
+    with_audio = attach_fake_audio(docs)
+    return with_audio.mapInPandas(
+        _audio_features, _AUDIO_FEATURE_SCHEMA
+    ).sortWithinPartitions("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -78,7 +78,14 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     charge = arrow_udf(_charge, "double")
 
-    li = load_table(spark, sf_dir, "lineitem")
+    # range-first + sortWithinPartitions (optimization r13): the final
+    # orderBy's bound sampling re-evaluated the Arrow UDF over every
+    # surviving row a second time; equal l_orderkey values land in one
+    # range partition, so the within-partition sort preserves the
+    # declared (order_key, line_number) order globally
+    li = load_table(spark, sf_dir, "lineitem").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    )
     return (
         li.filter(F.col("l_returnflag") == "R")
         .select(
@@ -88,7 +95,7 @@ def udf_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 charge("l_extendedprice", "l_discount", "l_tax") * 100
             ).alias("charge_cents"),
         )
-        .orderBy("order_key", "line_number")
+        .sortWithinPartitions("order_key", "line_number")
     )
 
 

@@ -51,11 +51,17 @@ ORDER BY cust_key
 
 @query("q_udf_scalar", oracle=_ORACLE_UDF_SCALAR)
 def udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load_table(spark, sf_dir, "customer")
-    return (
-        c.select(F.col("c_custkey").alias("cust_key"), _balance_tier("c_acctbal").alias("tier"))
-        .orderBy("cust_key")
+    # range-first (optimization r13, guide §2.4): the final orderBy's
+    # bound sampling re-evaluated the Python UDF over every row a
+    # second time; ranging the scan by the sort key first leaves the
+    # UDF exactly one evaluation per row
+    c = load_table(spark, sf_dir, "customer").repartitionByRange(
+        spark.sparkContext.defaultParallelism, "c_custkey"
     )
+    return c.select(
+        F.col("c_custkey").alias("cust_key"),
+        _balance_tier("c_acctbal").alias("tier"),
+    ).sortWithinPartitions("cust_key")
 
 
 # ---------------------------------------------------------------------------
@@ -85,10 +91,13 @@ def udf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.agg(
         F.avg("value").alias("mean_v"), F.stddev_samp("value").alias("std_v")
     )
+    # range-first + sortWithinPartitions: same single-UDF-evaluation
+    # rationale as q_udf_scalar above (optimization r13)
     return (
-        ev.crossJoin(F.broadcast(stats))
+        ev.repartitionByRange(spark.sparkContext.defaultParallelism, "event_id")
+        .crossJoin(F.broadcast(stats))
         .select("event_id", _zscore("value", "mean_v", "std_v").alias("value_z"))
-        .orderBy("event_id")
+        .sortWithinPartitions("event_id")
     )
 
 

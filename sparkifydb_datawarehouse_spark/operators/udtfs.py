@@ -63,13 +63,19 @@ def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     # call before this lazy plan is collected, so each call registers
     # a unique one
     view = f"udtf_docs_{next(_VIEW_SEQ)}"
+    # range-first (optimization r13, guide §2.4): with the ORDER BY
+    # inside the SQL, the range partitioner's bound sampling called
+    # the per-row UDTF a second time over every doc; ranging the view
+    # frame by the sort key first and sorting within partitions keeps
+    # the declared order with exactly one UDTF evaluation per row
     load_table(spark, sf_dir, "documents").filter(
         "doc_id % 20 = 0"
+    ).repartitionByRange(
+        spark.sparkContext.defaultParallelism, "doc_id"
     ).createOrReplaceTempView(view)
     return spark.sql(
         f"""
         SELECT d.doc_id, s.sent_idx, s.sentence, s.n_chars
         FROM {view} d, LATERAL split_sentences(d.text) s
-        ORDER BY d.doc_id, s.sent_idx
         """
-    )
+    ).sortWithinPartitions("doc_id", "sent_idx")

@@ -269,6 +269,10 @@ def scan_arrow_ipc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         files.mapInPandas(decode_files, out_schema)
         .filter(F.col("l_quantity") >= 45)
+        # decode once (optimization r13, guide §2.4): the final sort's
+        # range partitioner re-executes its child to sample bounds —
+        # without this cut every IPC file decoded TWICE per action
+        .localCheckpoint(eager=False)
         .orderBy("l_orderkey", "l_linenumber")
     )
 

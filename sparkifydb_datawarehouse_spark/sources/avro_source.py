@@ -603,6 +603,12 @@ def scan_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round SPARK-side so the HALF_UP semantics match the oracle's
         # ROUND (python's round() is banker's and would diverge)
         .withColumn("acctbal", F.round("acctbal", 2))
+        # decode once (optimization r13, guide §2.4): the final sort's
+        # range partitioner re-executes its child to sample bounds, so
+        # without this cut every OCF file decoded TWICE per action; the
+        # sort key only exists post-decode (files are the parallelism
+        # unit), so materializing the small typed rows is the fix
+        .localCheckpoint(eager=False)
         .orderBy("s_suppkey")
     )
 
@@ -743,5 +749,8 @@ def scan_avro_logical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         files.mapInPandas(decode_files, out_schema)
         .filter(F.col("o_orderkey") % 5 == 0)
+        # decode once before the sort (same range-sampling
+        # double-execution cut as q_scan_avro above)
+        .localCheckpoint(eager=False)
         .orderBy("o_orderkey")
     )
