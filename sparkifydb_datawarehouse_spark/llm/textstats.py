@@ -97,7 +97,9 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_stop.cast("double") / F.greatest(n_tokens, F.lit(1)), 6).alias(
             "stopword_ratio"
         ),
-    ).orderBy("doc_id")
+        # score once before the sort (same range-sampling
+        # double-execution cut as text_readability below)
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -1066,7 +1068,11 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 4
         ).alias("fk_grade"),
-    ).orderBy("doc_id")
+        # score once (optimization r13, guide §2.4): the final sort's
+        # range sampling re-ran the regexp/HOF scoring over the full
+        # text a second time; materializing the small per-doc rows
+        # keeps compute at scan parallelism and sorts only results
+    ).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------

@@ -301,6 +301,10 @@ def variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.variant_get("v", "$.meta.type_len", "int").alias("type_len"),
         )
         .filter(F.col("k_value") % 7 == 0)
+        # parse once (optimization r13, guide §2.4): the final sort's
+        # range sampling re-ran parse_json + variant_get over every
+        # event a second time; the surviving typed rows are small
+        .localCheckpoint(eager=False)
         .orderBy("event_id")
     )
 

@@ -81,6 +81,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.okey").alias("order_b"),
             overlap_days.alias("overlap_days"),
         )
+        # join once (optimization r13, guide §2.4): the final sort's
+        # range sampling re-ran the per-custkey overlap join a second
+        # time; the qualifying pairs materialize once
+        .localCheckpoint(eager=False)
         .orderBy("custkey", "order_a", "order_b")
     )
 

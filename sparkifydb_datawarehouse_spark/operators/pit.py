@@ -74,6 +74,11 @@ def pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("valid_from") < F.col("ts"))
         & (F.col("valid_to").isNull() | (F.col("ts") <= F.col("valid_to")))
     )
+    # NOT checkpointed before the sort (optimization r13): unlike the
+    # sibling overlap join, the sampling re-run here is one pushdown
+    # scan + broadcast probe — A/B measured the checkpoint of the
+    # fact-sized join output SLOWER (0.87 -> 1.08 s at sf0.1), so the
+    # recompute is the cheaper side of the store-vs-recompute trade
     return (
         facts.join(iv, cond, "left")
         .select("event_id", "user_id", "ts", "state_before", "state_run_id")

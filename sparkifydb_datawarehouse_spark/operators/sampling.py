@@ -74,6 +74,11 @@ def sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linenumber").alias("line_number"),
             F.col("l_quantity").alias("quantity"),
         )
+        # hash the scan once (optimization r13, guide §2.4): the final
+        # sort's range sampling re-ran the full scan + hash predicate a
+        # second time; materializing the 5% sample (the predicate stays
+        # ON the scan — the contract) costs 1/20th of the re-scan
+        .localCheckpoint(eager=False)
         .orderBy("order_key", "line_number")
     )
 
