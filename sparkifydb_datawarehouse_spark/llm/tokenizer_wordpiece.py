@@ -197,7 +197,12 @@ def tokenizer_wordpiece(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible rows) is value-checked."""
     words = _word_histogram(spark, sf_dir).localCheckpoint()
     initial, cont = wordpiece_vocab(words)
-    segged = segment_words(words, initial, cont)
+    # segment once (optimization r13, guide §2.4/§5): two consumers —
+    # the corpus-total aggregate and the output rows — each re-ran the
+    # Python greedy matcher over every word type without this cut (two
+    # MapInPandas nodes in the old plan); the segmented histogram is
+    # vocabulary-bounded, so the materialization is small
+    segged = segment_words(words, initial, cont).localCheckpoint(eager=False)
     total = segged.agg(
         F.sum(F.col("n_pieces").cast("long") * F.col("cnt")).alias("corpus_pieces")
     )
