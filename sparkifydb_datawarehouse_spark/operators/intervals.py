@@ -81,10 +81,10 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.okey").alias("order_b"),
             overlap_days.alias("overlap_days"),
         )
-        # join once (optimization r13, guide §2.4): the final sort's
-        # range sampling re-ran the per-custkey overlap join a second
-        # time; the qualifying pairs materialize once
-        .localCheckpoint(eager=False)
+        # NOT checkpointed before the sort (optimization r13): the
+        # sampling re-run is one broadcast hash join — measured ~0.1 s,
+        # within host noise, and a checkpoint would hide the join from
+        # the test_plan_quality no-nested-loop gate
         .orderBy("custkey", "order_a", "order_b")
     )
 
