@@ -1024,19 +1024,16 @@ HUFF_AC_PROG = (
 )
 
 
-def _point_ac(v: int, al: int) -> int:
-    """T.81 AC point transform: sign(v) * (|v| >> al)."""
-    return -((-int(v)) >> al) if v < 0 else int(v) >> al
-
-
 _ZIGZAG_NP = np.array(ZIGZAG, dtype=np.int64)
 
 
 def _point_ac_band(blk: np.ndarray, ss: int, se: int, al: int) -> list[int]:
-    """Vectorized _point_ac over a zigzag band (optimization r13,
-    guide §4.2): the per-coefficient Python call was the progressive
-    encoder's hottest leaf (169k calls per 60 docs). Same integer
-    semantics — numpy arithmetic shifts on int64 match Python's."""
+    """Vectorized T.81 AC point transform (sign(v) * (|v| >> al)) over
+    a zigzag band (optimization r13, guide §4.2): the scalar
+    per-coefficient call (``-((-v) >> al) if v < 0 else v >> al``) was
+    the progressive encoder's hottest leaf (169k calls per 60 docs).
+    Same integer semantics — numpy arithmetic shifts on int64 match
+    Python's."""
     band = blk[_ZIGZAG_NP[ss : se + 1]].astype(np.int64, copy=False)
     return np.where(band < 0, -((-band) >> al), band >> al).tolist()
 

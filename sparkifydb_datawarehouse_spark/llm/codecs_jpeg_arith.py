@@ -916,9 +916,13 @@ def decode_progressive_scan_arith(
                 # G.1.3.3: refinement — correction bits for already-
                 # significant coefficients, adaptive newly-significant
                 # insertions, EOB decisions only beyond the previous
-                # stage's end-of-block index
+                # stage's end-of-block index. The block rides as a
+                # Python list for the duration (one tolist + one
+                # write-back instead of ~64 numpy scalar reads per
+                # block per scan — optimization r14, §4.2).
+                bl = blk.tolist()
                 kex = se
-                while kex > 0 and blk[nat[kex]] == 0:
+                while kex > 0 and bl[nat[kex]] == 0:
                     kex -= 1
                 k = ss
                 while k <= se:
@@ -926,13 +930,13 @@ def decode_progressive_scan_arith(
                     if k > kex and dec.decode(st, base):
                         break  # EOB
                     while True:
-                        cur = int(blk[nat[k]])
+                        cur = bl[nat[k]]
                         if cur:  # previously significant: correction bit
                             if dec.decode(st, base + 2):
-                                blk[nat[k]] = cur + (p1 if cur > 0 else -p1)
+                                bl[nat[k]] = cur + (p1 if cur > 0 else -p1)
                             break
                         if dec.decode(st, base + 1):  # newly significant
-                            blk[nat[k]] = -p1 if dec.decode(stats.fixed, 0) else p1
+                            bl[nat[k]] = -p1 if dec.decode(stats.fixed, 0) else p1
                             break
                         base += 3
                         k += 1
@@ -941,6 +945,7 @@ def decode_progressive_scan_arith(
                                 "arithmetic AC refinement past band end"
                             )
                     k += 1
+                blk[:] = bl
     return dec.next_marker_pos()
 
 
@@ -1113,11 +1118,12 @@ def _encode_prog_scan_arith(
             n_unit += 1
             zz = c["zz"][by, bx]
             st = stats.ac_stats(tbl)
+            zl = zz[: se + 1].tolist()  # one C conversion instead of
+            # per-coefficient numpy scalar reads (optimization r14, §4.2)
             if ah == 0:
                 # magnitudes at this stage: toward-zero point transform
                 tvals = [
-                    (abs(int(zz[k])) >> al) * (1 if int(zz[k]) >= 0 else -1)
-                    for k in range(se + 1)
+                    (abs(v) >> al) * (1 if v >= 0 else -1) for v in zl
                 ]
                 ke = 0
                 for k in range(se, ss - 1, -1):
@@ -1163,8 +1169,8 @@ def _encode_prog_scan_arith(
                 if ke < se:
                     enc.encode(st, 3 * (k - 1), 1)  # EOB
             else:
-                mags = [abs(int(zz[k])) >> al for k in range(se + 1)]
-                prev = [abs(int(zz[k])) >> (al + 1) for k in range(se + 1)]
+                mags = [abs(v) >> al for v in zl]
+                prev = [abs(v) >> (al + 1) for v in zl]
                 ke = 0
                 for k in range(se, ss - 1, -1):
                     if mags[k]:
@@ -1190,7 +1196,7 @@ def _encode_prog_scan_arith(
                         if mags[k]:  # newly significant (== 1)
                             enc.encode(st, base + 1, 1)
                             enc.encode(
-                                stats.fixed, 0, 1 if int(zz[k]) < 0 else 0
+                                stats.fixed, 0, 1 if zl[k] < 0 else 0
                             )
                             break
                         enc.encode(st, base + 1, 0)

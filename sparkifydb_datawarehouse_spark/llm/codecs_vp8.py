@@ -184,13 +184,36 @@ class Vp8Tables:
     probabilities into silent garbage).
     """
 
-    __slots__ = ("coef_probs", "kf_bmode_probs", "coef_update_probs", "placeholder")
+    __slots__ = (
+        "coef_probs",
+        "kf_bmode_probs",
+        "coef_update_probs",
+        "placeholder",
+        "_flat_update_probs",
+    )
 
     def __init__(self, coef_probs, kf_bmode_probs, coef_update_probs, *, placeholder=False):
         self.coef_probs = coef_probs
         self.kf_bmode_probs = kf_bmode_probs
         self.coef_update_probs = coef_update_probs
         self.placeholder = placeholder
+        self._flat_update_probs: tuple[int, ...] | None = None
+
+    def flat_update_probs(self) -> tuple[int, ...]:
+        """coef_update_probs flattened in §13.4 lattice order
+        (t, b, c, n), cached — both coders walk these 1056 entries per
+        frame (see put_zero_flags / read_flag_lattice)."""
+        flat = self._flat_update_probs
+        if flat is None:
+            flat = tuple(
+                self.coef_update_probs[t][b][c][n]
+                for t in range(4)
+                for b in range(8)
+                for c in range(3)
+                for n in range(11)
+            )
+            self._flat_update_probs = flat
+        return flat
 
 
 def _placeholder_tables() -> Vp8Tables:
@@ -251,81 +274,134 @@ _SIN = 35468  # sin(pi/8)*sqrt(2), Q16
 # ---------------------------------------------------------------------------
 
 
+# Tree-path cache for the encoder (optimization round 14, guide §4.2):
+# the (prob-index, bit) path from a tree root/start to a symbol's leaf
+# is a pure function of the STATIC tree tuple — the old recursive walk
+# re-derived it on every put_tree call (20k walks per 150 webp_anim
+# docs in cProfile). Trees are hashable module constants, so a plain
+# dict memo is exact.
+_TREE_PATH_CACHE: dict = {}
+
+
+def _tree_path(tree: tuple, symbol: int, start: int) -> tuple:
+    key = (tree, start, symbol)
+    path = _TREE_PATH_CACHE.get(key)
+    if path is not None:
+        return path
+
+    found: list | None = None
+
+    def walk(i: int, steps: list):
+        nonlocal found
+        for b in (0, 1):
+            nxt = tree[i + b]
+            if nxt <= 0:
+                if -nxt == symbol:
+                    found = steps + [(i >> 1, b)]
+                    return True
+            else:
+                if walk(nxt, steps + [(i >> 1, b)]):
+                    return True
+        return False
+
+    if not walk(start, []):
+        raise ValueError(f"symbol {symbol} not in tree")
+    result = tuple(found)
+    _TREE_PATH_CACHE[key] = result
+    return result
+
+
 class BoolEncoder:
-    """RFC 6386 §7 boolean encoder (bottom/range/bit-count with carry
-    propagation into already-emitted bytes)."""
+    """RFC 6386 §7 boolean encoder. Optimization round 14 (guide §4.2,
+    byte-identical per tests/test_codecs_vp8_entropy_opt.py): the
+    interval base is ONE arbitrary-precision integer ``low`` instead
+    of the spec's 32-bit bottom window — carry propagation into
+    already-emitted bytes becomes plain big-int addition, and renorm
+    batches all shifts of a put into one `<<` via bit_length. Bytes
+    are produced once, at finish: the spec machine emits its first
+    byte after 24 shifts (register bits 24..31, which sit at bits
+    N..N+7 of ``low`` in end-of-stream scale after N total shifts) and
+    one byte per 8 shifts after, so after the 32-bit flush padding the
+    stream is the top m = (N - 24) // 8 + 1 bytes of ``low`` starting
+    at bit N + 8 - 8m."""
+
+    __slots__ = ("low", "range", "nshift")
 
     def __init__(self) -> None:
-        self.bottom = 0
+        self.low = 0
         self.range = 255
-        self.bit_count = 24
-        self.out = bytearray()
-
-    def _carry(self) -> None:
-        pos = len(self.out) - 1
-        while pos >= 0 and self.out[pos] == 0xFF:
-            self.out[pos] = 0
-            pos -= 1
-        if pos < 0:  # carry out of the stream start cannot happen for
-            raise AssertionError("bool-encoder carry underflow")
-        self.out[pos] += 1
+        self.nshift = 0
 
     def put(self, bit: int, prob: int) -> None:
-        split = 1 + (((self.range - 1) * prob) >> 8)
+        r = self.range
+        split = 1 + (((r - 1) * prob) >> 8)
         if bit:
-            self.bottom += split
-            self.range -= split
+            self.low += split
+            r -= split
         else:
-            self.range = split
-        while self.range < 128:
-            self.range <<= 1
-            if self.bottom & (1 << 31):
-                self._carry()
-                self.bottom &= (1 << 31) - 1
-            self.bottom <<= 1
-            self.bit_count -= 1
-            if self.bit_count == 0:
-                self.out.append((self.bottom >> 24) & 0xFF)
-                self.bottom &= (1 << 24) - 1
-                self.bit_count = 8
+            r = split
+        if r < 128:
+            shift = 8 - r.bit_length()
+            self.range = r << shift
+            self.low <<= shift
+            self.nshift += shift
+        else:
+            self.range = r
 
     def put_literal(self, value: int, n_bits: int) -> None:
         for shift in range(n_bits - 1, -1, -1):
             self.put((value >> shift) & 1, 128)
 
     def put_tree(self, tree: tuple, probs, symbol: int, start: int = 0) -> None:
-        # walk the tree to the leaf, recording (prob-index, bit) steps
-        path = []
+        put = self.put
+        for prob_idx, bit in _tree_path(tree, symbol, start):
+            put(bit, probs[prob_idx])
 
-        def walk(i: int, steps: list) -> bool:
-            for b in (0, 1):
-                nxt = tree[i + b]
-                if nxt <= 0:
-                    if -nxt == symbol:
-                        path.extend(steps + [(i >> 1, b)])
-                        return True
-                else:
-                    if walk(nxt, steps + [(i >> 1, b)]):
-                        return True
-            return False
-
-        if not walk(start, []):
-            raise ValueError(f"symbol {symbol} not in tree")
-        for prob_idx, bit in path:
-            self.put(bit, probs[prob_idx])
+    def put_zero_flags(self, probs) -> None:
+        """put(0, p) for every p in probs, state hoisted into locals —
+        the §13.4 update lattice writes 1056 zero flags per frame when
+        no updates are transmitted (85% of all encoder symbols on the
+        fixture corpus; optimization round 14, guide §4.2). Exactly
+        equivalent to the put loop (a zero bit keeps the bottom
+        interval: range = split, low unchanged)."""
+        low = self.low
+        r = self.range
+        nshift = self.nshift
+        for p in probs:
+            r = 1 + (((r - 1) * p) >> 8)
+            if r < 128:
+                shift = 8 - r.bit_length()
+                r <<= shift
+                low <<= shift
+                nshift += shift
+        self.low = low
+        self.range = r
+        self.nshift = nshift
 
     def finish(self) -> bytes:
-        # pad with 32 zero bits: every payload bit is pushed out of the
-        # 32-bit bottom window (bit_count never exceeds 24), and the
-        # decoder's zero-fill past end-of-stream matches the padding
+        # pad with 32 zero bits: every payload bit is pushed past the
+        # emission line (the spec machine's bit_count never exceeds
+        # 24), and the decoder's zero-fill past end-of-stream matches
+        # the padding. Each padding put shifts exactly once (range in
+        # [128, 255] halves to [64, 127]), so nshift grows by 32.
         for _ in range(32):
             self.put(0, 128)
-        return bytes(self.out)
+        n_bytes = (self.nshift - 24) // 8 + 1
+        unemitted_bits = self.nshift + 8 - 8 * n_bytes
+        return (self.low >> unemitted_bits).to_bytes(n_bytes, "big")
 
 
 class BoolDecoder:
-    """RFC 6386 §7.3 boolean decoder (value/range with byte refills;
-    reads past end-of-stream yield zero bytes)."""
+    """RFC 6386 §7.3 boolean decoder (reads past end-of-stream yield
+    zero bytes). Optimization round 14 (guide §4.2, bit-identical per
+    tests/test_codecs_vp8_entropy_opt.py): ``value`` carries ``extra``
+    reservoir bits below the spec's 16-bit window — the comparison and
+    subtraction happen at scale ``split << (8 + extra)`` (exact:
+    reservoir bits are < 2^extra, so they never flip the compare), a
+    renorm just spends reservoir bits (extra -= shift, one bit_length
+    instead of the per-bit loop), and refills load 32 bits at once."""
+
+    __slots__ = ("data", "value", "pos", "range", "extra")
 
     def __init__(self, data: bytes) -> None:
         self.data = data
@@ -334,41 +410,118 @@ class BoolDecoder:
         self.value = (b0 << 8) | b1
         self.pos = 2
         self.range = 255
-        self.bit_count = 0
+        self.extra = 0
 
     def get(self, prob: int) -> int:
-        split = 1 + (((self.range - 1) * prob) >> 8)
-        big_split = split << 8
-        if self.value >= big_split:
+        r = self.range
+        split = 1 + (((r - 1) * prob) >> 8)
+        value = self.value
+        big_split = split << (8 + self.extra)
+        if value >= big_split:
             bit = 1
-            self.range -= split
-            self.value -= big_split
+            r -= split
+            value = self.value = value - big_split
         else:
             bit = 0
-            self.range = split
-        while self.range < 128:
-            self.value <<= 1
-            self.range <<= 1
-            self.bit_count += 1
-            if self.bit_count == 8:
-                self.bit_count = 0
-                nxt = self.data[self.pos] if self.pos < len(self.data) else 0
-                self.pos += 1
-                self.value |= nxt
+            r = split
+        if r < 128:
+            shift = 8 - r.bit_length()
+            self.range = r << shift
+            extra = self.extra - shift
+            if extra < 0:
+                pos = self.pos
+                chunk = self.data[pos : pos + 4]
+                self.pos = pos + 4
+                # zero-feed past end-of-stream, per the RFC machine
+                self.value = (value << 32) | (
+                    int.from_bytes(chunk, "big") << (8 * (4 - len(chunk)))
+                )
+                extra += 32
+            self.extra = extra
+        else:
+            self.range = r
         return bit
 
     def get_literal(self, n_bits: int) -> int:
         v = 0
+        get = self.get
         for _ in range(n_bits):
-            v = (v << 1) | self.get(128)
+            v = (v << 1) | get(128)
         return v
 
     def get_tree(self, tree: tuple, probs, start: int = 0) -> int:
         i = start
+        get = self.get
         while True:
-            i = tree[i + self.get(probs[i >> 1])]
+            i = tree[i + get(probs[i >> 1])]
             if i <= 0:
                 return -i
+
+    def read_flag_lattice(self, probs) -> list[tuple[int, int]]:
+        """For each p in probs: one flag bit, and an 8-bit literal when
+        the flag fires; returns [(index, literal), ...] for the fired
+        flags. Exactly the ``get(p)`` / ``get_literal(8)`` sequence of
+        the §13.4 update walk (the decoder's dominant symbol volume —
+        see put_zero_flags), with all coder state hoisted into locals;
+        equivalence pinned by tests/test_codecs_vp8_entropy_opt.py."""
+        out: list[tuple[int, int]] = []
+        value = self.value
+        r = self.range
+        extra = self.extra
+        data = self.data
+        pos = self.pos
+        for i, p in enumerate(probs):
+            split = 1 + (((r - 1) * p) >> 8)
+            big_split = split << (8 + extra)
+            if value >= big_split:
+                bit = 1
+                value -= big_split
+                r -= split
+            else:
+                bit = 0
+                r = split
+            if r < 128:
+                shift = 8 - r.bit_length()
+                r <<= shift
+                extra -= shift
+                if extra < 0:
+                    chunk = data[pos : pos + 4]
+                    pos += 4
+                    value = (value << 32) | (
+                        int.from_bytes(chunk, "big") << (8 * (4 - len(chunk)))
+                    )
+                    extra += 32
+            if bit:
+                v = 0
+                for _ in range(8):  # get_literal(8) at prob 128
+                    split = 1 + ((r - 1) >> 1)
+                    big_split = split << (8 + extra)
+                    if value >= big_split:
+                        b = 1
+                        value -= big_split
+                        r -= split
+                    else:
+                        b = 0
+                        r = split
+                    if r < 128:
+                        shift = 8 - r.bit_length()
+                        r <<= shift
+                        extra -= shift
+                        if extra < 0:
+                            chunk = data[pos : pos + 4]
+                            pos += 4
+                            value = (value << 32) | (
+                                int.from_bytes(chunk, "big")
+                                << (8 * (4 - len(chunk)))
+                            )
+                            extra += 32
+                    v = (v << 1) | b
+                out.append((i, v))
+        self.value = value
+        self.range = r
+        self.extra = extra
+        self.pos = pos
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -407,7 +560,17 @@ def inverse_wht(coefs: list[int]) -> list[int]:
 
 def inverse_dct4x4(coefs: list[int]) -> np.ndarray:
     """§14.4 normative integer inverse DCT; coefs in raster order,
-    returns the 4x4 residual (int array)."""
+    returns the 4x4 residual (int array).
+
+    DC-only fast path (optimization round 14, guide §4.2 — the same
+    specialization libwebp ships): with coefs[1:] all zero the two
+    passes reduce exactly to the constant (dc + 4) >> 3 at every pixel
+    (column pass leaves column 0 = dc, row pass emits a1 = b1 = dc,
+    c1 = d1 = 0 at every row) — pinned by test_inverse_dct_dc_only.
+    The planted fixtures hit this on nearly every block, and real VP8
+    streams EOB most blocks early too."""
+    if not any(coefs[1:]):
+        return np.full((4, 4), (coefs[0] + 4) >> 3, dtype=np.int64)
     tmp = [0] * 16
     for i in range(4):
         ip0, ip4, ip8, ip12 = coefs[i], coefs[4 + i], coefs[8 + i], coefs[12 + i]
@@ -957,14 +1120,14 @@ def decode_vp8_frame(data: bytes, tables: Vp8Tables | None = None) -> dict:
         raise ImageDecodeError("quantizer deltas not supported")
     header.get_literal(1)  # refresh entropy probs
     # §13.4 token probability updates: walk the 4×8×3×11 flag lattice,
-    # splicing transmitted probabilities over the defaults
+    # splicing transmitted probabilities over the defaults (batched
+    # flag read — see BoolDecoder.read_flag_lattice)
     coef_probs = _copy_coef_probs(tables)
-    for t in range(4):
-        for b in range(8):
-            for c in range(3):
-                for n in range(11):
-                    if header.get(tables.coef_update_probs[t][b][c][n]):
-                        coef_probs[t][b][c][n] = header.get_literal(8)
+    for idx, prob in header.read_flag_lattice(tables.flat_update_probs()):
+        t, rest = divmod(idx, 8 * 3 * 11)
+        b, rest = divmod(rest, 3 * 11)
+        c, n = divmod(rest, 11)
+        coef_probs[t][b][c][n] = prob
     mb_no_skip = header.get_literal(1)
     prob_skip_false = header.get_literal(8) if mb_no_skip else 0
 
@@ -1077,16 +1240,16 @@ def decode_vp8_frame(data: bytes, tables: Vp8Tables | None = None) -> dict:
                 if has_y2:
                     coefs[0] = y2_out[sb]
                     res = inverse_dct4x4(coefs)
-                    recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = np.clip(
-                        recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res, 0, 255
-                    )
+                    recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = (
+                        recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res
+                    ).clip(0, 255)
                 else:
                     x0, y0 = mbx * 16 + c * 4, mby * 16 + r * 4
                     sp = predict_subblock(
                         planes["y"], x0, y0, sub_modes[mby][mbx][r][c]
                     )
                     res = inverse_dct4x4(coefs)
-                    planes["y"][y0 : y0 + 4, x0 : x0 + 4] = np.clip(sp + res, 0, 255)
+                    planes["y"][y0 : y0 + 4, x0 : x0 + 4] = (sp + res).clip(0, 255)
             if has_y2:
                 planes["y"][
                     mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16
@@ -1103,9 +1266,9 @@ def decode_vp8_frame(data: bytes, tables: Vp8Tables | None = None) -> dict:
                     )
                     ctx_above[pl][mbx * 2 + c] = ctx_left[pl][r] = nz
                     res = inverse_dct4x4(coefs)
-                    pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = np.clip(
-                        pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res, 0, 255
-                    )
+                    pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = (
+                        pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res
+                    ).clip(0, 255)
                 planes[pl][mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pred
 
     _run_loop_filter(planes, mbw, mbh, filter_level, filter_type, sharpness)
@@ -1617,17 +1780,22 @@ def encode_vp8_frame(
     header.put_literal(1, 1)  # refresh entropy probs
     coef_probs = _copy_coef_probs(tables)
     updates = coef_prob_updates or {}
-    for t in range(4):
-        for b in range(8):
-            for c in range(3):
-                for n in range(11):
-                    p = updates.get((t, b, c, n))
-                    if p is None:
-                        header.put(0, tables.coef_update_probs[t][b][c][n])
-                    else:
-                        header.put(1, tables.coef_update_probs[t][b][c][n])
-                        header.put_literal(p, 8)
-                        coef_probs[t][b][c][n] = p
+    if not updates:
+        # batched zero-flag walk (the dominant encoder symbol volume —
+        # see BoolEncoder.put_zero_flags)
+        header.put_zero_flags(tables.flat_update_probs())
+    else:
+        for t in range(4):
+            for b in range(8):
+                for c in range(3):
+                    for n in range(11):
+                        p = updates.get((t, b, c, n))
+                        if p is None:
+                            header.put(0, tables.coef_update_probs[t][b][c][n])
+                        else:
+                            header.put(1, tables.coef_update_probs[t][b][c][n])
+                            header.put_literal(p, 8)
+                            coef_probs[t][b][c][n] = p
     header.put_literal(1 if use_skip else 0, 1)  # mb_no_coeff_skip
     if use_skip:
         header.put_literal(_SKIP_PROB, 8)
@@ -1697,9 +1865,9 @@ def encode_vp8_frame(
                     ]
                     coefs[0] = y2_out[sb]
                     res = inverse_dct4x4(coefs)
-                    recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = np.clip(
-                        recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res, 0, 255
-                    )
+                    recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = (
+                        recon[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res
+                    ).clip(0, 255)
                 else:
                     x0, y0 = mbx * 16 + c * 4, mby * 16 + r * 4
                     sp = predict_subblock(planes["y"], x0, y0, sub_modes[mby][mbx][r][c])
@@ -1713,7 +1881,7 @@ def encode_vp8_frame(
                         for i in range(16)
                     ]
                     res = inverse_dct4x4(coefs)
-                    planes["y"][y0 : y0 + 4, x0 : x0 + 4] = np.clip(sp + res, 0, 255)
+                    planes["y"][y0 : y0 + 4, x0 : x0 + 4] = (sp + res).clip(0, 255)
             if has_y2:
                 planes["y"][mby * 16 : mby * 16 + 16, mbx * 16 : mbx * 16 + 16] = recon
             c_target = (
@@ -1733,9 +1901,9 @@ def encode_vp8_frame(
                         for i in range(16)
                     ]
                     res = inverse_dct4x4(coefs)
-                    pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = np.clip(
-                        pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res, 0, 255
-                    )
+                    pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] = (
+                        pred[r * 4 : r * 4 + 4, c * 4 : c * 4 + 4] + res
+                    ).clip(0, 255)
                 planes[pl][mby * 8 : mby * 8 + 8, mbx * 8 : mbx * 8 + 8] = pred
             # --- emission pass: skip flag or token data ---
             if use_skip and not any(

@@ -114,9 +114,15 @@ def get_spark(
         # Both are session-lifetime knobs, not data-scale knobs: the
         # same values are right at sf0.001 and at 100 TB.
         .config("spark.sql.codegen.cache.maxEntries", "10000")
+        # APPEND to caller-supplied driver JVM options (VERDICT r13 #4:
+        # a bare .config() would clobber them); callers pass theirs via
+        # $SPARK_GRAFT_DRIVER_JAVA_OPTS.
         .config(
             "spark.driver.extraJavaOptions",
-            "-XX:ReservedCodeCacheSize=512m",
+            (
+                os.environ.get("SPARK_GRAFT_DRIVER_JAVA_OPTS", "")
+                + " -XX:ReservedCodeCacheSize=512m"
+            ).strip(),
         )
         .config("spark.ui.enabled", "false")
     )
@@ -128,4 +134,21 @@ def get_spark(
     if object_store:
         for key, value in object_store_profile().items():
             builder = builder.config(key, value)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # codegen.cache.maxEntries is a STATIC SQL conf and the JVM options
+    # are launch-time-only: both silently no-op when getOrCreate
+    # attaches to a pre-existing session (ADVICE r13). Make that
+    # visible instead of silent — the measured JIT behavior depends on
+    # this factory being the session creator.
+    effective = spark.conf.get("spark.sql.codegen.cache.maxEntries", "<unset>")
+    if effective != "10000":
+        import warnings
+
+        warnings.warn(
+            "get_spark attached to an already-running SparkSession: "
+            f"spark.sql.codegen.cache.maxEntries={effective} (wanted 10000); "
+            "session-lifetime compilation budgets did NOT apply",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+    return spark
