@@ -1219,21 +1219,29 @@ def _prefix_filter_pairs(
         .select("doc_id", F.xxhash64("shingle").alias("h"))
         .localCheckpoint(eager=True)
     )
-    sized = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    dfreq = ex.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-
     # global rarity order -> per-doc rank -> keep the prefix:
-    # px = n - ceil(n * t/(1+t)) + 1, t=1/2 -> n - ceil(n/3) + 1
-    w = Window.partitionBy("doc_id").orderBy("df", "h")
+    # px = n - ceil(n * t/(1+t)) + 1, t=1/2 -> n - ceil(n/3) + 1.
+    # Both statistics ride WINDOW functions over ex (optimization
+    # round 14, guide §2.4): df = count over the h partition and
+    # n = count over the doc_id partition replace the old
+    # groupBy-then-join-back pair (dfreq ⋈ ex by h, sized ⋈ by doc_id)
+    # — ex is traversed once instead of three times and the plan drops
+    # from four exchanges to two (plans/r14/q_dedup_prefix_filter_*).
+    # Identical semantics: ex rows are distinct per (doc_id, h), so the
+    # partition counts equal the old aggregate counts row for row.
+    wd = Window.partitionBy("doc_id")
     prefix = (
-        ex.join(dfreq, "h")
-        .withColumn("rk", F.row_number().over(w))
-        .join(sized, "doc_id")
+        ex.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .withColumn("n", F.count(F.lit(1)).over(wd))
+        .withColumn("rk", F.row_number().over(wd.orderBy("df", "h")))
         .filter(F.col("rk") <= F.col("n") - F.ceil(F.col("n") / 3) + 1)
         .select("doc_id", "h", "n", "rk")
-        # two consumers (both sides of the self-join) + the volume
-        # guard below — one materialization instead of two builds
-        .localCheckpoint(eager=True)
+        # three consumers (volume guard + both sides of the self-join)
+        # — one materialization. Lazy when the guard runs (its full
+        # aggregation materializes the checkpoint as a side effect of
+        # the job it must run anyway — one fewer job); eager otherwise
+        # (the self-join's two branches would race a lazy checkpoint).
+        .localCheckpoint(eager=candidate_volume_ceiling is None)
     )
     if candidate_volume_ceiling is not None:
         vol_row = (
