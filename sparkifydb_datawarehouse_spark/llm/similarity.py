@@ -617,8 +617,19 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket-volume accounting: candidates examined before top-k.
     Value-checked end to end (deterministic top-k sets on both
     engines: cosines rounded to 6, vec_id tie-breaks, fixed
-    centroids). The scored scan and the IVF assignment are each
-    computed ONCE (localCheckpoint) and shared by every method row."""
+    centroids).
+
+    Plan shape (optimization round 14, guide §2.4): the round-13 form
+    unioned TEN independent subplans — one TakeOrdered sort + one
+    count aggregate per method row, 38 Spark jobs. Every membership
+    test is a cheap per-row predicate over the same scored scan, so
+    the methods now ride ONE exploded dimension column: each scored
+    row computes (Hamming distance, first-matching-table index, cell
+    rank) once, expands to the method rows it belongs to, and a single
+    grouped aggregation + one WindowGroupLimit top-k replace the ten
+    subplans. Methods with zero candidates keep their row via the
+    10-row dimension table (left joins, counts coalesced to 0), which
+    is exactly the old per-method count-of-empty behavior."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == _QUERY_VEC_ID).select(
         F.col("embedding").alias("q_emb"),
@@ -636,7 +647,7 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_tb",
             F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
         )
-        .localCheckpoint(eager=True)  # one scan feeds all 10 method rows
+        .localCheckpoint(eager=True)  # two consumers: truth + features
     )
     truth = (
         scored.orderBy(F.col("cos_sim").desc(), "vec_id")
@@ -644,11 +655,9 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .localCheckpoint(eager=True)
     )
-    # IVF assignment computed ONCE for all nprobe rows (ADVICE r4 —
-    # was one full crossJoin assignment per nprobe value)
-    cells = (
-        _ivf_assignment(emb).select("vec_id", "cell").localCheckpoint(eager=True)
-    )
+    # IVF assignment computed ONCE for all nprobe rows (ADVICE r4);
+    # single consumer since the r14 restructure, so no checkpoint
+    cells = _ivf_assignment(emb).select("vec_id", "cell")
     cents = emb.filter(F.col("vec_id") < _N_CELLS).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_emb")
     )
@@ -665,62 +674,90 @@ def ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )  # _N_CELLS rows — the single-partition window is over 8 rows
 
-    def recall_row(cand: DataFrame, method: str, kind: str, param: int) -> DataFrame:
-        topk = (
-            cand.orderBy(F.col("cos_sim").desc(), "vec_id")
-            .limit(_TOP_K)
-            .select("vec_id")
+    # per-row membership features, computed once for all ten methods:
+    # ham (sign-LSH radius), first index of a matching multi-table
+    # bucket (1-based; exists over the first L tables ⟺ idx in [1, L]),
+    # crn (IVF cell's rank toward the query; nprobe = n probes the
+    # crn ≤ n cells)
+    feat = (
+        scored.join(cells, "vec_id")
+        .join(
+            F.broadcast(cell_rank.withColumnRenamed("cent_id", "cell")),
+            "cell",
         )
-        hits = topk.join(F.broadcast(truth), "vec_id", "left_semi").agg(
-            F.count(F.lit(1)).alias("n_hits")
-        )
-        return (
-            cand.agg(F.count(F.lit(1)).alias("n_cand"))
-            .crossJoin(hits)
-            .select(
-                F.lit(method).alias("method"),
-                F.lit(kind).alias("param_kind"),
-                F.lit(param).cast("int").alias("probe_param"),
-                F.lit(_TOP_K).cast("int").alias("k"),
-                F.col("n_cand").cast("long").alias("n_cand"),
-                F.col("n_hits").cast("long").alias("n_hits"),
-                F.round(F.col("n_hits") / float(_TOP_K), 2).alias("recall"),
-            )
-        )
-
-    def lsh_cand(radius: int) -> DataFrame:
-        return scored.filter(
-            F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket")).cast("long"))
-            <= radius
-        ).select("vec_id", "cos_sim")
-
-    def mt_cand(n_tables: int) -> DataFrame:
-        return scored.filter(
+        .select(
+            "vec_id",
+            "cos_sim",
+            F.bit_count(
+                F.col("bucket").bitwiseXOR(F.col("q_bucket")).cast("long")
+            ).alias("ham"),
             F.expr(
-                f"exists(sequence(0, {n_tables - 1}), "
-                "t -> element_at(tb, t + 1) = element_at(q_tb, t + 1))"
-            )
-        ).select("vec_id", "cos_sim")
-
-    def ivf_cand(nprobe: int) -> DataFrame:
-        probe = cell_rank.filter(F.col("crn") <= nprobe).select(
-            F.col("cent_id").alias("cell")
+                "array_position(zip_with(tb, q_tb, (a, b) -> a = b), true)"
+            ).alias("mtf"),
+            "crn",
         )
-        return (
-            scored.join(cells, "vec_id")
-            .join(F.broadcast(probe), "cell")
-            .select("vec_id", "cos_sim")
-        )
-
-    rows = (
-        [("sign_lsh", "radius", r, lsh_cand(r)) for r in range(4)]
-        + [("lsh_multitable", "n_tables", L, mt_cand(L)) for L in _MT_LS]
-        + [("ivf", "nprobe", n, ivf_cand(n)) for n in _NPROBES]
     )
-    out = recall_row(rows[0][3], rows[0][0], rows[0][1], rows[0][2])
-    for method, kind, param, cand in rows[1:]:
-        out = out.unionAll(recall_row(cand, method, kind, param))
-    return out.orderBy("method", "probe_param")
+    methods = (
+        [("sign_lsh", "radius", r) for r in range(4)]
+        + [("lsh_multitable", "n_tables", L) for L in _MT_LS]
+        + [("ivf", "nprobe", n) for n in _NPROBES]
+    )
+
+    def member(kind: str, param: int) -> F.Column:
+        if kind == "radius":
+            return F.col("ham") <= param
+        if kind == "n_tables":
+            return (F.col("mtf") >= 1) & (F.col("mtf") <= param)
+        return F.col("crn") <= param
+
+    tagged = F.array(
+        *[
+            F.when(
+                member(kind, param),
+                F.struct(
+                    F.lit(method).alias("method"),
+                    F.lit(kind).alias("param_kind"),
+                    F.lit(param).cast("int").alias("probe_param"),
+                ),
+            )
+            for method, kind, param in methods
+        ]
+    )
+    cand_all = feat.select(
+        "vec_id",
+        "cos_sim",
+        F.explode(F.filter(tagged, lambda m: m.isNotNull())).alias("m"),
+    ).select("vec_id", "cos_sim", "m.method", "m.param_kind", "m.probe_param")
+
+    keys = ["method", "param_kind", "probe_param"]
+    n_cand = cand_all.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_cand"))
+    wm = Window.partitionBy(*keys).orderBy(F.col("cos_sim").desc(), "vec_id")
+    hits = (
+        cand_all.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= _TOP_K)
+        .join(F.broadcast(truth), "vec_id", "left_semi")
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    dim = spark.createDataFrame(
+        methods, "method string, param_kind string, probe_param int"
+    )
+    return (
+        dim.join(n_cand, keys, "left")
+        .join(hits, keys, "left")
+        .select(
+            "method",
+            "param_kind",
+            F.col("probe_param").cast("int").alias("probe_param"),
+            F.lit(_TOP_K).cast("int").alias("k"),
+            F.coalesce(F.col("n_cand"), F.lit(0)).cast("long").alias("n_cand"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / float(_TOP_K), 2
+            ).alias("recall"),
+        )
+        .orderBy("method", "probe_param")
+    )
 
 
 # ---------------------------------------------------------------------------
