@@ -119,10 +119,8 @@ def _seed_pieces(words: DataFrame) -> dict[str, int]:
         .agg(F.sum("cnt").alias("pc"))
         .filter((F.length("piece") == 1) | (F.col("pc") >= _MIN_FREQ))
     )
-    subs = subs.persist()  # 3 consumers: singles collect, cap count, multi collect
-    singles = subs.filter(F.length("piece") == 1)
-    multi = subs.filter(F.length("piece") > 1)
-    n_multi = multi.count()
+    subs = subs.persist()  # 2 consumers: cap count, then one collect
+    n_multi = subs.filter(F.length("piece") > 1).count()
     if n_multi > _SEED_CAP:
         # ADVICE r12 #3: refuse loudly (codec posture) instead of
         # warn-and-truncate — a capped vocab the DuckDB oracle doesn't
@@ -137,7 +135,9 @@ def _seed_pieces(words: DataFrame) -> dict[str, int]:
             "whose freq>=5/len<=4 seed fits the cap — shrink "
             "_MAX_PIECE or raise _MIN_FREQ for this corpus"
         )
-    rows = singles.collect() + multi.collect()
+    # one collect for singles + multi (optimization r14: was two jobs;
+    # both tiers are cap-bounded by the refuse above + the charset)
+    rows = subs.collect()
     subs.unpersist()
     return {r["piece"]: int(r["pc"]) for r in rows}
 
@@ -145,38 +145,55 @@ def _seed_pieces(words: DataFrame) -> dict[str, int]:
 def _viterbi_counts(words: DataFrame, logp: dict[str, float]) -> dict[str, int]:
     """E-step: Viterbi-segment every distinct word under ``logp``,
     return frequency-weighted piece counts. Runs distributed; the
-    piece table rides in the closure (vocab-bounded)."""
+    piece table rides in the closure (vocab-bounded).
+
+    Optimization round 14 (guide §2.3/§4.2): piece counts are
+    pre-aggregated INSIDE the Python worker (one dict per batch), so
+    the rows leaving the Arrow boundary and entering the groupBy
+    shuffle are vocabulary-bounded instead of one row per segmented
+    piece occurrence; the DP inner loop hoists the lookup and keeps
+    two flat lists instead of tuple cells (~1.5× on the E-step)."""
     max_len = max((len(p) for p in logp), default=1)
 
     def seg(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        get = logp.get
+        neg_inf = -math.inf
         for pdf in batches:
-            pieces: list[str] = []
-            counts: list[int] = []
+            acc: dict[str, int] = {}
             for w, cnt in zip(pdf["w"], pdf["cnt"]):
                 n = len(w)
-                # dp[i] = (best loglik of w[:i], backpointer piece len)
-                best = [(-math.inf, 0)] * (n + 1)
-                best[0] = (0.0, 0)
+                cnt = int(cnt)
+                # dp: best loglik of w[:i] + backpointer piece length
+                best_ll = [neg_inf] * (n + 1)
+                best_len = [0] * (n + 1)
+                best_ll[0] = 0.0
                 for i in range(1, n + 1):
-                    for L in range(1, min(max_len, i) + 1):
-                        p = w[i - L : i]
-                        lp = logp.get(p)
+                    lo = i - max_len if i > max_len else 0
+                    bi = neg_inf
+                    bl = 0
+                    for j in range(lo, i):
+                        lp = get(w[j:i])
                         if lp is None:
                             continue
-                        cand = best[i - L][0] + lp
-                        # strictly-better OR equal-with-longer-piece:
-                        # deterministic tie-break
-                        if cand > best[i][0] or (
-                            cand == best[i][0] and L > best[i][1]
-                        ):
-                            best[i] = (cand, L)
+                        cand = best_ll[j] + lp
+                        # strictly-better OR equal-with-longer-piece
+                        # (j smaller = longer piece): deterministic
+                        # tie-break, same rule as before
+                        L = i - j
+                        if cand > bi or (cand == bi and L > bl):
+                            bi = cand
+                            bl = L
+                    best_ll[i] = bi
+                    best_len[i] = bl
                 i = n
                 while i > 0:
-                    L = best[i][1]
-                    pieces.append(w[i - L : i])
-                    counts.append(int(cnt))
+                    L = best_len[i]
+                    p = w[i - L : i]
+                    acc[p] = acc.get(p, 0) + cnt
                     i -= L
-            yield pd.DataFrame({"piece": pieces, "c": counts})
+            yield pd.DataFrame(
+                {"piece": list(acc.keys()), "c": list(acc.values())}
+            )
 
     out_schema = StructType(
         [StructField("piece", StringType()), StructField("c", LongType())]
@@ -193,7 +210,10 @@ def _viterbi_counts(words: DataFrame, logp: dict[str, float]) -> dict[str, int]:
 def unigram_lm_detail(spark: SparkSession, sf_dir: str) -> dict:
     """Full EM trace: per-iteration vocab sizes, logliks, coverage,
     and the final piece table (for tests/probes)."""
-    words = _word_histogram(spark, sf_dir).localCheckpoint()
+    # lazy: the seed-substring job is the first (sequential) consumer
+    # and materializes the histogram as a side effect — one fewer job
+    # (optimization r14, guide §5)
+    words = _word_histogram(spark, sf_dir).localCheckpoint(eager=False)
     counts = _seed_pieces(words)
     singles = sorted(p for p in counts if len(p) == 1)
     multi = sorted(
